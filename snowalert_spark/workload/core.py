@@ -1,0 +1,479 @@
+"""Core relational operators over the TPC-H-ish test tables.
+
+Each query exercises rows of the SURVEY.md §2 inventory (noted per
+query). Spark side is DataFrame API (Catalyst plans: pushdown, pruning,
+broadcast joins); oracle side is ANSI SQL for DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from snowalert_spark.functions.numeric import DEC, dsum
+from snowalert_spark.tables import table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+DSUM_SQL = "CAST(SUM(CAST({x} AS DECIMAL(25,6))) AS DOUBLE)"
+
+
+# ---------------------------------------------------------------------------
+# Aggregations (A1, A2, A13) — TPC-H Q1 shape; SURVEY §2.4
+# ---------------------------------------------------------------------------
+@_q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {DSUM_SQL.format(x='l_quantity')} AS sum_qty,
+           {DSUM_SQL.format(x='l_extendedprice')} AS sum_base_price,
+           {DSUM_SQL.format(x='l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {DSUM_SQL.format(x='l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return l.groupBy("l_returnflag", "l_linestatus").agg(
+        dsum("l_quantity").alias("sum_qty"),
+        dsum("l_extendedprice").alias("sum_base_price"),
+        dsum(disc).alias("sum_disc_price"),
+        dsum(disc * (1 + F.col("l_tax"))).alias("sum_charge"),
+        F.count("*").alias("count_order"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inner equi-join + broadcast dims (J1) — SURVEY §2.3
+# ---------------------------------------------------------------------------
+@_q(
+    "join_revenue_by_nation",
+    f"""
+    SELECT n_name,
+           {DSUM_SQL.format(x='o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    n = table(spark, sf_dir, "nation")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(dsum("o_totalprice").alias("revenue"), F.count("*").alias("n_orders"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left-anti join idiom (J3: "left outer + IS NULL") — SURVEY §2.3
+# ---------------------------------------------------------------------------
+@_q(
+    "anti_join_customers_no_orders",
+    """
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Left-semi join (EXISTS idiom) — SURVEY §2.3
+# ---------------------------------------------------------------------------
+@_q(
+    "semi_join_suppliers_big_lots",
+    """
+    SELECT s_suppkey, s_name
+    FROM supplier
+    WHERE EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_suppkey = s_suppkey AND l_quantity >= 49)
+    """,
+)
+def semi_join_suppliers_big_lots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 49)
+    return s.join(l, s.s_suppkey == l.l_suppkey, "left_semi").select(
+        "s_suppkey", "s_name"
+    )
+
+
+# ---------------------------------------------------------------------------
+# NOT IN subquery (P7) — SURVEY §2.2; aws_query_pack.sql:144-146 analog
+# ---------------------------------------------------------------------------
+@_q(
+    "not_in_subquery_orders",
+    """
+    SELECT o_orderstatus, COUNT(*) AS n
+    FROM orders
+    WHERE o_custkey NOT IN (SELECT c_custkey FROM customer WHERE c_acctbal < 0)
+    GROUP BY o_orderstatus
+    """,
+)
+def not_in_subquery_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    neg = table(spark, sf_dir, "customer").filter(F.col("c_acctbal") < 0)
+    # c_custkey is non-null → NOT IN ≡ anti-join (Catalyst would plan the
+    # same null-aware anti join from SQL).
+    return (
+        o.join(neg, o.o_custkey == neg.c_custkey, "left_anti")
+        .groupBy("o_orderstatus")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Latest-per-key: ROW_NUMBER + QUALIFY (W1, *the* SnowAlert idiom)
+# packs/okta.sql:28-31 analog — SURVEY §2.5
+# ---------------------------------------------------------------------------
+@_q(
+    "latest_event_per_user",
+    """
+    SELECT user_id, event_id, ts, event_type
+    FROM events
+    QUALIFY 1 = ROW_NUMBER() OVER (PARTITION BY user_id
+                                   ORDER BY ts DESC, event_id DESC)
+    """,
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top-k with deterministic tiebreak (O1-O3) — SURVEY §2.6
+# ---------------------------------------------------------------------------
+@_q(
+    "top_orders",
+    """
+    SELECT o_orderkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 100
+    """,
+)
+def top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    # TakeOrderedAndProject: per-partition top-k, no full sort/shuffle.
+    return o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey")).limit(100).select(
+        "o_orderkey", "o_totalprice"
+    )
+
+
+# ---------------------------------------------------------------------------
+# UNION ALL + DISTINCT (U1, A4) — SURVEY §2.7
+# ---------------------------------------------------------------------------
+@_q(
+    "union_dedupe_nationkeys",
+    """
+    SELECT DISTINCT nationkey FROM (
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION ALL
+        SELECT s_nationkey AS nationkey FROM supplier
+    )
+    """,
+)
+def union_dedupe_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.unionByName(s).distinct()
+
+
+# ---------------------------------------------------------------------------
+# GROUP BY + HAVING (A8) — SURVEY §2.4
+# ---------------------------------------------------------------------------
+@_q(
+    "group_having_active_users",
+    """
+    SELECT user_id, event_type, COUNT(*) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) > 20
+    """,
+)
+def group_having_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# COUNT(DISTINCT) (A3) + global agg (A14) — SURVEY §2.4
+# ---------------------------------------------------------------------------
+@_q(
+    "count_distinct_users_by_type",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS n_users,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def count_distinct_users_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@_q(
+    "global_agg_events",
+    f"""
+    SELECT COUNT(*) AS n,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts,
+           {DSUM_SQL.format(x='value')} AS total_value
+    FROM events
+    """,
+)
+def global_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.agg(
+        F.count("*").alias("n"),
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        dsum("value").alias("total_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT/JSON path access (§2.8: col:path::int) over events.props
+# ---------------------------------------------------------------------------
+@_q(
+    "json_path_extract",
+    """
+    SELECT event_type,
+           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
+    GROUP BY event_type
+    """,
+)
+def json_path_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (
+        e.filter(k > 50)
+        .groupBy("event_type")
+        .agg(F.sum(k).alias("sum_k"), F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zero-filled counts via outer join (J4) — percentiles.py:124-139 analog
+# ---------------------------------------------------------------------------
+@_q(
+    "zerofill_customers_per_nation",
+    """
+    SELECT n_name, COALESCE(cnt, 0) AS n_customers
+    FROM nation
+    LEFT JOIN (SELECT c_nationkey, COUNT(*) AS cnt
+               FROM customer GROUP BY c_nationkey) c
+           ON n_nationkey = c_nationkey
+    """,
+)
+def zerofill_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n = table(spark, sf_dir, "nation")
+    cnt = (
+        table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return n.join(cnt, n.n_nationkey == cnt.c_nationkey, "left").select(
+        "n_name", F.coalesce("cnt", F.lit(0)).alias("n_customers")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full outer join (J5) — data-views.sql.fmt:76-92 analog
+# ---------------------------------------------------------------------------
+@_q(
+    "full_outer_nation_presence",
+    """
+    SELECT COALESCE(c.k, s.k) AS nationkey,
+           COALESCE(c.c_cnt, 0) AS c_cnt,
+           COALESCE(s.s_cnt, 0) AS s_cnt
+    FROM (SELECT c_nationkey AS k, COUNT(*) AS c_cnt FROM customer GROUP BY 1) c
+    FULL OUTER JOIN
+         (SELECT s_nationkey AS k, COUNT(*) AS s_cnt FROM supplier GROUP BY 1) s
+    USING (k)
+    """,
+)
+def full_outer_nation_presence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = (
+        table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("k"))
+        .agg(F.count("*").alias("c_cnt"))
+    )
+    s = (
+        table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("k"))
+        .agg(F.count("*").alias("s_cnt"))
+    )
+    return c.join(s, "k", "full_outer").select(
+        F.col("k").alias("nationkey"),
+        F.coalesce("c_cnt", F.lit(0)).alias("c_cnt"),
+        F.coalesce("s_cnt", F.lit(0)).alias("s_cnt"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cross join matrix (J6) — percentiles.py:126-137 analog
+# ---------------------------------------------------------------------------
+@_q(
+    "cross_join_region_type_matrix",
+    """
+    SELECT r_name, event_type
+    FROM region
+    CROSS JOIN (SELECT DISTINCT event_type FROM events)
+    """,
+)
+def cross_join_region_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    r = table(spark, sf_dir, "region").select("r_name")
+    t = table(spark, sf_dir, "events").select("event_type").distinct()
+    return r.crossJoin(t)
+
+
+# ---------------------------------------------------------------------------
+# Range join → regular-grid binning rewrite (J7) — percentiles.py:68-75.
+# The oracle states the semantics as a naive interval join against a
+# generated hourly grid; the Spark plan uses the scale-path rewrite
+# (date_trunc binning): equivalent on a regular grid, no O(n·slices)
+# non-equi join, no shuffle beyond the final aggregation.
+# ---------------------------------------------------------------------------
+@_q(
+    "range_join_hourly_counts",
+    """
+    WITH bounds AS (SELECT date_trunc('hour', MIN(ts)) AS lo, MAX(ts) AS hi FROM events),
+    slices AS (SELECT UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS slice_start
+               FROM bounds)
+    SELECT s.slice_start, e.event_type, COUNT(*) AS n
+    FROM slices s
+    JOIN events e ON e.ts >= s.slice_start
+                 AND e.ts < s.slice_start + INTERVAL 1 HOUR
+    GROUP BY s.slice_start, e.event_type
+    """,
+)
+def range_join_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("slice_start"),
+            "event_type",
+        ).agg(F.count("*").alias("n"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sliding 24h trailing frame (W2) — percentiles.py:200-205
+# ---------------------------------------------------------------------------
+@_q(
+    "sliding_24h_trailing_sum",
+    """
+    SELECT slice_start, event_type, n,
+           SUM(n) OVER (PARTITION BY event_type ORDER BY slice_start
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_24h
+    FROM (SELECT date_trunc('hour', ts) AS slice_start, event_type, COUNT(*) AS n
+          FROM events GROUP BY 1, 2)
+    """,
+)
+def sliding_24h_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_trunc("hour", "ts").alias("slice_start"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    w = W.partitionBy("event_type").orderBy("slice_start").rowsBetween(-24, -1)
+    return hourly.select(
+        "slice_start", "event_type", "n", F.sum("n").over(w).alias("trailing_24h")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact percentiles (A10 analog; exact so the oracle matches) — §2.4
+# ---------------------------------------------------------------------------
+@_q(
+    "percentiles_by_type",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 4) AS p25,
+           ROUND(quantile_cont(value, 0.50), 4) AS p50,
+           ROUND(quantile_cont(value, 0.75), 4) AS p75
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
+        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
+        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# collect_set / ARRAY_AGG(DISTINCT) (A6) + bool_or (A7) — string-encoded
+# for stable cross-engine hashing
+# ---------------------------------------------------------------------------
+@_q(
+    "user_profile_rollup",
+    """
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types,
+           BOOL_OR(event_type = 'error') AS has_error,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def user_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("user_id").agg(
+        F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types"),
+        F.max(F.col("event_type") == "error").alias("has_error"),
+        F.count("*").alias("n"),
+    )

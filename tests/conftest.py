@@ -1,0 +1,11 @@
+from __future__ import annotations
+
+import pytest
+
+from snowalert_spark.session import get_session
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_session(app_name="snowalert_spark_tests", shuffle_partitions=8)
+    yield s
