@@ -1,0 +1,66 @@
+"""Benchmark headline queries at $SPARK_GRAFT_SF_DIR (default sf0.1).
+
+Prints exactly ONE JSON line:
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Execution is measured with the noop sink (full plan runs, nothing is
+collected to the driver) after a warm-up pass of the parquet footers.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from snowalert_spark import workload
+from snowalert_spark.session import get_session
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "range_join_hourly_counts",
+    "latest_event_per_user",
+    "alert_dedupe_groups",
+    "correlation_sessions",
+    "violation_md5_identity",
+    "user_profile_rollup",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else None
+    spark = get_session(app_name="snowalert_spark_bench")
+
+    qs = workload.queries()
+    names = [n for n in HEADLINE if n in qs]
+    # extend with any additional registered headline-tagged queries
+    timings: dict[str, float] = {}
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()  # warm (code paths, footers)
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    sys.exit(main())
