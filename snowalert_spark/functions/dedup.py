@@ -1,0 +1,176 @@
+"""Deduplication operators for large-scale document corpora.
+
+Four tiers, all shuffle-aware:
+
+- exact: hash-groupBy on md5(text). One shuffle on the hash.
+- ngram-jaccard: exact set-similarity via shingle inverted index +
+  pair aggregation. Quadratic in colliding docs — the correctness
+  baseline the LSH tier is verified against.
+- minhash-LSH: shingle → per-seed min-hash signature → banded bucket
+  join → exact verification of candidates only. The 100 TB path: cost
+  is O(docs × seeds) + O(candidate pairs), never all-pairs.
+- simhash: 32-bit fingerprint from md5-derived shingle bits (portable
+  across engines, unlike xxhash).
+
+Everything is built-in Column expressions — no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from snowalert_spark.functions.numeric import quantize
+from snowalert_spark.functions.text import minhash_value, shingles, tokens
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-doc canonical flag: keeper = min id within each exact-text
+    group (single window over the content hash)."""
+    h = F.md5(F.col(text_col))
+    w = W.partitionBy("text_hash")
+    return (
+        docs.select(F.col(id_col), h.alias("text_hash"))
+        .withColumn("keeper_doc_id", F.min(id_col).over(w))
+        .withColumn("is_canonical", F.col(id_col) == F.col("keeper_doc_id"))
+    )
+
+
+def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
+    """(doc_id, shingle) distinct pairs — the inverted-index input."""
+    return docs.select(
+        "doc_id", F.explode(F.array_distinct(shingles(tokens("text"), k))).alias("s")
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, threshold: float = 0.8, k: int = 3
+) -> DataFrame:
+    """Exact Jaccard near-dup pairs over k-token shingles.
+
+    Inverted-index join: pairs are generated only for docs sharing at
+    least one shingle, then |∩| is aggregated and |∪| derived from
+    per-doc set sizes. Returns (doc_a, doc_b, jaccard)."""
+    sh = doc_shingles(docs, k).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("c"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_signatures(docs: DataFrame, n_hashes: int = 24, k: int = 3) -> DataFrame:
+    """(doc_id, seed, mh): per-seed MinHash over the doc's shingle set."""
+    sh = doc_shingles(docs, k)
+    seeded = sh.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
+        "s",
+    )
+    return seeded.groupBy("doc_id", "seed").agg(
+        F.min(minhash_value(F.col("seed"), F.col("s"))).alias("mh")
+    )
+
+
+def minhash_band_buckets(
+    signatures: DataFrame, rows_per_band: int = 4
+) -> DataFrame:
+    """(doc_id, band, band_hash): hash of the band's signature rows in
+    seed order (order pinned via array_sort on (seed, mh) structs)."""
+    return (
+        signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
+        .groupBy("doc_id", "band")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
+                        lambda x: x["mh"],
+                    ),
+                    "|",
+                )
+            ).alias("band_hash")
+        )
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 24,
+    rows_per_band: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """MinHash-LSH near-dup detection: banded candidate generation +
+    exact Jaccard verification of candidates only.
+
+    With 24 hashes / 6 bands of 4: P(candidate | j=0.8) ≈ 0.96,
+    P(candidate | j=0.15 background) ≈ 0.3%, and every candidate is
+    exact-verified, so false positives are eliminated — output is a
+    deterministic subset of ngram_jaccard_pairs."""
+    sigs = minhash_signatures(docs, n_hashes, k)
+    buckets = minhash_band_buckets(sigs, rows_per_band)
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    sh = doc_shingles(docs, k)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ia = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
+    ib = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
+    common = (
+        cands.join(ia, "doc_a")
+        .join(ib, (F.col("doc_b") == F.col("doc_b2")) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb")), "doc_b")
+        .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def simhash_fingerprints(docs: DataFrame, bits: int = 32, k: int = 3) -> DataFrame:
+    """32-bit SimHash per doc from shingle md5s: bit b of the
+    fingerprint is the sign of Σ_shingles (2·bit_b(md5) − 1).
+
+    Portable: bit source = first 8 hex chars of md5 parsed as int."""
+    sh = doc_shingles(docs, k)
+    h32 = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
+    per_bit = (
+        sh.select("doc_id", h32.alias("h"), bit)
+        .select("doc_id", "b", F.expr("(CAST(shiftright(h, CAST(b AS INT)) AS BIGINT) % 2) * 2 - 1").alias("v"))
+        .groupBy("doc_id", "b")
+        .agg(F.sum("v").alias("sv"))
+    )
+    return per_bit.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("sv") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(
+                F.lit(0).cast("long")
+            )
+        ).alias("simhash")
+    )

@@ -28,3 +28,25 @@ def davg(col: Column | str) -> Column:
     """Order-independent AVG via exact decimal sum / count."""
     c = F.col(col) if isinstance(col, str) else col
     return F.sum(c.cast(DEC)).cast("double") / F.count(c)
+
+
+def quantize(col: Column, digits: int = 4) -> Column:
+    """Cross-engine deterministic rounding of a double.
+
+    ROUND() itself diverges between engines: Spark rounds the shortest
+    decimal string of the double (BigDecimal.valueOf), DuckDB rounds the
+    binary value — e.g. 0.63554999… prints as "0.63555" and Spark says
+    0.6356 while DuckDB says 0.6355. floor(x·10^d + 0.5)/10^d is pure
+    IEEE arithmetic, bit-identical everywhere. Oracle fragment:
+    ``CAST(floor(x * 1eD + 0.5) AS BIGINT) / CAST(1eD AS DOUBLE)``.
+    """
+    scale = float(10**digits)
+    return F.floor(col * scale + F.lit(0.5)) / F.lit(scale)
+
+
+def quantize_sql(expr: str, digits: int = 4) -> str:
+    """DuckDB oracle fragment matching :func:`quantize`."""
+    scale = float(10**digits)
+    return (
+        f"CAST(floor(({expr}) * {scale} + 0.5) AS BIGINT) / CAST({scale} AS DOUBLE)"
+    )

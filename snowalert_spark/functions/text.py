@@ -1,0 +1,70 @@
+"""Text-analysis building blocks for the documents pipeline.
+
+All functions are pure Column expressions (JVM-side, codegen'd —
+no Python UDFs), so they stay in whole-stage codegen at 100 TB.
+
+Shingling convention (shared with the DuckDB oracles): tokens =
+lowercased whitespace split; k-shingles = space-joined consecutive
+token triples; hashes = md5 hex strings (engine-portable, unlike
+xxhash64 whose seeds differ across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# language marker words for the n-gram/stopword language-ID heuristic
+LANG_MARKERS = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "es": ("el", "la", "de", "que", "y", "los"),
+    "fr": ("le", "la", "les", "et", "des", "est"),
+}
+
+STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "for", "on", "it")
+
+
+def tokens(text: Column | str) -> Column:
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(c), r"\s+")
+
+
+def shingles(tok: Column, k: int = 3) -> Column:
+    """Consecutive k-token shingles as space-joined strings; empty array
+    for docs shorter than k tokens (guards Spark's descending
+    ``sequence`` on negative lengths)."""
+    mk = F.transform(
+        F.sequence(F.lit(0), F.size(tok) - k),
+        lambda i: F.array_join(F.slice(tok, i + 1, k), " "),
+    )
+    return F.when(F.size(tok) >= k, mk).otherwise(F.array().cast("array<string>"))
+
+
+def minhash_value(seed: Column | int, shingle: Column) -> Column:
+    """Portable MinHash hash: md5 over ``seed:shingle``; the per-doc
+    signature element is MIN() of this (lexicographic on hex)."""
+    s = F.lit(seed) if isinstance(seed, int) else seed
+    return F.md5(F.concat_ws(":", s.cast("string"), shingle))
+
+
+def stopword_ratio(tok: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
+    hits = F.size(F.filter(tok, lambda t: t.isin(*stopwords)))
+    return hits / F.size(tok)
+
+
+def unique_ratio(tok: Column) -> Column:
+    return F.size(F.array_distinct(tok)) / F.size(tok)
+
+
+def quality_score(n_chars: Column, tok: Column) -> Column:
+    """Composite [0,1] quality score: length saturation + non-stopword
+    mass + lexical diversity (same arithmetic as the oracle)."""
+    from snowalert_spark.functions.numeric import quantize
+
+    return quantize(
+        0.4 * F.least(F.lit(1.0), n_chars / F.lit(500.0))
+        + 0.3 * (1.0 - stopword_ratio(tok))
+        + 0.3 * unique_ratio(tok),
+        4,
+    )

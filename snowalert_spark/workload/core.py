@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from snowalert_spark.functions.numeric import DEC, dsum
+from snowalert_spark.functions.numeric import DEC, dsum, quantize, quantize_sql
 from snowalert_spark.tables import table
 
 QUERIES = {}
@@ -286,7 +286,7 @@ def global_agg_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "json_path_extract",
     """
     SELECT event_type,
-           SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS sum_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS sum_k,
            COUNT(*) AS n
     FROM events
     WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) > 50
@@ -415,8 +415,8 @@ def range_join_hourly_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sliding_24h_trailing_sum",
     """
     SELECT slice_start, event_type, n,
-           SUM(n) OVER (PARTITION BY event_type ORDER BY slice_start
-                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS trailing_24h
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY slice_start
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING) AS BIGINT) AS trailing_24h
     FROM (SELECT date_trunc('hour', ts) AS slice_start, event_type, COUNT(*) AS n
           FROM events GROUP BY 1, 2)
     """,
@@ -437,11 +437,11 @@ def sliding_24h_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @_q(
     "percentiles_by_type",
-    """
+    f"""
     SELECT event_type,
-           ROUND(quantile_cont(value, 0.25), 4) AS p25,
-           ROUND(quantile_cont(value, 0.50), 4) AS p50,
-           ROUND(quantile_cont(value, 0.75), 4) AS p75
+           {quantize_sql('quantile_cont(value, 0.25)')} AS p25,
+           {quantize_sql('quantile_cont(value, 0.50)')} AS p50,
+           {quantize_sql('quantile_cont(value, 0.75)')} AS p75
     FROM events
     GROUP BY event_type
     """,
@@ -449,9 +449,9 @@ def sliding_24h_trailing_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(
-        F.round(F.expr("percentile(value, 0.25)"), 4).alias("p25"),
-        F.round(F.expr("percentile(value, 0.50)"), 4).alias("p50"),
-        F.round(F.expr("percentile(value, 0.75)"), 4).alias("p75"),
+        quantize(F.expr("percentile(value, 0.25)")).alias("p25"),
+        quantize(F.expr("percentile(value, 0.50)")).alias("p50"),
+        quantize(F.expr("percentile(value, 0.75)")).alias("p75"),
     )
 
 

@@ -1,7 +1,289 @@
-"""Text-analysis + dedup operators over ``documents`` (filled in
-incrementally; see snowalert_spark.functions.text / .dedup)."""
+"""Text-analysis + deduplication operators over ``documents``.
+
+LLM-training-data-pipeline operators (BASELINE.json north star):
+exact dedup, n-gram Jaccard near-dup, MinHash-LSH near-dup (the
+100 TB path, exact-verified), SimHash fingerprints, token statistics,
+quality scoring, language-ID heuristic, rolling-hash fingerprinting.
+
+Implementations live in snowalert_spark.functions.{text,dedup}; this
+module binds them to the documents table and states each operator's
+semantics as a DuckDB oracle.
+"""
 
 from __future__ import annotations
 
-QUERIES: dict = {}
-ORACLES: dict = {}
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from snowalert_spark.functions import dedup as D
+from snowalert_spark.functions import text as X
+from snowalert_spark.functions.numeric import quantize, quantize_sql
+from snowalert_spark.tables import table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# Shared oracle CTE fragments (tokens / distinct shingles / set sizes)
+TOK_CTE = r"""
+tok AS (SELECT doc_id, text, lang, n_chars,
+               string_split_regex(lower(text), '\s+') AS w
+        FROM documents)
+"""
+SH_CTE = r"""
+sh AS (SELECT DISTINCT doc_id,
+              unnest(list_transform(range(0, len(w) - 2),
+                     i -> array_to_string(w[i+1:i+3], ' '))) AS s
+       FROM tok WHERE len(w) >= 3)
+"""
+SIZES_CTE = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"
+
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT doc_id, md5(text) AS text_hash,
+           CAST(MIN(doc_id) OVER (PARTITION BY md5(text)) AS BIGINT) AS keeper_doc_id,
+           doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_canonical
+    FROM documents
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    f"""
+    WITH {TOK_CTE}, {SH_CTE}, {SIZES_CTE},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           {quantize_sql('c / (sa.n + sb.n - c)', 6)} AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {quantize_sql('c / (sa.n + sb.n - c)', 6)} >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@_q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {TOK_CTE}, {SH_CTE}, {SIZES_CTE},
+    sig AS (
+        SELECT doc_id, seed,
+               MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+        FROM sh CROSS JOIN (SELECT unnest(range(24)) AS seed)
+        GROUP BY doc_id, seed
+    ),
+    bands AS (
+        SELECT doc_id, seed // 4 AS band,
+               md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
+        FROM sig GROUP BY doc_id, seed // 4
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT doc_a, doc_b, COUNT(*) AS c
+        FROM cands
+        JOIN sh sa ON sa.doc_id = doc_a
+        JOIN sh sb ON sb.doc_id = doc_b AND sa.s = sb.s
+        GROUP BY doc_a, doc_b
+    )
+    SELECT doc_a, doc_b, {quantize_sql('c / (sa.n + sb.n - c)', 6)} AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE {quantize_sql('c / (sa.n + sb.n - c)', 6)} >= 0.8
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_lsh_pairs(table(spark, sf_dir, "documents"), threshold=0.8)
+
+
+@_q(
+    "dedup_simhash",
+    f"""
+    WITH {TOK_CTE}, {SH_CTE},
+    hv AS (SELECT doc_id,
+                  ('0x' || substr(md5(s), 1, 8))::UBIGINT AS h
+           FROM sh),
+    per_bit AS (
+        SELECT doc_id, b,
+               SUM(CAST((h >> b) & 1 AS BIGINT) * 2 - 1) AS sv
+        FROM hv CROSS JOIN (SELECT unnest(range(32)) AS b)
+        GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN sv > 0 THEN (CAST(1 AS BIGINT) << b)
+                         ELSE 0 END) AS BIGINT) AS simhash
+    FROM per_bit GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@_q(
+    "text_token_stats",
+    f"""
+    WITH {TOK_CTE}
+    SELECT doc_id, lang, n_chars,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(w)) AS BIGINT) AS n_unique_tokens,
+           CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+')) AS BIGINT)
+               AS n_bpe_tokens,
+           {quantize_sql('n_chars / len(w)')} AS chars_per_token
+    FROM tok
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = X.tokens("text")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        F.size(w).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(w)).cast("long").alias("n_unique_tokens"),
+        F.regexp_count(F.lower(F.col("text")), F.lit("[a-z]+|[0-9]+"))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        quantize(F.col("n_chars") / F.size(w)).alias("chars_per_token"),
+    )
+
+
+@_q(
+    "text_quality_scores",
+    f"""
+    WITH {TOK_CTE}
+    SELECT doc_id,
+           {quantize_sql(f'len(list_filter(w, t -> t IN {X.STOPWORDS})) / len(w)')}
+               AS stop_ratio,
+           {quantize_sql('len(list_distinct(w)) / len(w)')} AS uniq_ratio,
+           {quantize_sql(
+               f'CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),'
+               f' n_chars / CAST(500.0 AS DOUBLE))'
+               f' + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)'
+               f' - len(list_filter(w, t -> t IN {X.STOPWORDS})) / len(w))'
+               f' + CAST(0.3 AS DOUBLE) * (len(list_distinct(w)) / len(w))'
+           )} AS quality
+    FROM tok
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = X.tokens("text")
+    return d.select(
+        "doc_id",
+        F.round(X.stopword_ratio(w), 4).alias("stop_ratio"),
+        F.round(X.unique_ratio(w), 4).alias("uniq_ratio"),
+        X.quality_score(F.col("n_chars"), w).alias("quality"),
+    )
+
+
+@_q(
+    "text_lang_id",
+    f"""
+    WITH {TOK_CTE},
+    scored AS (
+        SELECT doc_id, lang AS labeled_lang,
+               CAST(len(list_filter(w, t -> t IN {X.LANG_MARKERS['en']})) AS BIGINT) AS en_hits,
+               CAST(len(list_filter(w, t -> t IN {X.LANG_MARKERS['de']})) AS BIGINT) AS de_hits,
+               CAST(len(list_filter(w, t -> t IN {X.LANG_MARKERS['es']})) AS BIGINT) AS es_hits,
+               CAST(len(list_filter(w, t -> t IN {X.LANG_MARKERS['fr']})) AS BIGINT) AS fr_hits
+        FROM tok
+    )
+    SELECT doc_id, labeled_lang, en_hits, de_hits, es_hits, fr_hits,
+           CASE WHEN en_hits >= de_hits AND en_hits >= es_hits AND en_hits >= fr_hits THEN 'en'
+                WHEN de_hits >= es_hits AND de_hits >= fr_hits THEN 'de'
+                WHEN es_hits >= fr_hits THEN 'es'
+                ELSE 'fr' END AS predicted_lang
+    FROM scored
+    """,
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = X.tokens("text")
+    def _in(markers):
+        return lambda t: t.isin(*markers)
+
+    hits = {
+        lang: F.size(F.filter(w, _in(markers))).cast("long")
+        for lang, markers in X.LANG_MARKERS.items()
+    }
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[hits[lang].alias(f"{lang}_hits") for lang in ("en", "de", "es", "fr")],
+    )
+    en, de, es, fr = (F.col(f"{x}_hits") for x in ("en", "de", "es", "fr"))
+    return scored.withColumn(
+        "predicted_lang",
+        F.when((en >= de) & (en >= es) & (en >= fr), "en")
+        .when((de >= es) & (de >= fr), "de")
+        .when(es >= fr, "es")
+        .otherwise("fr"),
+    )
+
+
+@_q(
+    "doc_fingerprint_rolling",
+    """
+    WITH pos AS (
+        SELECT doc_id, (i - 1) // 16 AS wnd,
+               md5(substr(text, CAST(i AS INTEGER), 8)) AS h
+        FROM (SELECT doc_id, text,
+                     unnest(range(1, greatest(len(text) - 7, 1) + 1)) AS i
+              FROM documents)
+    ),
+    mins AS (SELECT doc_id, wnd, MIN(h) AS fp FROM pos GROUP BY doc_id, wnd)
+    SELECT doc_id,
+           CAST(COUNT(DISTINCT fp) AS BIGINT) AS n_fingerprints,
+           MIN(fp) AS min_fp, MAX(fp) AS max_fp
+    FROM mins GROUP BY doc_id
+    """,
+)
+def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing-style rolling fingerprint: hash every char 8-gram,
+    keep the min hash per 16-position window, summarize the selected
+    fingerprint set per document."""
+    d = table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id",
+        "text",
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
+        ).alias("i"),
+    ).select(
+        "doc_id",
+        F.expr("(i - 1) div 16").alias("wnd"),
+        F.md5(F.expr("substring(text, i, 8)")).alias("h"),
+    )
+    mins = pos.groupBy("doc_id", "wnd").agg(F.min("h").alias("fp"))
+    return mins.groupBy("doc_id").agg(
+        F.countDistinct("fp").alias("n_fingerprints"),
+        F.min("fp").alias("min_fp"),
+        F.max("fp").alias("max_fp"),
+    )

@@ -42,10 +42,22 @@ def _norm_cell(v):
     return v
 
 
+def _typed(v):
+    # type-strict: int64 vs float64 (e.g. DuckDB HUGEINT→float64 from an
+    # uncast SUM) must FAIL even when values compare equal — the driver
+    # may hash stringified values where 123 != 123.0.
+    if v is None:
+        return (0, None)
+    return (type(v).__name__, v)
+
+
 def _normalize(df):
     cols = sorted(df.columns)
-    rows = [tuple(_norm_cell(v) for v in row) for row in df[cols].itertuples(index=False)]
-    rows.sort(key=lambda r: tuple((x is None, str(type(x)), str(x)) for x in r))
+    rows = [
+        tuple(_typed(_norm_cell(v)) for v in row)
+        for row in df[cols].itertuples(index=False)
+    ]
+    rows.sort(key=lambda r: tuple((x[1] is None, x[0], str(x[1])) for x in r))
     return cols, rows
 
 
@@ -62,14 +74,16 @@ def compare(spark_df, oracle: str, sf_dir: str, name: str = "?") -> None:
         if a != b:
             # floats: report magnitude to distinguish real bugs from ulp noise
             detail = []
-            for c, (x, y) in zip(scols, zip(a, b)):
-                if x != y:
+            for c, ((tx, x), (ty, y)) in zip(scols, zip(a, b)):
+                if (tx, x) != (ty, y):
                     d = (
                         abs(x - y)
                         if isinstance(x, (int, float)) and isinstance(y, (int, float))
                         else None
                     )
-                    detail.append(f"{c}: spark={x!r} oracle={y!r} absdiff={d}")
+                    detail.append(
+                        f"{c}: spark={x!r}({tx}) oracle={y!r}({ty}) absdiff={d}"
+                    )
             raise AssertionError(
                 f"{name}: row {i}/{len(srows)} differs:\n  " + "\n  ".join(detail)
             )
