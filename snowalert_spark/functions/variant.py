@@ -1,0 +1,63 @@
+"""VARIANT-convention helpers (SURVEY §7.3 "genuinely hard" #1).
+
+Convention: fixed-vocabulary documents (alert) are typed structs; open
+documents (EVENT_DATA, violation result, metadata v) are compact JSON
+strings. Snowflake's JSON-null (``PARSE_JSON('null')``) is the literal
+string ``"null"`` — distinct from SQL NULL, exactly like the
+reference's sentinel (alert_queries_runner.py:41-54,
+alert_processor.py:26).
+
+Canonical identity JSON (db.py:465-492; pinned by the reference test
+run_violations.py:143-146): compact, key-sorted, nulls omitted. We get
+that with ``to_json(named_struct(<keys in sorted order>))`` — all
+JVM-side, no UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+JSON_NULL = "null"
+
+
+def is_json_null(col: Column) -> Column:
+    """IS_NULL_VALUE analog: JSON-null (string "null"), not SQL NULL."""
+    return col == F.lit(JSON_NULL)
+
+
+def object_construct(**kv: Column) -> Column:
+    """OBJECT_CONSTRUCT analog → compact key-sorted JSON string with
+    SQL-NULL values omitted (Snowflake semantics)."""
+    return F.to_json(_named_struct_sorted(kv))
+
+
+def _named_struct_sorted(kv: dict[str, Column]) -> Column:
+    cols = []
+    for k in sorted(kv):
+        cols.append(kv[k].alias(k))
+    return F.struct(*cols)
+
+
+def violation_identity(result: dict[str, Column], identity: Column | None = None) -> Column:
+    """Content-addressed violation id: md5 of the canonical JSON of
+    IDENTITY if present else of the canonical 9-key object
+    (db.py:465-492)."""
+    canon = F.to_json(_named_struct_sorted(result))
+    if identity is not None:
+        return F.md5(F.coalesce(identity, canon))
+    return F.md5(canon)
+
+
+def object_assign(a_json: Column, b_json: Column) -> Column:
+    """OBJECT_ASSIGN (shallow merge, b wins) over JSON object strings.
+
+    Values are re-encoded via map<string,string>; requires
+    ``spark.sql.mapKeyDedupPolicy=LAST_WIN`` (set by the runners'
+    session). Key order of the result follows a-then-b insertion order
+    (matches the reference's JS Object.assign)."""
+    m = F.map_concat(
+        F.from_json(a_json, "map<string,string>"),
+        F.from_json(b_json, "map<string,string>"),
+    )
+    return F.to_json(m)

@@ -1,0 +1,231 @@
+"""End-to-end alert/violation lifecycle, modeled on the reference's
+acceptance tests (src/runners/tests/run_alerts.py:7-370 and
+run_violations.py:7-203, FIXTURES.md F13):
+
+- constant-SELECT rules with the full alert vocabulary
+- a UNION ALL duplicate rule → dedupe counter == 2, single alert
+- a suppression rule → suppressed flag + counts; others default false
+- a correlated actor pair → equal correlation_ids
+- handler dispatch → ticket recorded, handled written back
+- violations: stable MD5 identity (recomputed client-side), error
+  quarantine (division-by-zero rule recorded in metadata, run
+  continues), suppression by id
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import json
+
+import pyspark.sql.functions as F
+import pytest
+
+from snowalert_spark import handlers as H
+from snowalert_spark.rules import RuleRegistry
+from snowalert_spark.runners import (
+    alert_dispatcher,
+    alert_processor,
+    alert_queries,
+    alert_suppressions,
+    metadata,
+    violation_queries,
+)
+from snowalert_spark.store import ResultsStore
+
+T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+
+@pytest.fixture
+def store(spark, tmp_path):
+    return ResultsStore(spark, str(tmp_path / "results"))
+
+
+@pytest.fixture
+def registry(spark):
+    reg = RuleRegistry()
+    base = (
+        "SELECT 'the-actor' AS actor, 'the-object' AS object, "
+        "'{action}' AS action, 'Test {n} Alert' AS title, "
+        "TIMESTAMP '{t}' AS event_time, "
+        "TIMESTAMP '{t}' AS alert_time, "
+        "'test alert {n}' AS description, 'test detector' AS detector, "
+        "'medium' AS severity, ARRAY('the-source') AS sources"
+    )
+    one = base.format(action="test action 1", n=1, t="2024-01-01 12:00:00")
+    reg.create(
+        "_TEST1_ALERT_QUERY",
+        sql=one + " UNION ALL " + one,  # duplicate → dedupe counter=2
+        comment="Test 1 Alert Query\n@id test_1_query_id\n@tags test, one",
+    )
+    reg.create(
+        "_TEST2_ALERT_QUERY",
+        sql=base.format(action="test action 2", n=2, t="2024-01-01 12:30:00"),
+        comment="Test 2 Alert Query\n@id test_2_query_id",
+    )
+    reg.create(
+        "_TEST2_ALERT_SUPPRESSION",
+        sql=(
+            "SELECT alert.ALERT_ID AS id FROM data_alerts "
+            "WHERE suppressed IS NULL AND alert.TITLE = 'Test 2 Alert'"
+        ),
+        comment="Test 2 Alert Suppression",
+    )
+    return reg
+
+
+def _run_alerts(spark, store, registry):
+    frm, to = T0 - dt.timedelta(minutes=90), T0 + dt.timedelta(hours=1)
+    alert_queries.main(spark, store, registry, from_ts=frm, to_ts=to)
+    alert_suppressions.main(spark, store, registry)
+    return store.read("alerts").collect()
+
+
+def test_alert_dedupe_and_suppression(spark, store, registry):
+    rows = _run_alerts(spark, store, registry)
+    assert len(rows) == 2
+    by_title = {r.alert.TITLE: r for r in rows}
+    a1 = by_title["Test 1 Alert"]
+    # golden subset (run_alerts.py:123-138 analog)
+    assert a1.counter == 2, "UNION ALL duplicate must dedupe with counter=2"
+    assert a1.alert.ACTOR == "the-actor"
+    assert a1.alert.OBJECT == "the-object"
+    assert a1.alert.QUERY_NAME == "_TEST1_ALERT_QUERY"
+    assert a1.alert.QUERY_ID == "test_1_query_id"
+    assert a1.alert.SOURCES == ["the-source"]
+    assert a1.suppressed is False
+    a2 = by_title["Test 2 Alert"]
+    assert a2.suppressed is True
+    assert a2.suppression_rule == "_TEST2_ALERT_SUPPRESSION"
+    # metadata counts (run_alerts.py:217-323 analog)
+    md = metadata.read_metadata(store, "query_metadata")
+    counts = {m["QUERY_NAME"]: m.get("ROW_COUNT") for m in md}
+    assert counts["_TEST1_ALERT_QUERY"] == {"updated": 0, "inserted": 1}
+    assert counts["_TEST2_ALERT_SUPPRESSION"] == {"suppressed": 1}
+
+
+def test_alert_merge_idempotent_rerun(spark, store, registry):
+    """Overlapping 90-min window re-scan: second run must update the
+    counter, not duplicate the alert (alert_queries_runner.py:64-94)."""
+    frm, to = T0 - dt.timedelta(minutes=90), T0 + dt.timedelta(hours=1)
+    alert_queries.main(spark, store, registry, from_ts=frm, to_ts=to)
+    alert_queries.main(spark, store, registry, from_ts=frm, to_ts=to)
+    rows = store.read("alerts").collect()
+    assert len(rows) == 2
+    t1 = [r for r in rows if r.alert.TITLE == "Test 1 Alert"][0]
+    assert t1.counter == 4  # 2 per run, merged
+
+
+def test_correlation(spark, store):
+    """Correlated actor pair within 60 min share a correlation_id; a
+    third alert past the window starts a new one (alert_processor
+    semantics, incl. SP1513: ACTION arrays stringified before compare)."""
+    reg = RuleRegistry()
+    now = dt.datetime.utcnow()
+    t1, t2, t3 = (
+        now - dt.timedelta(minutes=50),
+        now - dt.timedelta(minutes=20),
+        now - dt.timedelta(minutes=110),  # outside scan→chain restart guard
+    )
+    mk = (
+        "SELECT 'actor-x' AS actor, '{obj}' AS object, '{act}' AS action, "
+        "'C{n}' AS title, TIMESTAMP '{t}' AS event_time, 'd{n}' AS description"
+    )
+    reg.create(
+        "_CORR1_ALERT_QUERY",
+        sql=mk.format(obj="obj-1", act="act-A", n=1, t=t1.strftime("%Y-%m-%d %H:%M:%S")),
+        comment="corr 1",
+    )
+    reg.create(
+        "_CORR2_ALERT_QUERY",
+        # different object, same action → correlates via ACTION
+        sql=mk.format(obj="obj-2", act="act-A", n=2, t=t2.strftime("%Y-%m-%d %H:%M:%S")),
+        comment="corr 2",
+    )
+    alert_queries.main(
+        spark,
+        store,
+        reg,
+        from_ts=now - dt.timedelta(hours=3),
+        to_ts=now,
+    )
+    alert_suppressions.main(spark, store, reg)
+    n = alert_processor.main(spark, store, now=now)
+    assert n == 2
+    rows = store.read("alerts").collect()
+    cids = {r.alert.TITLE: r.correlation_id for r in rows}
+    assert cids["C1"] == cids["C2"]
+    assert cids["C1"] is not None
+
+
+def test_dispatch(spark, store, registry):
+    _run_alerts(spark, store, registry)
+    ticketer = H.MemoryTicketHandler()
+    H.register("jira", ticketer.handle)
+    n = alert_dispatcher.main(spark, store)
+    assert n == 1  # only the unsuppressed alert
+    assert len(ticketer.tickets) == 1
+    rows = store.read("alerts").collect()
+    handled = {r.alert.TITLE: r.handled for r in rows}
+    res = json.loads(handled["Test 1 Alert"])
+    assert res[0]["success"] is True
+    assert handled["Test 2 Alert"] is None  # suppressed → not dispatched
+    t1 = [r for r in rows if r.alert.TITLE == "Test 1 Alert"][0]
+    assert t1.ticket == "SA-1"
+    # second dispatch run: nothing left to handle (idempotent)
+    assert alert_dispatcher.main(spark, store) == 0
+
+
+def test_violations_md5_identity_and_error_capture(spark, store):
+    """run_violations.py:115-203 analog: pinned content-addressed id +
+    error quarantine."""
+    reg = RuleRegistry()
+    reg.create(
+        "_TV1_VIOLATION_QUERY",
+        sql=(
+            "SELECT 'the-env' AS environment, 'the-object' AS object, "
+            "'the-owner' AS owner, 'Test Violation' AS title, "
+            "'tv desc' AS description, 'med' AS severity"
+        ),
+        comment="Test Violation Query\n@id tv1_id",
+    )
+    reg.create(
+        "_TVERR_VIOLATION_QUERY",
+        sql="SELECT 1/0 AS x, raise_error('Division by zero') AS object",
+        comment="Broken rule",
+    )
+    violation_queries.main(spark, store, reg, now=T0)
+    rows = store.read("violations").collect()
+    assert len(rows) == 1
+    v = rows[0]
+    # recompute the canonical id client-side (run_violations.py:70-71)
+    canonical = json.dumps(
+        {
+            "DESCRIPTION": "tv desc",
+            "ENVIRONMENT": "the-env",
+            "OBJECT": "the-object",
+            "OWNER": "the-owner",
+            "SEVERITY": "med",
+            "TITLE": "Test Violation",
+        },
+        separators=(",", ":"),
+        sort_keys=True,
+    )
+    assert v.id == hashlib.md5(canonical.encode()).hexdigest()
+    doc = json.loads(v.result)
+    assert doc["QUERY_NAME"] == "_TV1_VIOLATION_QUERY"
+    # error captured in metadata, run continued (run_violations.py:166-173)
+    md = metadata.read_metadata(store, "query_metadata")
+    err = [m for m in md if m["QUERY_NAME"] == "_TVERR_VIOLATION_QUERY"][0]
+    assert "ERROR" in err
+
+    # suppression by id, remainder defaults to false
+    reg.create(
+        "_TV1_VIOLATION_SUPPRESSION",
+        sql=f"SELECT id FROM data_violations WHERE id = '{v.id}'",
+        comment="squelch",
+    )
+    violation_queries.suppress(spark, store, reg)
+    v2 = store.read("violations").collect()[0]
+    assert v2.suppressed is True
+    assert v2.suppression_rule == "_TV1_VIOLATION_SUPPRESSION"
