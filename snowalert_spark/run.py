@@ -1,0 +1,65 @@
+"""CLI entry point (reference: ./run → src/runners/run.py fire CLI).
+
+Usage: python -m snowalert_spark.run <alerts|violations|all> [--store DIR]
+
+The reference sequences: alert queries → suppressions → processor →
+dispatcher (run.py:27-33); violations: queries → suppressions
+(:62-64). Rules come from a python module exposing ``register(reg)``
+(--rules), standing in for the warehouse ``rules`` schema.
+"""
+
+from __future__ import annotations
+
+import argparse
+import importlib
+
+from snowalert_spark.rules import RuleRegistry
+from snowalert_spark.runners import (
+    alert_dispatcher,
+    alert_processor,
+    alert_queries,
+    alert_suppressions,
+    violation_queries,
+)
+from snowalert_spark.session import get_session
+from snowalert_spark.store import ResultsStore
+
+
+def run_alerts(spark, store, registry) -> None:
+    alert_queries.main(spark, store, registry)
+    alert_suppressions.main(spark, store, registry)
+    alert_processor.main(spark, store)
+    alert_dispatcher.main(spark, store)
+
+
+def run_violations(spark, store, registry) -> None:
+    violation_queries.main(spark, store, registry)
+    violation_queries.suppress(spark, store, registry)
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="snowalert-spark")
+    p.add_argument("target", choices=["alerts", "violations", "all"])
+    p.add_argument("--store", default="./results")
+    p.add_argument(
+        "--rules",
+        default=None,
+        help="python module exposing register(registry)",
+    )
+    args = p.parse_args(argv)
+
+    spark = get_session(app_name="snowalert_spark_run")
+    store = ResultsStore(spark, args.store)
+    registry = RuleRegistry()
+    if args.rules:
+        importlib.import_module(args.rules).register(registry)
+
+    if args.target in ("alerts", "all"):
+        run_alerts(spark, store, registry)
+    if args.target in ("violations", "all"):
+        run_violations(spark, store, registry)
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,83 @@
+"""Incremental / streaming ingest (reference §2.10: stage → pipe →
+stream → task wiring).
+
+Two equivalents, matching the reference's observable micro-batch
+semantics (SURVEY §2.10: idempotent windowed batch + upsert instead of
+watermarks):
+
+- ``watermark_batch``: high-watermark incremental reads over an
+  append-only table (the reference's stream-on-table consumed by a
+  task); the cursor column is ``insert_id``/``event_time`` and the
+  watermark persists in a checkpoint file.
+- ``file_stream_ingest``: Structured Streaming file source with
+  ``availableNow`` trigger + checkpoint — the pipe/auto-ingest analog:
+  each invocation picks up exactly the files that arrived since the
+  last one.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+class WatermarkBatch:
+    """Exactly-once-per-row incremental batch consumption keyed on a
+    monotonically increasing cursor column."""
+
+    def __init__(self, checkpoint_path: str, cursor_col: str):
+        self.path = checkpoint_path
+        self.cursor_col = cursor_col
+
+    def _load(self):
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                return json.load(f)["watermark"]
+        return None
+
+    def _save(self, wm) -> None:
+        os.makedirs(os.path.dirname(self.path), exist_ok=True)
+        with open(self.path, "w") as f:
+            json.dump({"watermark": wm}, f, default=str)
+
+    def read_increment(self, df: DataFrame) -> DataFrame:
+        wm = self._load()
+        return df if wm is None else df.filter(F.col(self.cursor_col) > F.lit(wm))
+
+    def commit(self, df: DataFrame) -> None:
+        row = df.agg(F.max(self.cursor_col).alias("m")).collect()[0]
+        if row.m is not None:
+            self._save(row.m)
+
+
+def file_stream_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    transform=None,
+) -> None:
+    """Pipe analog: ingest newly-arrived files exactly once into a
+    parquet landing dir. ``availableNow`` processes the backlog and
+    stops — the reference's 1-minute task cadence is the scheduler's
+    job, not the stream's."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    stream = reader.load(src_path)
+    if transform is not None:
+        stream = transform(stream)
+    q = (
+        stream.writeStream.format("parquet")
+        .option("path", dst_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
