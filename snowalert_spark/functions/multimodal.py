@@ -1,0 +1,115 @@
+"""Multimodal columns: image/audio/video as opaque binary + typed
+metadata (BASELINE.json north star).
+
+Design for 100 TB: media bytes live in a ``binary`` column (or
+pointer + bytes for large blobs); decode / feature-extraction /
+resize / frame-sampling run as Arrow-batched ``mapInPandas`` stages so
+each task streams record batches without materializing the partition.
+The image/audio codecs are not in this container, so the decode step
+is STUBBED (``decode='fake'`` produces deterministic pseudo-features;
+``decode='real'`` raises NotImplementedError) — the Spark-side
+plumbing (schema, batching, partitioning, UDF signatures) is real and
+tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType()),  # image | audio | video
+        T.StructField("data", T.BinaryType()),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("format", T.StringType()),
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("duration_ms", T.IntegerType()),
+                ]
+            ),
+        ),
+    ]
+)
+
+FEATURES_SCHEMA = (
+    "media_id long, kind string, n_bytes long, content_md5 string, "
+    "feature array<float>"
+)
+
+
+def media_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a media table from the documents corpus: utf-8 bytes
+    as the opaque payload, typed metadata derived deterministically."""
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("kind"),
+        F.encode("text", "utf-8").alias("data"),
+        F.struct(
+            F.lit("raw").alias("format"),
+            (F.col("n_chars") % 640).cast("int").alias("width"),
+            (F.col("n_chars") % 480).cast("int").alias("height"),
+            (F.col("n_chars") * 10).cast("int").alias("duration_ms"),
+        ).alias("meta"),
+    )
+
+
+def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Decode + feature-extract via Arrow-batched mapInPandas.
+
+    ``fake`` decode: md5-derived 4-dim pseudo-embedding (deterministic,
+    test-stable). ``real`` requires image/audio codecs → stubbed."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        if decode == "real":
+            raise NotImplementedError(
+                "real decode needs PIL/av codecs (not in this container); "
+                "use decode='fake'"
+            )
+        for pdf in it:
+            data = pdf["data"]
+            md5s = data.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            feats = md5s.map(
+                lambda h: [int(h[i : i + 8], 16) / 0xFFFFFFFF for i in range(0, 32, 8)]
+            )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "kind": pdf["kind"],
+                    "n_bytes": data.map(len).astype("int64"),
+                    "content_md5": md5s,
+                    "feature": feats,
+                }
+            )
+
+    return media.mapInPandas(batches, FEATURES_SCHEMA)
+
+
+def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling plumbing: one output row per sampled frame
+    timestamp (decode stubbed — frame payload is a slice marker)."""
+    vids = media.filter(F.col("kind") == "video")
+    return vids.select(
+        "media_id",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.col("meta.duration_ms") - 1, F.lit(0)),
+                F.lit(every_ms),
+            )
+        ).alias("frame_ms"),
+    )

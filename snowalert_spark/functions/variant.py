@@ -49,6 +49,49 @@ def violation_identity(result: dict[str, Column], identity: Column | None = None
     return F.md5(canon)
 
 
+def recursive_flatten(df, json_col: str, id_cols: list[str]):
+    """LATERAL FLATTEN(input => v, recursive => true) analog
+    (cis_azure_pack.sql:192-217 uses it to search all paths of a
+    document): yields one row per (path, value) leaf of the JSON
+    document. JSON recursion isn't expressible with built-in Spark
+    operators, so this is an Arrow-batched mapInPandas stage (the
+    sanctioned slow path); at scale it parallelizes per record batch.
+    """
+    import json as _json
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    out_schema = ", ".join(f"{c} string" for c in id_cols) + ", path string, value string"
+
+    def walk(prefix: str, v, out: list):
+        if isinstance(v, dict):
+            for k, vv in v.items():
+                walk(f"{prefix}.{k}" if prefix else k, vv, out)
+        elif isinstance(v, list):
+            for i, vv in enumerate(v):
+                walk(f"{prefix}[{i}]", vv, out)
+        else:
+            out.append((prefix, _json.dumps(v) if not isinstance(v, str) else v))
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _, r in pdf.iterrows():
+                try:
+                    doc = _json.loads(r[json_col]) if r[json_col] else None
+                except ValueError:
+                    doc = None
+                leaves: list = []
+                if doc is not None:
+                    walk("", doc, leaves)
+                for path, val in leaves:
+                    rows.append([str(r[c]) for c in id_cols] + [path, val])
+            yield pd.DataFrame(rows, columns=id_cols + ["path", "value"])
+
+    return df.select(*id_cols, json_col).mapInPandas(batches, out_schema)
+
+
 def object_assign(a_json: Column, b_json: Column) -> Column:
     """OBJECT_ASSIGN (shallow merge, b wins) over JSON object strings.
 

@@ -20,9 +20,9 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
-from snowalert_spark.workload import core, pipeline, textops, vector
+from snowalert_spark.workload import core, pipeline, scalar, textops, vector
 
-_MODULES = (core, pipeline, textops, vector)
+_MODULES = (core, pipeline, scalar, textops, vector)
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 

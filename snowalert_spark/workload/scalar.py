@@ -1,0 +1,305 @@
+"""Scalar-function coverage + table functions + multimodal plumbing
+(SURVEY §2.8, §2.9) as oracle-backed queries."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from snowalert_spark.functions import multimodal as M
+from snowalert_spark.functions import time_slices as TS
+from snowalert_spark.functions import variant as V
+from snowalert_spark.functions.numeric import quantize, quantize_sql
+from snowalert_spark.tables import table
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# String functions (§2.8: ||, SPLIT_PART, SUBSTR, UPPER/LOWER,
+# REGEXP_REPLACE w/ backrefs, REGEXP_SUBSTR→regexp_extract, LENGTH)
+# ---------------------------------------------------------------------------
+@_q(
+    "string_functions",
+    r"""
+    SELECT doc_id,
+           split_part(text, ' ', 1) AS first_token,
+           upper(lang) AS lang_uc,
+           source || '-' || lang AS source_lang,
+           substr(text, 1, 12) AS prefix12,
+           CAST(length(text) AS BIGINT) AS text_len,
+           regexp_extract(text, '([a-z]+) join', 1) AS before_join,
+           regexp_replace(text, '(scan) (merge)', '\2 \1', 'g') AS swapped
+    FROM documents
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.split_part(F.col("text"), F.lit(" "), F.lit(1)).alias("first_token"),
+        F.upper("lang").alias("lang_uc"),
+        F.concat_ws("-", "source", "lang").alias("source_lang"),
+        F.substring("text", 1, 12).alias("prefix12"),
+        F.length("text").cast("long").alias("text_len"),
+        F.regexp_extract(F.col("text"), r"([a-z]+) join", 1).alias("before_join"),
+        F.regexp_replace(F.col("text"), r"(scan) (merge)", r"$2 $1").alias("swapped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# LIKE / ILIKE / NOT LIKE / RLIKE (P5, P6)
+# ---------------------------------------------------------------------------
+@_q(
+    "like_rlike_filters",
+    """
+    SELECT lang,
+           CAST(SUM(CASE WHEN text LIKE '%merge%' THEN 1 ELSE 0 END) AS BIGINT) AS n_merge,
+           CAST(SUM(CASE WHEN text ILIKE '%SPARK%' THEN 1 ELSE 0 END) AS BIGINT) AS n_spark,
+           CAST(SUM(CASE WHEN text NOT LIKE '%window%' THEN 1 ELSE 0 END) AS BIGINT) AS n_no_window,
+           CAST(SUM(CASE WHEN regexp_matches(text, 'join (fast|slow)') THEN 1 ELSE 0 END) AS BIGINT) AS n_join_speed
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def like_rlike_filters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    t = F.col("text")
+    return d.groupBy("lang").agg(
+        F.sum(t.like("%merge%").cast("long")).alias("n_merge"),
+        F.sum(t.ilike("%SPARK%").cast("long")).alias("n_spark"),
+        F.sum((~t.like("%window%")).cast("long")).alias("n_no_window"),
+        F.sum(t.rlike("join (fast|slow)").cast("long")).alias("n_join_speed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Conditionals (§2.8: IFF→when, IFNULL/COALESCE, NULLIF, LEAST/GREATEST)
+# ---------------------------------------------------------------------------
+@_q(
+    "conditional_functions",
+    """
+    SELECT event_id,
+           CASE WHEN value < 50 THEN 'low' WHEN value < 150 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           COALESCE(NULLIF(event_type, 'error'), 'ERR') AS type_or_err,
+           least(value, 100.0) AS capped,
+           greatest(value, 0.0) AS floored
+    FROM events
+    """,
+)
+def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.when(v < 50, "low").when(v < 150, "mid").otherwise("high").alias("bucket"),
+        F.coalesce(F.nullif("event_type", F.lit("error")), F.lit("ERR")).alias(
+            "type_or_err"
+        ),
+        F.least(v, F.lit(100.0)).alias("capped"),
+        F.greatest(v, F.lit(0.0)).alias("floored"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date/time functions (§2.8: DATE_TRUNC, DATEADD, DATEDIFF, EXTRACT,
+# day-of-week) — note DuckDB dayofweek is 0-based Sunday, Spark 1-based
+# ---------------------------------------------------------------------------
+@_q(
+    "datetime_functions",
+    f"""
+    SELECT event_id,
+           date_trunc('day', ts) AS day,
+           CAST(hour(ts) AS INTEGER) AS hr,
+           CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+           ts + INTERVAL 90 MINUTE AS ts_plus_90m,
+           CAST(floor((epoch_us(ts) / 1000000.0
+                       - epoch_us(TIMESTAMP '2024-01-01 00:00:00') / 1000000.0)
+                      / 60.0) AS BIGINT) AS minutes_since_epoch0
+    FROM events
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
+    return e.select(
+        "event_id",
+        F.date_trunc("day", "ts").alias("day"),
+        F.hour("ts").alias("hr"),
+        F.dayofweek("ts").alias("dow"),
+        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.floor(
+            (F.col("ts").cast("double") - t0.cast("double")) / 60.0
+        ).alias("minutes_since_epoch0"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# time_slices table function (F1/F2) + irregular-grid range join (J7):
+# 90-minute slices can't date_trunc — the scale path is arithmetic
+# binning; the oracle is the naive interval join over the same slices.
+# ---------------------------------------------------------------------------
+SLICE_T0 = dt.datetime(2024, 1, 1)
+SLICE_N = 48
+SLICE_SECONDS = 5400  # 90 minutes
+
+
+@_q(
+    "time_slices_table_function",
+    f"""
+    SELECT TIMESTAMP '2024-01-01 00:00:00' - INTERVAL (({SLICE_N} - i) * {SLICE_SECONDS}) SECOND AS slice_start,
+           TIMESTAMP '2024-01-01 00:00:00' - INTERVAL (({SLICE_N} - i - 1) * {SLICE_SECONDS}) SECOND AS slice_end
+    FROM (SELECT unnest(range({SLICE_N})) AS i)
+    """,
+)
+def time_slices_table_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return TS.time_slices_before_t(spark, SLICE_N, SLICE_SECONDS, SLICE_T0)
+
+
+@_q(
+    "range_join_90min_slices",
+    f"""
+    WITH slices AS (
+        SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (i * {SLICE_SECONDS}) SECOND AS slice_start,
+               TIMESTAMP '2024-01-01 00:00:00' + INTERVAL ((i + 1) * {SLICE_SECONDS}) SECOND AS slice_end
+        FROM (SELECT unnest(range(0, 2000)) AS i)
+    )
+    SELECT s.slice_start, COUNT(*) AS n,
+           {quantize_sql('CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE)')} AS total_value
+    FROM events e
+    JOIN slices s ON e.ts >= s.slice_start AND e.ts < s.slice_end
+    GROUP BY s.slice_start
+    """,
+)
+def range_join_90min_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantically a range join onto a regular 90-min grid; executed
+    as O(1) arithmetic binning (no non-equi join, single agg shuffle).
+    """
+    e = table(spark, sf_dir, "events")
+    t0_us = int(SLICE_T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
+    w_us = SLICE_SECONDS * 1_000_000
+    k = F.expr(f"(unix_micros(ts) - {t0_us}) div {w_us}")
+    return (
+        e.withColumn("slice_start", F.timestamp_micros(F.lit(t0_us) + k * w_us))
+        .groupBy("slice_start")
+        .agg(
+            F.count("*").alias("n"),
+            quantize(
+                F.sum(F.col("value").cast("decimal(25,6)")).cast("double")
+            ).alias("total_value"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# OBJECT_CONSTRUCT / canonical JSON / MD5 identity (§2.8 variant heart)
+# ---------------------------------------------------------------------------
+@_q(
+    "object_construct_canonical",
+    """
+    SELECT event_id,
+           '{"action":"' || event_type || '","actor":"user:' ||
+           CAST(user_id AS VARCHAR) || '","id":' || CAST(event_id AS VARCHAR)
+           || '}' AS doc,
+           md5('{"action":"' || event_type || '","actor":"user:' ||
+               CAST(user_id AS VARCHAR) || '","id":' || CAST(event_id AS VARCHAR)
+               || '}') AS doc_md5
+    FROM events
+    """,
+)
+def object_construct_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OBJECT_CONSTRUCT → compact key-sorted JSON (the violation
+    identity canonicalization) — oracle states the exact byte form."""
+    e = table(spark, sf_dir, "events")
+    doc = V.object_construct(
+        id=F.col("event_id"),
+        actor=F.concat(F.lit("user:"), F.col("user_id").cast("string")),
+        action=F.col("event_type"),
+    )
+    return e.select("event_id", doc.alias("doc"), F.md5(doc).alias("doc_md5"))
+
+
+# ---------------------------------------------------------------------------
+# Recursive FLATTEN (F: cis_azure_pack.sql:192-217) — pandas-UDF path;
+# oracle-able because the flattened paths of our synthesized doc are
+# enumerable in SQL
+# ---------------------------------------------------------------------------
+@_q(
+    "recursive_flatten_paths",
+    """
+    WITH docs AS (
+        SELECT event_id,
+               CAST(json_extract_string(props, '$.k') AS VARCHAR) AS k
+        FROM events WHERE event_id < 100
+    )
+    SELECT CAST(event_id AS VARCHAR) AS event_id, path, value FROM (
+        SELECT event_id, 'inner.k' AS path, k AS value FROM docs
+        UNION ALL
+        SELECT event_id, 'tags[0]', 'a' FROM docs
+        UNION ALL
+        SELECT event_id, 'tags[1]', 'b' FROM docs
+    )
+    """,
+)
+def recursive_flatten_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 100)
+    nested = e.select(
+        "event_id",
+        F.to_json(
+            F.struct(
+                F.struct(F.get_json_object("props", "$.k").alias("k")).alias("inner"),
+                F.array(F.lit("a"), F.lit("b")).alias("tags"),
+            )
+        ).alias("doc"),
+    )
+    return V.recursive_flatten(nested, "doc", ["event_id"])
+
+
+# ---------------------------------------------------------------------------
+# Multimodal: binary columns + Arrow-batched feature extraction; the
+# oracle checks the byte-level results (length + md5), the feature
+# vector is engine-internal
+# ---------------------------------------------------------------------------
+@_q(
+    "multimodal_features",
+    """
+    SELECT doc_id AS media_id,
+           CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image'
+                WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+           CAST(strlen(text) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.media_from_documents(table(spark, sf_dir, "documents"))
+    return M.extract_features(media, decode="fake").select(
+        "media_id", "kind", "n_bytes", "content_md5"
+    )
+
+
+@_q(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id AS media_id,
+           UNNEST(range(0, greatest(CAST(n_chars * 10 AS BIGINT), 1), 1000)) AS frame_ms
+    FROM documents WHERE doc_id % 3 = 2
+    """,
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = M.media_from_documents(table(spark, sf_dir, "documents"))
+    return M.frame_sample(media, every_ms=1000)
