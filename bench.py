@@ -19,14 +19,27 @@ from snowalert_spark import workload
 from snowalert_spark.session import get_session
 
 HEADLINE = [
+    # relational core
     "q1_pricing_summary",
     "join_revenue_by_nation",
     "range_join_hourly_counts",
+    "range_join_90min_slices",
     "latest_event_per_user",
+    "user_profile_rollup",
+    # rule-engine pipeline shapes
     "alert_dedupe_groups",
     "correlation_sessions",
     "violation_md5_identity",
-    "user_profile_rollup",
+    # training-data ops
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_fingerprint_rolling",
+    "text_quality_scores",
+    "cosine_topk_bruteforce",
+    "ann_ivf_topk",
+    "multimodal_features",
 ]
 
 

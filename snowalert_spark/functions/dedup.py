@@ -21,7 +21,13 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from snowalert_spark.functions.numeric import quantize
-from snowalert_spark.functions.text import minhash_value, shingles, tokens
+from snowalert_spark.functions.text import (
+    MINHASH_P,
+    base_hash32,
+    minhash_params,
+    shingles,
+    tokens,
+)
 
 
 def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -71,38 +77,50 @@ def ngram_jaccard_pairs(
     )
 
 
+def _signature_aggs(n_hashes: int) -> list:
+    aggs = []
+    for i in range(n_hashes):
+        a, b = minhash_params(i)
+        aggs.append(
+            F.min(F.expr(f"({a} * h + {b}) % {MINHASH_P}")).alias(f"mh_{i}")
+        )
+    return aggs
+
+
 def minhash_signatures(docs: DataFrame, n_hashes: int = 24, k: int = 3) -> DataFrame:
-    """(doc_id, seed, mh): per-seed MinHash over the doc's shingle set."""
-    sh = doc_shingles(docs, k)
-    seeded = sh.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(n_hashes - 1))).alias("seed"),
-        "s",
-    )
-    return seeded.groupBy("doc_id", "seed").agg(
-        F.min(minhash_value(F.col("seed"), F.col("s"))).alias("mh")
-    )
+    """(doc_id, mh_0 … mh_{n-1}): MinHash signature in WIDE form.
+
+    One md5 per shingle (the 32-bit base hash), then the affine
+    permutation family h_i = (A_i·h + B_i) mod P as n_hashes cheap MIN
+    aggregates — no seed-explosion, one shuffle keyed on doc_id."""
+    sh = doc_shingles(docs, k).select("doc_id", base_hash32(F.col("s")).alias("h"))
+    return sh.groupBy("doc_id").agg(*_signature_aggs(n_hashes))
 
 
 def minhash_band_buckets(
-    signatures: DataFrame, rows_per_band: int = 4
+    signatures: DataFrame, n_hashes: int = 24, rows_per_band: int = 4
 ) -> DataFrame:
-    """(doc_id, band, band_hash): hash of the band's signature rows in
-    seed order (order pinned via array_sort on (seed, mh) structs)."""
-    return (
-        signatures.withColumn("band", F.expr(f"seed div {rows_per_band}"))
-        .groupBy("doc_id", "band")
-        .agg(
-            F.md5(
-                F.array_join(
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "mh"))),
-                        lambda x: x["mh"],
-                    ),
-                    "|",
-                )
-            ).alias("band_hash")
-        )
+    """(doc_id, band, band_hash) from the wide signature — band hashes
+    are column expressions (seed order is literal), then unpivoted;
+    no extra shuffle."""
+    n_bands = n_hashes // rows_per_band
+    band_cols = [
+        F.md5(
+            F.concat_ws(
+                "|",
+                *[
+                    F.col(f"mh_{b * rows_per_band + r}").cast("string")
+                    for r in range(rows_per_band)
+                ],
+            )
+        ).alias(f"band_{b}")
+        for b in range(n_bands)
+    ]
+    wide = signatures.select("doc_id", *band_cols)
+    stack = ", ".join(f"{b}, band_{b}" for b in range(n_bands))
+    return wide.select(
+        "doc_id",
+        F.expr(f"stack({n_bands}, {stack}) AS (band, band_hash)"),
     )
 
 
@@ -120,8 +138,12 @@ def minhash_lsh_pairs(
     P(candidate | j=0.15 background) ≈ 0.3%, and every candidate is
     exact-verified, so false positives are eliminated — output is a
     deterministic subset of ngram_jaccard_pairs."""
-    sigs = minhash_signatures(docs, n_hashes, k)
-    buckets = minhash_band_buckets(sigs, rows_per_band)
+    # one cached shingle index feeds signatures, sizes and verification
+    sh = doc_shingles(docs, k).cache()
+    sigs = sh.select("doc_id", base_hash32(F.col("s")).alias("h")).groupBy(
+        "doc_id"
+    ).agg(*_signature_aggs(n_hashes))
+    buckets = minhash_band_buckets(sigs, n_hashes, rows_per_band)
     a = buckets.alias("a")
     b = buckets.alias("b")
     cands = (
@@ -134,7 +156,6 @@ def minhash_lsh_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    sh = doc_shingles(docs, k)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
     ia = sh.select(F.col("doc_id").alias("doc_a"), F.col("s").alias("sa"))
     ib = sh.select(F.col("doc_id").alias("doc_b2"), F.col("s").alias("sb"))
@@ -157,20 +178,25 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32, k: int = 3) -> DataFra
     """32-bit SimHash per doc from shingle md5s: bit b of the
     fingerprint is the sign of Σ_shingles (2·bit_b(md5) − 1).
 
-    Portable: bit source = first 8 hex chars of md5 parsed as int."""
+    Portable (bit source = first 8 hex chars of md5) and wide: the
+    per-bit ±1 sums are ``bits`` column aggregates over the shingle
+    rows — one shuffle keyed on doc_id, no |shingles|×bits row
+    explosion — then recombined into the fingerprint as a single
+    column expression."""
     sh = doc_shingles(docs, k)
     h32 = F.conv(F.substring(F.md5(F.col("s")), 1, 8), 16, 10).cast("long")
-    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("b")
-    per_bit = (
-        sh.select("doc_id", h32.alias("h"), bit)
-        .select("doc_id", "b", F.expr("(CAST(shiftright(h, CAST(b AS INT)) AS BIGINT) % 2) * 2 - 1").alias("v"))
-        .groupBy("doc_id", "b")
-        .agg(F.sum("v").alias("sv"))
-    )
-    return per_bit.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("sv") > 0, F.expr("shiftleft(CAST(1 AS BIGINT), CAST(b AS INT))")).otherwise(
-                F.lit(0).cast("long")
-            )
-        ).alias("simhash")
-    )
+    hashed = sh.select("doc_id", h32.alias("h"))
+    aggs = [
+        F.sum(F.expr(f"(CAST(shiftright(h, {b}) AS BIGINT) % 2) * 2 - 1")).alias(
+            f"sv_{b}"
+        )
+        for b in range(bits)
+    ]
+    per_doc = hashed.groupBy("doc_id").agg(*aggs)
+    fp = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"sv_{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.alias("simhash"))

@@ -48,6 +48,25 @@ def minhash_value(seed: Column | int, shingle: Column) -> Column:
     return F.md5(F.concat_ws(":", s.cast("string"), shingle))
 
 
+# MinHash affine permutation family over a single 32-bit base hash:
+# h_i(x) = (A_i·x + B_i) mod P — one md5 per shingle instead of one per
+# (shingle, seed); A_i < 2^31 and x < 2^32 keep A_i·x within signed
+# 64-bit range on every engine.
+MINHASH_P = 4294967291  # largest prime < 2^32
+
+
+def minhash_params(i: int) -> tuple[int, int]:
+    a = (2654435761 * (i + 1)) % 2147483647 | 1
+    b = (40503 * (i + 7) * 2654435761) % 2147483647
+    return a, b
+
+
+def base_hash32(shingle: Column) -> Column:
+    """First 8 hex chars of md5 as a 32-bit integer (engine-portable:
+    DuckDB form ``CAST(('0x' || substr(md5(s),1,8))::UBIGINT AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(shingle), 1, 8), 16, 10).cast("long")
+
+
 def stopword_ratio(tok: Column, stopwords: tuple[str, ...] = STOPWORDS) -> Column:
     hits = F.size(F.filter(tok, lambda t: t.isin(*stopwords)))
     return hits / F.size(tok)

@@ -83,21 +83,36 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.ngram_jaccard_pairs(table(spark, sf_dir, "documents"), threshold=0.8)
 
 
+def _minhash_oracle_ctes(n_hashes: int = 24, rows_per_band: int = 4) -> str:
+    """DuckDB replica of the wide MinHash signature + band hashing
+    (same affine family h_i = (A_i·h + B_i) mod P)."""
+    mh_cols = []
+    for i in range(n_hashes):
+        a, b = X.minhash_params(i)
+        mh_cols.append(f"MIN(({a} * h + {b}) % {X.MINHASH_P}) AS mh_{i}")
+    n_bands = n_hashes // rows_per_band
+    band_selects = []
+    for b in range(n_bands):
+        parts = ", ".join(
+            f"mh_{b * rows_per_band + r}" for r in range(rows_per_band)
+        )
+        band_selects.append(
+            f"SELECT doc_id, {b} AS band, md5(concat_ws('|', {parts})) AS band_hash FROM sig"
+        )
+    return f"""
+    hv AS (SELECT doc_id,
+                  CAST(('0x' || substr(md5(s), 1, 8))::UBIGINT AS BIGINT) AS h
+           FROM sh),
+    sig AS (SELECT doc_id, {', '.join(mh_cols)} FROM hv GROUP BY doc_id),
+    bands AS ({' UNION ALL '.join(band_selects)})
+    """
+
+
 @_q(
     "dedup_minhash_lsh",
     f"""
     WITH {TOK_CTE}, {SH_CTE}, {SIZES_CTE},
-    sig AS (
-        SELECT doc_id, seed,
-               MIN(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
-        FROM sh CROSS JOIN (SELECT unnest(range(24)) AS seed)
-        GROUP BY doc_id, seed
-    ),
-    bands AS (
-        SELECT doc_id, seed // 4 AS band,
-               md5(string_agg(mh, '|' ORDER BY seed)) AS band_hash
-        FROM sig GROUP BY doc_id, seed // 4
-    ),
+    {_minhash_oracle_ctes()},
     cands AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         FROM bands a JOIN bands b
@@ -268,22 +283,28 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style rolling fingerprint: hash every char 8-gram,
     keep the min hash per 16-position window, summarize the selected
-    fingerprint set per document."""
+    fingerprint set per document.
+
+    Executed entirely as nested array expressions (transform/array_min
+    over per-window position ranges) — no position explode, no shuffle
+    at all: each doc's fingerprint set is computed where the row lives.
+    """
     d = table(spark, sf_dir, "documents")
-    pos = d.select(
-        "doc_id",
-        "text",
-        F.explode(
-            F.sequence(F.lit(1), F.greatest(F.length("text") - 7, F.lit(1)))
-        ).alias("i"),
-    ).select(
-        "doc_id",
-        F.expr("(i - 1) div 16").alias("wnd"),
-        F.md5(F.expr("substring(text, i, 8)")).alias("h"),
+    # positions 1..L-7 (min 1), windows of 16 positions
+    fps = F.expr(
+        """
+        transform(
+          sequence(0, (greatest(length(text) - 7, 1) - 1) div 16),
+          w -> array_min(transform(
+                 sequence(w * 16 + 1,
+                          least(w * 16 + 16, greatest(length(text) - 7, 1))),
+                 i -> md5(substring(text, i, 8))))
+        )
+        """
     )
-    mins = pos.groupBy("doc_id", "wnd").agg(F.min("h").alias("fp"))
-    return mins.groupBy("doc_id").agg(
-        F.countDistinct("fp").alias("n_fingerprints"),
-        F.min("fp").alias("min_fp"),
-        F.max("fp").alias("max_fp"),
+    return d.select("doc_id", fps.alias("fps")).select(
+        "doc_id",
+        F.size(F.array_distinct("fps")).cast("long").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
     )
