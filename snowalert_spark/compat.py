@@ -194,6 +194,7 @@ _SIMPLE_FN = [
     (re.compile(r"\bOBJECT_CONSTRUCT\s*\(\s*\*\s*\)", re.I), "to_json(struct(*))"),
     (re.compile(r"\bPARSE_JSON\s*\(", re.I), "("),  # JSON stays a string
     (re.compile(r"\bTO_VARCHAR\s*\(", re.I), "string("),
+    (re.compile(r"\bCURRENT_ACCOUNT\s*\(\s*\)", re.I), "'spark_account'"),
     (re.compile(r"\bCURRENT_TIMESTAMP\s*\(\s*\)", re.I), "current_timestamp()"),
     (re.compile(r"\bREGEXP_SUBSTR\s*\(", re.I), "__regexp_substr__("),
     (re.compile(r"\bDATEADD\s*\(", re.I), "timestampadd("),
@@ -212,12 +213,9 @@ def rewrite_functions(sql: str) -> str:
         if rep.startswith("coalesce(0"):
             continue
         out = pat.sub(rep, out)
-    # REGEXP_SUBSTR(s, p) → regexp_extract(s, p, 0)
-    out = _fix_one_arg(
-        out,
-        "__regexp_substr__",
-        lambda a: f"regexp_extract({a}, 0)",
-    )
+    # OBJECT_CONSTRUCT(k1, v1, …) → compact JSON document string
+    out = re.sub(r"\bOBJECT_CONSTRUCT\s*\(", "__object_construct__(", out, flags=re.I)
+    out = _fix_one_arg(out, "__object_construct__", lambda a: f"to_json(named_struct({a}))")
     # DATEADD('minute', n, t) → timestampadd(minute, n, t): unquote unit
     out = re.sub(
         r"\b(timestampadd|timestampdiff)\(\s*'(\w+)'",
@@ -226,6 +224,26 @@ def rewrite_functions(sql: str) -> str:
         flags=re.I,
     )
     return out
+
+
+def _regexp_substr_args(args: str) -> str:
+    """REGEXP_SUBSTR(s, p[, pos[, occ[, flags]]]) → regexp_extract:
+    i/s flags fold into the literal pattern as (?is); flag 'e' means
+    "return first capture group" (snowflake_query_pack.sql:5: 'ie').
+    Runs post-unmask so the pattern literal is visible."""
+    parts = [p.strip() for p in _split_select_items(args)]
+    s, p = parts[0], parts[1]
+    group = 0
+    if len(parts) >= 5:
+        flags = parts[4].strip("'").lower()
+        inline = "".join(f for f in flags if f in "ism")
+        if inline and p.startswith("'"):
+            p = f"'(?{inline})" + p[1:]
+        if "e" in flags:
+            group = 1
+    if len(parts) >= 3 and parts[2] != "1":
+        raise ValueError("REGEXP_SUBSTR position != 1 unsupported")
+    return f"regexp_extract({s}, {p}, {group})"
 
 
 def _fix_one_arg(sql: str, marker: str, build) -> str:
@@ -248,6 +266,95 @@ def _fix_one_arg(sql: str, marker: str, build) -> str:
         args = sql[j + 1 : k]
         sql = sql[:i] + build(args) + sql[k + 1 :]
     return sql
+
+
+def _split_select_items(sel: str) -> list[str]:
+    """Split an expression list on top-level (paren- and quote-aware)
+    commas."""
+    items, depth, cur = [], 0, []
+    i, n = 0, len(sel)
+    while i < n:
+        ch = sel[i]
+        if ch == "'":
+            cur.append(ch)
+            i += 1
+            while i < n:
+                cur.append(sel[i])
+                if sel[i] == "'":
+                    break
+                i += 1
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        items.append("".join(cur))
+    return items
+
+
+_ALIAS_RE = re.compile(r"\s+AS\s+(\w+)\s*$", re.I)
+
+
+def rewrite_alias_in_where(sql: str) -> str:
+    """Snowflake allows WHERE to reference a SELECT alias
+    (packs/snowflake_query_pack.sql:5,22); ANSI/Spark does not. Expand
+    alias references in the top-level WHERE predicate to their select
+    expressions inline — exactly Snowflake's observable semantics.
+
+    Limitation (documented): an alias that shadows a same-named source
+    column resolves to the source column in Snowflake but to the alias
+    expression here; the packs don't do that."""
+    masked, lits = _mask_literals(sql)
+    parts = _split_top_level(masked, "WHERE")
+    if parts is None:
+        return sql
+    head, pred_tail = parts
+    sp = _split_top_level(head, "SELECT")
+    if sp is None or sp[0].strip():
+        return sql
+    from_split = _split_top_level(sp[1], "FROM")
+    if from_split is None:
+        return sql
+    exprs: dict[str, str] = {}
+    for item in _split_select_items(from_split[0]):
+        m = _ALIAS_RE.search(item.rstrip())
+        if m:
+            exprs[m.group(1).lower()] = item.rstrip()[: m.start()].strip()
+    if not exprs:
+        return sql
+    # split the predicate off trailing clauses
+    pred = pred_tail
+    tail = ""
+    for kw in ("GROUP BY", "ORDER BY", "LIMIT"):
+        spl = _split_top_level(pred, kw)
+        if spl is not None:
+            pred, after = spl
+            tail += f" {kw} {after.strip()}"
+
+    hit = False
+
+    def sub(m: re.Match) -> str:
+        nonlocal hit
+        e = exprs.get(m.group(0).lower())
+        if e is None:
+            return m.group(0)
+        hit = True
+        return f"({e})"
+
+    names = "|".join(re.escape(a) for a in exprs)
+    new_pred = re.sub(rf"(?<![.\w])(?:{names})\b", sub, pred, flags=re.I)
+    if not hit:
+        return sql
+    out = f"{head}WHERE {new_pred.strip()}{tail}"
+    return _unmask_literals(out, lits)
 
 
 _LIT_RE = re.compile(r"'(?:[^'\\]|\\.)*'")
@@ -275,11 +382,13 @@ def _unmask_literals(sql: str, lits: list[str]) -> str:
 def transpile(sql: str) -> str:
     """Full Snowflake→Spark rewrite pipeline for a rule body."""
     out = rewrite_qualify(sql)
+    out = rewrite_alias_in_where(out)
     out, lits = _mask_literals(out)
     out = rewrite_variant_paths(out)
     out = rewrite_casts(out)
     out = rewrite_functions(out)
     out = _unmask_literals(out, lits)
+    out = _fix_one_arg(out, "__regexp_substr__", _regexp_substr_args)
     # DATEADD('minute', n, t) → timestampadd(minute, n, t): unquote unit
     out = re.sub(
         r"\b(timestampadd|timestampdiff)\(\s*'(\w+)'",

@@ -459,6 +459,48 @@ def percentiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 # collect_set / ARRAY_AGG(DISTINCT) (A6) + bool_or (A7) — string-encoded
 # for stable cross-engine hashing
 # ---------------------------------------------------------------------------
+# ---------------------------------------------------------------------------
+# GROUP BY ordinals + HAVING through the SQL surface (A8) —
+# snowflake_security_monitoring.sql:106-107 idiom
+# ---------------------------------------------------------------------------
+@_q(
+    "group_by_ordinals_sql",
+    """
+    SELECT event_type, user_id, COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    HAVING COUNT(*) > 15
+    """,
+)
+def group_by_ordinals_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    table(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        """
+        SELECT event_type, user_id, COUNT(*) AS n
+        FROM events
+        GROUP BY 1, 2
+        HAVING COUNT(*) > 15
+        """
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate aggregates (A10/A11 real approx form) — engine-specific
+# sketches can't hash-match an oracle; the driver records the weaker
+# rows-only check, and tests/test_approx.py bounds the error vs exact.
+# ---------------------------------------------------------------------------
+@_q("approx_aggregates")
+def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.percentile_approx("value", 0.5).alias("approx_p50"),
+        F.percentile_approx(
+            "value", [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+        ).alias("approx_quantiles"),
+    )
+
+
 @_q(
     "user_profile_rollup",
     """

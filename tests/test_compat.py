@@ -42,14 +42,22 @@ def test_plain_cast():
 
 
 def test_function_renames():
-    out = compat.rewrite_functions(
+    out = compat.transpile(
         "SELECT IFF(a>1, 'x', 'y'), ZEROIFNULL(n), DATEADD('minute', -90, ts), "
-        "REGEXP_SUBSTR(s, 'p.*t')"
+        "REGEXP_SUBSTR(s, 'p.*t'), REGEXP_SUBSTR(s, 'x(y)', 1, 1, 'ie') FROM t"
     )
     assert "if(a>1" in out
     assert "coalesce(n, 0)" in out
     assert "timestampadd(minute, -90, ts)" in out
     assert "regexp_extract(s, 'p.*t', 0)" in out
+    assert "regexp_extract(s, '(?i)x(y)', 1)" in out
+
+
+def test_alias_in_where_inline_expansion():
+    out = compat.transpile(
+        "SELECT UPPER(a) AS obj, b FROM t WHERE c = 1 AND obj ILIKE '%x%'"
+    )
+    assert "WHERE c = 1 AND (UPPER(a)) ILIKE '%x%'" in out
 
 
 def test_transpiled_rule_runs(spark):
