@@ -25,6 +25,80 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def sessionize_stream(
+    events,
+    key_col: str,
+    time_col: str,
+    gap_minutes: int = 60,
+    idle_timeout: bool = False,
+):
+    """Custom stateful streaming operator: per-key session assembly
+    with a gap threshold via ``applyInPandasWithState`` — the
+    streaming analog of the correlation runner's 60-minute chaining
+    (alert_processor.py:10-31). Each closed session emits one row
+    (key, session_start, session_end, n_events); the open session per
+    key lives in state.
+
+    ``idle_timeout=True`` adds a ProcessingTimeTimeout that flushes
+    sessions idle past the gap — for long-running production streams
+    only. Leave it off for drain-style runs: a pending timeout makes
+    the engine schedule batches forever, so
+    ``query.processAllAvailable()`` never settles.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_s = gap_minutes * 60
+
+    def fn(key, pdfs, state: GroupState):
+        rows = []
+        if idle_timeout and state.hasTimedOut:
+            (s0, last, n) = state.get
+            rows.append((key[0], s0, last, n))
+            state.remove()
+        else:
+            ts = sorted(
+                t.timestamp()
+                for pdf in pdfs
+                for t in pd.to_datetime(pdf[time_col])
+            )
+            if ts:
+                if state.exists:
+                    s0, last, n = state.get
+                else:
+                    s0, last, n = ts[0], ts[0], 0
+                for t in ts:
+                    if t - last > gap_s:
+                        rows.append((key[0], s0, last, n))
+                        s0, n = t, 0
+                    last = t
+                    n += 1
+                state.update((s0, last, n))
+                if idle_timeout:
+                    state.setTimeoutDuration(gap_s * 1000)
+        yield pd.DataFrame(
+            rows, columns=[key_col, "session_start", "session_end", "n_events"]
+        )
+
+    return (
+        events.groupBy(key_col)
+        .applyInPandasWithState(
+            fn,
+            outputStructType=(
+                f"{key_col} long, session_start double, session_end double, "
+                "n_events long"
+            ),
+            stateStructType="session_start double, last_seen double, n long",
+            outputMode="append",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if idle_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 class WatermarkBatch:
     """Exactly-once-per-row incremental batch consumption keyed on a
     monotonically increasing cursor column."""
