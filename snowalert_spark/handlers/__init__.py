@@ -32,6 +32,51 @@ def apply_some(fn: Callable, **kwargs):
     return fn(**{k: v for k, v in kwargs.items() if k in sig.parameters})
 
 
+def slack_blocks_template(alert: dict) -> dict:
+    """Default Slack message template (handlers/slack.py:30-49 shape):
+    alert document → blocks payload. Registered templates can override
+    per-rule via HANDLERS entries like 'slack:my_template'."""
+    return {
+        "channel": "#alerts",
+        "blocks": [
+            {
+                "type": "section",
+                "text": {
+                    "type": "mrkdwn",
+                    "text": f"*{alert.get('TITLE') or 'Alert'}*\n"
+                    f"{alert.get('DESCRIPTION') or ''}",
+                },
+            },
+            {
+                "type": "context",
+                "elements": [
+                    {
+                        "type": "mrkdwn",
+                        "text": f"severity {alert.get('SEVERITY')}"
+                        f" · actor {alert.get('ACTOR')}"
+                        f" · {alert.get('QUERY_NAME')}",
+                    }
+                ],
+            },
+        ],
+    }
+
+
+class MemorySlackHandler:
+    """Slack sink stub: renders the blocks template and records the
+    payload instead of POSTing (the webhook client is environment-
+    gated exactly like the reference's SLACK_API_TOKEN)."""
+
+    def __init__(self, template=slack_blocks_template):
+        self.template = template
+        self.sent: list[dict] = []
+
+    def handle(self, alert: dict):
+        payload = self.template(alert)
+        self.sent.append(payload)
+        return {"success": True, "channel": payload["channel"]}
+
+
 class MemoryTicketHandler:
     """Jira-shaped stub: creates 'tickets' in memory; appends to an
     existing ticket when the alert is correlated to one already

@@ -91,9 +91,23 @@ class RuleRegistry:
         self.rules[name] = r
         return r
 
+    def rename(self, name: str, new_name: str) -> Rule:
+        """webui/api/rules.py:151-178 analog."""
+        rule = self.rules.pop(name)
+        if not re.match(r"^\w+$", new_name) or not any(
+            new_name.endswith(s) for s in RULE_SUFFIXES + ("_DELETED",)
+        ):
+            self.rules[name] = rule
+            raise ValueError(f"invalid rule name {new_name!r}")
+        rule.name = new_name
+        self.rules[new_name] = rule
+        return rule
+
     def drop(self, name: str) -> None:
-        # reference "deletes" by renaming with _DELETED (webui rules.py:121-148)
-        self.rules.pop(name, None)
+        """The reference "deletes" by renaming with a _DELETED suffix so
+        the body stays recoverable (webui/api/rules.py:121-148)."""
+        if name in self.rules:
+            self.rename(name, f"{name}_DELETED")
 
     def load_rules(self, suffix: str) -> list[Rule]:
         """Discovery by suffix, '_' collating after letters (db.py:290)."""

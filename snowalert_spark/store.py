@@ -182,6 +182,20 @@ class ResultsStore:
             else 0,
         }
 
+    def export_chunks(self, table: str, chunk_rows: int = 100_000):
+        """Large-result export (sars/run.py:55-72 analog). The
+        reference pages with LIMIT/OFFSET — O(n²) re-scans; here
+        ``toLocalIterator`` streams partitions to the driver once,
+        re-chunked to the requested size."""
+        buf: list = []
+        for row in self.read(table).toLocalIterator():
+            buf.append(row)
+            if len(buf) >= chunk_rows:
+                yield buf
+                buf = []
+        if buf:
+            yield buf
+
     def update(
         self, table: str, condition: Column, updates: dict[str, Column]
     ) -> int:

@@ -229,3 +229,26 @@ def test_violations_md5_identity_and_error_capture(spark, store):
     v2 = store.read("violations").collect()[0]
     assert v2.suppressed is True
     assert v2.suppression_rule == "_TV1_VIOLATION_SUPPRESSION"
+
+
+def test_rule_rename_and_soft_delete():
+    reg = RuleRegistry()
+    reg.create("_A_ALERT_QUERY", sql="SELECT 1", comment="a")
+    reg.rename("_A_ALERT_QUERY", "_B_ALERT_QUERY")
+    assert "_B_ALERT_QUERY" in reg.rules and "_A_ALERT_QUERY" not in reg.rules
+    reg.drop("_B_ALERT_QUERY")
+    assert "_B_ALERT_QUERY_DELETED" in reg.rules
+    # deleted rules are not discovered
+    assert reg.load_rules("_ALERT_QUERY") == []
+
+
+def test_slack_handler(spark, store, registry):
+    _run_alerts(spark, store, registry)
+    slack = H.MemorySlackHandler()
+    H.register("jira", H.MemoryTicketHandler().handle)
+    H.register("slack", slack.handle)
+    # route everything through slack by rewriting HANDLERS is out of
+    # scope here; invoke directly on a collected alert document
+    row = store.read("alerts").limit(1).collect()[0]
+    r = H.apply_some(H.get("slack"), alert=row.alert.asDict(), extra="ignored")
+    assert r["success"] and slack.sent[0]["blocks"][0]["type"] == "section"

@@ -116,3 +116,20 @@ def test_versioned_dirs_survive_partial_writes(store, spark, tmp_path):
     bad.mkdir(parents=True)
     (bad / "part-00000.parquet").write_bytes(b"garbage")
     assert [r.id for r in store.read("violations").collect()] == ["a"]
+
+
+def test_export_chunks(store, spark):
+    import pyspark.sql.functions as F
+
+    df = spark.range(25).select(
+        F.lit("{}").alias("result"),
+        F.col("id").cast("string").alias("id"),
+        F.lit("2024-01-01").cast("timestamp").alias("alert_time"),
+        F.lit(None).cast("string").alias("ticket"),
+        F.lit(None).cast("boolean").alias("suppressed"),
+        F.lit(None).cast("string").alias("suppression_rule"),
+    )
+    store.overwrite("violations", df)
+    chunks = list(store.export_chunks("violations", chunk_rows=10))
+    assert [len(c) for c in chunks] == [10, 10, 5]
+    assert {r.id for c in chunks for r in c} == {str(i) for i in range(25)}
