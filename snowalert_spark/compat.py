@@ -107,7 +107,7 @@ def rewrite_qualify(sql: str) -> str:
 
 _PATH_RE = re.compile(
     r"""
-    (?P<col>\b\w+\b)
+    (?P<col>\b\w+(?:\.\w+)?\b)     # col or qualifier.col (f.value:…)
     :
     (?P<path>
         \w+
@@ -117,6 +117,33 @@ _PATH_RE = re.compile(
     """,
     re.VERBOSE,
 )
+
+
+_FLATTEN_RE = re.compile(
+    r",?\s*LATERAL\s+FLATTEN\s*\(\s*input\s*=>\s*(?P<arg>[^)]+)\)\s*(?:AS\s+)?(?P<alias>\w+)",
+    re.I,
+)
+
+
+def rewrite_flatten(sql: str) -> str:
+    """``FROM t, LATERAL FLATTEN(input => x) f`` →
+    ``FROM t LATERAL VIEW posexplode(from_json(x, 'array<string>')) f
+    AS index, value`` — array elements surface as raw JSON text
+    (f.value, f.index; f.value:path::t then resolves via the variant
+    rewrite). ``recursive => true`` is not SQL-expressible here — use
+    functions.variant.recursive_flatten (DataFrame API)."""
+    if re.search(r"\brecursive\s*=>\s*true", sql, re.I):
+        raise ValueError(
+            "FLATTEN(recursive=>true) needs variant.recursive_flatten"
+        )
+
+    def sub(m: re.Match) -> str:
+        return (
+            f" LATERAL VIEW posexplode(from_json({m.group('arg').strip()}, "
+            f"'array<string>')) {m.group('alias')} AS index, value"
+        )
+
+    return _FLATTEN_RE.sub(sub, sql)
 
 
 def _path_to_jsonpath(path: str) -> str:
@@ -383,6 +410,7 @@ def transpile(sql: str) -> str:
     """Full Snowflake→Spark rewrite pipeline for a rule body."""
     out = rewrite_qualify(sql)
     out = rewrite_alias_in_where(out)
+    out = rewrite_flatten(out)
     out, lits = _mask_literals(out)
     out = rewrite_variant_paths(out)
     out = rewrite_casts(out)

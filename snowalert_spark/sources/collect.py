@@ -1,0 +1,183 @@
+"""Spec-driven API collector (reference: src/connectors/aws_collect.py
+— the async fan-out DAG of cloud-inventory API calls, S12).
+
+Design (fresh, compact): a **spec** maps each API method to
+- ``params``: task-arg → landing-column copies,
+- ``fields``: response-field → column copies,
+- ``list``: (response-list-field, per-item field → column) — one
+  output row per item, else a single base row,
+- ``children``: follow-up methods with arg bindings from the emitted
+  row (the DAG edge).
+
+``process_response`` is a pure function (task, page|Exception) →
+rows + child tasks — unit-testable table-driven exactly like the
+reference's test_aws_collect.py:17-216. ``collect`` drives the queue
+breadth-first with request pacing. ``collect_distributed`` is the
+100 TB path: tasks become a DataFrame and each Arrow batch executes
+its calls inside ``mapInPandas`` workers (per-executor rate slices).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import time
+from collections import deque
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+RATE_PER_SECOND = 24  # aws_collect.py:35-36 pacing envelope
+BATCH_SIZE = 600
+
+
+@dataclass(frozen=True)
+class CollectTask:
+    account_id: str
+    method: str
+    args: tuple = ()  # ((k, v), ...) — hashable
+
+    @property
+    def args_dict(self) -> dict:
+        return dict(self.args)
+
+
+@dataclass
+class DBEntry:
+    table: str
+    entity: dict = field(default_factory=dict)
+
+
+def process_response(
+    spec: dict, task: CollectTask, page, now: dt.datetime | None = None
+) -> Iterator[DBEntry | CollectTask]:
+    """(task, raw API page | Exception) → landing rows + child tasks."""
+    mspec = spec[task.method]
+    table = mspec.get("table", task.method.replace(".", "_"))
+    base = {"account_id": task.account_id, "recorded_at": now or dt.datetime.utcnow()}
+    for arg_name, col in mspec.get("params", {}).items():
+        base[col] = task.args_dict.get(arg_name)
+
+    if isinstance(page, Exception):
+        base["error"] = json.dumps(
+            {"exceptionName": type(page).__name__, "message": str(page)}
+        )
+        yield DBEntry(table, base)
+        return
+
+    for fld, col in mspec.get("fields", {}).items():
+        base[col] = page.get(fld)
+
+    list_field, item_map = mspec.get("list", (None, None))
+    rows = (
+        [dict(base, **{col: item.get(f) for f, col in item_map.items()})
+         for item in page.get(list_field, [])]
+        if list_field
+        else [base]
+    )
+    for row in rows:
+        yield DBEntry(table, row)
+        for child in mspec.get("children", []):
+            bindings = child.get("args", {})
+            if any(row.get(src) is None for src in bindings.values()):
+                continue
+            yield CollectTask(
+                task.account_id,
+                child["method"],
+                tuple((arg, row[src]) for arg, src in sorted(bindings.items())),
+            )
+
+
+def collect(
+    spec: dict,
+    fetch: Callable[[CollectTask], object],
+    seeds: list[CollectTask],
+    rate_per_second: float = RATE_PER_SECOND,
+    clock: Callable[[], float] = time.monotonic,
+    sleep: Callable[[float], None] = time.sleep,
+) -> list[DBEntry]:
+    """Breadth-first DAG walk with request pacing; errors quarantine
+    into the row stream (never abort the crawl)."""
+    out: list[DBEntry] = []
+    queue = deque(seeds)
+    seen = set(seeds)
+    window_start, in_window = clock(), 0
+    while queue:
+        task = queue.popleft()
+        in_window += 1
+        if in_window > rate_per_second:
+            elapsed = clock() - window_start
+            if elapsed < 1.0:
+                sleep(1.0 - elapsed)
+            window_start, in_window = clock(), 1
+        try:
+            page = fetch(task)
+        except Exception as e:  # noqa: BLE001 — quarantine
+            page = e
+        for item in process_response(spec, task, page):
+            if isinstance(item, CollectTask):
+                if item not in seen:
+                    seen.add(item)
+                    queue.append(item)
+            else:
+                out.append(item)
+    return out
+
+
+def collect_distributed(spark, spec: dict, fetch, tasks: list[CollectTask]):
+    """Scale path: one mapInPandas stage per DAG level — each Arrow
+    batch of tasks runs its API calls inside the worker, children
+    feed the next level. Returns (rows_df_json, n_levels)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    all_rows: list = []
+    level = tasks
+    levels = 0
+    while level:
+        levels += 1
+        tdf = spark.createDataFrame(
+            [(t.account_id, t.method, json.dumps(t.args_dict)) for t in level],
+            "account_id string, method string, args string",
+        ).repartition(max(1, len(level) // BATCH_SIZE + 1))
+
+        def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                recs = []
+                for r in pdf.itertuples(index=False):
+                    t = CollectTask(
+                        r.account_id,
+                        r.method,
+                        tuple(sorted(json.loads(r.args).items())),
+                    )
+                    try:
+                        page = fetch(t)
+                    except Exception as e:  # noqa: BLE001
+                        page = e
+                    for item in process_response(spec, t, page):
+                        kind = "task" if isinstance(item, CollectTask) else "row"
+                        payload = (
+                            json.dumps(
+                                {
+                                    "account_id": item.account_id,
+                                    "method": item.method,
+                                    "args": item.args_dict,
+                                }
+                            )
+                            if kind == "task"
+                            else json.dumps(
+                                {"table": item.table, "entity": item.entity},
+                                default=str,
+                            )
+                        )
+                        recs.append((kind, payload))
+                yield pd.DataFrame(recs, columns=["kind", "payload"])
+
+        res = tdf.mapInPandas(run, "kind string, payload string").collect()
+        all_rows.extend(r.payload for r in res if r.kind == "row")
+        level = [
+            CollectTask(
+                d["account_id"], d["method"], tuple(sorted(d["args"].items()))
+            )
+            for d in (json.loads(r.payload) for r in res if r.kind == "task")
+        ]
+    return all_rows, levels

@@ -199,3 +199,40 @@ def test_okta_users_latest_snapshot(spark):
     ).collect()
     got = {r.id: (r.status, r.login) for r in out}
     assert got == {"u1": ("ACTIVE", "u1@x.io"), "u2": ("SUSPENDED", "u2@x.io")}
+
+
+# ---------------------------------------------------------------------------
+# cis_aws_pack.sql:532,846 / cis_azure_pack.sql:197-217 — LATERAL
+# FLATTEN over policy-document arrays + BOOLOR_AGG path predicate
+# ---------------------------------------------------------------------------
+def test_policy_flatten_booleans_rule(spark):
+    policies = [
+        ("123", "admin-policy",
+         '[{"Effect": "Allow", "Action": "*", "Resource": "*"},'
+         ' {"Effect": "Deny", "Action": "iam:*", "Resource": "*"}]'),
+        ("123", "readonly-policy",
+         '[{"Effect": "Allow", "Action": "s3:Get*", "Resource": "*"}]'),
+    ]
+    spark.createDataFrame(
+        policies, "account_id string, policy_name string, statements string"
+    ).createOrReplaceTempView("iam_policies")
+
+    out = _sql(
+        spark,
+        """
+        SELECT account_id, policy_name,
+               BOOLOR_AGG(f.value:Effect::string = 'Allow'
+                          AND f.value:Action::string = '*') AS allows_all
+        FROM iam_policies, LATERAL FLATTEN(input => statements) f
+        GROUP BY account_id, policy_name
+        """,
+    ).collect()
+    got = {r.policy_name: r.allows_all for r in out}
+    assert got == {"admin-policy": True, "readonly-policy": False}
+
+
+def test_flatten_recursive_raises(spark):
+    with pytest.raises(ValueError, match="recursive_flatten"):
+        compat.transpile(
+            "SELECT * FROM t, LATERAL FLATTEN(input => v, recursive => true) f"
+        )
