@@ -43,6 +43,50 @@ HEADLINE = [
 ]
 
 
+def _bench_pipeline(spark, sf_dir: str) -> float:
+    import datetime as dt
+    import shutil
+    import tempfile
+
+    from snowalert_spark.rules import RuleRegistry
+    from snowalert_spark.runners import alert_queries, alert_suppressions
+    from snowalert_spark.store import ResultsStore
+    from snowalert_spark.tables import register
+
+    register(spark, sf_dir, "events")
+    reg = RuleRegistry()
+    reg.create(
+        "BENCH_EVENTS_ALERT_QUERY",
+        sql="""
+        SELECT 'user:' || user_id::string AS actor,
+               'host-' || (event_id % 101)::string AS object,
+               event_type AS action,
+               'Bench alert' AS title,
+               ts AS event_time,
+               event_type || ':' || (event_id % 101)::string AS description,
+               props AS event_data
+        FROM events WHERE value > 120
+        """,
+        comment="bench rule\n@id bench_rule",
+    )
+    tmp = tempfile.mkdtemp(prefix="bench_store_")
+    try:
+        store = ResultsStore(spark, tmp)
+        t0 = time.perf_counter()
+        alert_queries.main(
+            spark,
+            store,
+            reg,
+            from_ts=dt.datetime(2024, 1, 1),
+            to_ts=dt.datetime(2025, 1, 1),
+        )
+        alert_suppressions.main(spark, store, reg)
+        store.read("alerts").count()
+        return time.perf_counter() - t0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -60,6 +104,10 @@ def main() -> None:
         df = qs[name](spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
+
+    # end-to-end rule-engine pipeline over the events table (project →
+    # dedupe → partition-pruned merge → suppress), timed as one unit
+    timings["pipeline_alert_run"] = round(_bench_pipeline(spark, sf_dir), 4)
 
     total = round(sum(timings.values()), 4)
     print(

@@ -97,6 +97,17 @@ def create_alerts(
             & (F.col("alert.EVENT_TIME") > F.lit(from_ts))
         )
 
+    if hasattr(store, "touched_partitions"):
+        # PartitionedResultsStore: merge only the partitions of the
+        # match window — O(hot window), not O(table)
+        return store.upsert(
+            "alerts",
+            grouped,
+            on=match,
+            when_matched={"counter": F.col("counter") + F.col("src_counter")},
+            window_from=from_ts,
+            window_to=to_ts,
+        )
     return store.upsert(
         "alerts",
         grouped,

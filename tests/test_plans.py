@@ -1,0 +1,52 @@
+"""Physical-plan regression: the plans we tuned for must not silently
+degrade (broadcasts stay broadcasts, filters stay pushed, top-k stays
+TakeOrderedAndProject, regular-grid range join stays binning)."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowalert_spark import workload
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return (
+        workload.queries()[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_dim_joins_broadcast(spark):
+    plan = _plan(spark, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_q1_filter_pushed_down(spark):
+    plan = _plan(spark, "q1_pricing_summary")
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_topk_is_take_ordered(spark):
+    plan = _plan(spark, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_range_join_is_binning_not_nested_loop(spark):
+    plan = _plan(spark, "range_join_hourly_counts")
+    assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_lsh_no_cartesian(spark):
+    plan = _plan(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+
+
+def test_brute_force_broadcasts_queries(spark):
+    plan = _plan(spark, "cosine_topk_bruteforce")
+    # the tiny query set is the broadcast side of the nested-loop join
+    assert "BroadcastNestedLoopJoin" in plan
