@@ -69,22 +69,26 @@ def _bench_pipeline(spark, sf_dir: str) -> float:
         """,
         comment="bench rule\n@id bench_rule",
     )
-    tmp = tempfile.mkdtemp(prefix="bench_store_")
-    try:
-        store = ResultsStore(spark, tmp)
-        t0 = time.perf_counter()
-        alert_queries.main(
-            spark,
-            store,
-            reg,
-            from_ts=dt.datetime(2024, 1, 1),
-            to_ts=dt.datetime(2025, 1, 1),
-        )
-        alert_suppressions.main(spark, store, reg)
-        store.read("alerts").count()
-        return time.perf_counter() - t0
-    finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+    def once() -> float:
+        tmp = tempfile.mkdtemp(prefix="bench_store_")
+        try:
+            store = ResultsStore(spark, tmp)
+            t0 = time.perf_counter()
+            alert_queries.main(
+                spark,
+                store,
+                reg,
+                from_ts=dt.datetime(2024, 1, 1),
+                to_ts=dt.datetime(2025, 1, 1),
+            )
+            alert_suppressions.main(spark, store, reg)
+            store.read("alerts").count()
+            return time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    once()  # warm (codegen, Arrow, store code paths)
+    return once()
 
 
 def main() -> None:

@@ -16,6 +16,7 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from snowalert_spark.rules import ALERT_QUERY, Rule, RuleRegistry
 from snowalert_spark.runners import metadata
@@ -31,11 +32,21 @@ def _to_alert_doc(df: DataFrame, rule: Rule) -> DataFrame:
     (alert_queries_runner.py:38-55): missing keys → NULL, ALERT_ID →
     uuid, QUERY_NAME/QUERY_ID from the rule."""
     cols = {c.lower(): c for c in df.columns}
+    types = {c.lower(): f.dataType for c, f in zip(df.columns, df.schema.fields)}
 
     def get(key: str, default=None):
-        if key.lower() in cols:
-            return F.col(cols[key.lower()])
-        return F.lit(default)
+        if key.lower() not in cols:
+            return F.lit(default)
+        c = F.col(cols[key.lower()])
+        # SP1513: arrays/objects in scalar vocabulary slots (OBJECT,
+        # ACTION, ...) are JSON-stringified — not Spark's cast format —
+        # so dedupe/correlation equality behaves like the reference
+        # (alert_processor.py:50-56). SOURCES/HANDLERS stay arrays.
+        if key.upper() not in ("SOURCES", "HANDLERS") and isinstance(
+            types[key.lower()], (T.ArrayType, T.StructType, T.MapType)
+        ):
+            return F.to_json(c)
+        return c
 
     fields = []
     for f in ALERT_DOC.fields:

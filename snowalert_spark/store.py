@@ -145,9 +145,11 @@ class ResultsStore:
         else:
             cond = on
 
+        # cached: the join feeds both the count aggregation and the
+        # rewrite — one evaluation instead of two
         joined = hot.withColumn("__tgt", F.lit(True)).join(
             src, cond, "full_outer"
-        )
+        ).cache()
 
         matched = F.col("__tgt").isNotNull() & F.col("__src").isNotNull()
         tgt_only = F.col("__tgt").isNotNull() & F.col("__src").isNull()
@@ -174,6 +176,7 @@ class ResultsStore:
         if cold is not None:
             result = result.unionByName(cold)
         self.overwrite(table, result)
+        joined.unpersist()
         target.unpersist()
         return {
             "updated": int(counts_row["u"] or 0),

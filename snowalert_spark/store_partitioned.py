@@ -164,7 +164,11 @@ class PartitionedResultsStore:
         ).withColumn("__src", F.lit(True))
 
         cond = on(target, src)
-        joined = target.withColumn("__tgt", F.lit(True)).join(src, cond, "full_outer")
+        joined = (
+            target.withColumn("__tgt", F.lit(True))
+            .join(src, cond, "full_outer")
+            .cache()
+        )
         matched = F.col("__tgt").isNotNull() & F.col("__src").isNotNull()
         tgt_only = F.col("__tgt").isNotNull() & F.col("__src").isNull()
         upd = when_matched or {}
@@ -194,6 +198,7 @@ class PartitionedResultsStore:
                 table, date, merged.filter(F.col("__date") == date).drop("__date")
             )
         merged.unpersist()
+        joined.unpersist()
         target.unpersist()
         dated_in.unpersist()
         return {

@@ -252,3 +252,31 @@ def test_slack_handler(spark, store, registry):
     row = store.read("alerts").limit(1).collect()[0]
     r = H.apply_some(H.get("slack"), alert=row.alert.asDict(), extra="ignored")
     assert r["success"] and slack.sent[0]["blocks"][0]["type"] == "section"
+
+
+def test_sp1513_array_actions_correlate(spark, store):
+    """Regression port (SP1513_correlating_array_actions.py:10-81):
+    alerts whose ACTION is an array must JSON-stringify and still
+    correlate with each other."""
+    reg = RuleRegistry()
+    now = dt.datetime.utcnow()
+    t1 = (now - dt.timedelta(minutes=40)).strftime("%Y-%m-%d %H:%M:%S")
+    t2 = (now - dt.timedelta(minutes=10)).strftime("%Y-%m-%d %H:%M:%S")
+    mk = (
+        "SELECT 'actor-arr' AS actor, 'obj-{n}' AS object, "
+        "ARRAY('added', 'removed') AS action, 'A{n}' AS title, "
+        "TIMESTAMP '{t}' AS event_time, 'd{n}' AS description"
+    )
+    reg.create("_ARR1_ALERT_QUERY", sql=mk.format(n=1, t=t1), comment="a1")
+    reg.create("_ARR2_ALERT_QUERY", sql=mk.format(n=2, t=t2), comment="a2")
+    alert_queries.main(
+        spark, store, reg, from_ts=now - dt.timedelta(hours=2), to_ts=now
+    )
+    alert_suppressions.main(spark, store, reg)
+    rows = store.read("alerts").collect()
+    acts = {r.alert.TITLE: r.alert.ACTION for r in rows}
+    assert acts["A1"] == '["added","removed"]'  # JSON form, not Spark cast
+    n = alert_processor.main(spark, store, now=now)
+    assert n == 2
+    cids = {r.alert.TITLE: r.correlation_id for r in store.read("alerts").collect()}
+    assert cids["A1"] == cids["A2"] and cids["A1"] is not None
