@@ -74,6 +74,26 @@ def violation_rows(df: DataFrame, rule: Rule, cutoff: dt.datetime) -> DataFrame:
     return out
 
 
+def has_no_violations(
+    store: ResultsStore, query_id: str, now: dt.datetime | None = None
+) -> bool:
+    """rules.has_no_violations(qid) UDF analog (data-views.sql.fmt:
+    293-301): no violation from this query in the last day — the
+    correlated scalar-subquery becomes an aggregated existence check."""
+    now = now or dt.datetime.utcnow()
+    cutoff = now - dt.timedelta(days=1)
+    n = (
+        store.read("violations")
+        .filter(
+            (F.col("alert_time") > F.lit(cutoff))
+            & (F.get_json_object("result", "$.QUERY_ID") == query_id)
+        )
+        .limit(1)
+        .count()
+    )
+    return n == 0
+
+
 def main(
     spark: SparkSession,
     store: ResultsStore,

@@ -92,6 +92,8 @@ def connection_run(
 ) -> int:
     """connectors_runner.connection_run analog: schedule gate → ingest
     generator → per-page append → ingestion metadata (before/after)."""
+    from snowalert_spark.sources import secrets
+
     now = now or dt.datetime.utcnow()
     run_id = run_id or uuid.uuid4().hex
     if not schedule_ok(conn.options.get("schedule"), now):
@@ -100,7 +102,8 @@ def connection_run(
     total = 0
     err = None
     try:
-        for page in conn.module(conn.name, conn.options):
+        options = secrets.resolve_options(conn.options)
+        for page in conn.module(conn.name, options):
             total += landing.append_page(conn.name, page)
     except Exception as e:  # error quarantine
         err = e

@@ -171,3 +171,51 @@ def test_file_stream_ingest(spark, tmp_path):
     got = spark.read.parquet(dst)
     assert got.count() == 6
     assert got.filter(F.col("kind") == "b").count() == 1
+
+
+def test_secret_resolution(spark, tmp_path, monkeypatch):
+    from snowalert_spark.sources import secrets
+
+    monkeypatch.setenv("SA_SECRET_OKTA_TOKEN", "tok-123")
+    opts = secrets.resolve_options(
+        {"api_token": "secret:okta_token", "subdomain": "acme"}
+    )
+    assert opts == {"api_token": "tok-123", "subdomain": "acme"}
+    secrets.set_resolver(lambda name: f"kms:{name}")
+    try:
+        assert secrets.resolve_value("secret:x") == "kms:x"
+    finally:
+        secrets.set_resolver(None)
+    with pytest.raises(KeyError):
+        secrets.resolve_value("secret:missing")
+
+    # connection_run resolves secrets before handing options to ingest
+    seen = {}
+
+    def ingest(table, options):
+        seen.update(options)
+        yield []
+
+    landing = rest.LandingStore(spark, str(tmp_path / "l2"))
+    results = ResultsStore(spark, str(tmp_path / "r2"))
+    conn = rest.Connection("SEC_TEST_CONNECTION", ingest,
+                           {"api_token": "secret:okta_token"})
+    rest.connection_run(conn, landing, results)
+    assert seen["api_token"] == "tok-123"
+
+
+def test_has_no_violations(spark, tmp_path):
+    from snowalert_spark.rules import RuleRegistry
+    from snowalert_spark.runners import violation_queries
+
+    store = ResultsStore(spark, str(tmp_path / "hv"))
+    reg = RuleRegistry()
+    reg.create(
+        "_HV_VIOLATION_QUERY",
+        sql="SELECT 'o' AS object, 'T' AS title, CURRENT_TIMESTAMP() AS alert_time",
+        comment="hv\n@id hv_query_id",
+    )
+    assert violation_queries.has_no_violations(store, "hv_query_id")
+    violation_queries.main(spark, store, reg)
+    assert not violation_queries.has_no_violations(store, "hv_query_id")
+    assert violation_queries.has_no_violations(store, "other_query")
