@@ -56,13 +56,24 @@ def ngram_jaccard_pairs(
 
     Inverted-index join: pairs are generated only for docs sharing at
     least one shingle, then |∩| is aggregated and |∪| derived from
-    per-doc set sizes. Returns (doc_a, doc_b, jaccard)."""
+    per-doc set sizes. A length-ratio prefilter prunes the join:
+    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose set sizes
+    differ by more than the threshold ratio can never qualify —
+    provably result-preserving, and it cuts the quadratic pair blowup
+    before aggregation. Returns (doc_a, doc_b, jaccard)."""
     sh = doc_shingles(docs, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+    szd = sh.join(sizes, "doc_id")
+    a = szd.alias("a")
+    b = szd.alias("b")
     common = (
-        a.join(b, (F.col("a.s") == F.col("b.s")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n") >= threshold * F.col("b.n"))
+            & (F.col("b.n") >= threshold * F.col("a.n")),
+        )
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count("*").alias("c"))
     )

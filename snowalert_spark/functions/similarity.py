@@ -77,6 +77,26 @@ def brute_force_topk(
     )
 
 
+def cosine_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding near-duplicate pairs: all (a < b) with quantized
+    cosine ≥ threshold. Exact all-pairs baseline (the corpus side is
+    broadcast when small); the pruned path at corpus scale is IVF cell
+    co-membership (``ivf_assign`` + same-cell pair join) or
+    random-hyperplane LSH, both trading recall for candidates."""
+    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
+    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", quantize(cosine("va", "vb"), 6).alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -110,6 +110,24 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SIM_THRESHOLD = 0.35  # data has no planted embedding dups; max cos ≈ 0.51
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {quantize_sql(_cos_sql('a.embedding', 'b.embedding'), 6)} AS sim
+    FROM embeddings a
+    JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {quantize_sql(_cos_sql('a.embedding', 'b.embedding'), 6)} >= {SIM_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (the 5th dedup tier)."""
+    return S.cosine_pairs(table(spark, sf_dir, "embeddings"), SIM_THRESHOLD)
+
+
 @_q(
     "embedding_label_stats",
     f"""
