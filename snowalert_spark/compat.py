@@ -228,6 +228,9 @@ _SIMPLE_FN = [
     (re.compile(r"\bDATEDIFF\s*\(", re.I), "timestampdiff("),
     (re.compile(r"\bBOOLOR_AGG\s*\(", re.I), "bool_or("),
     (re.compile(r"\bANY_VALUE\s*\(", re.I), "any_value("),
+    (re.compile(r"\bTRY_TO_TIMESTAMP(?:_LTZ|_NTZ)?\s*\(", re.I), "try_to_timestamp("),
+    # CONVERT_TIMEZONE(tz, ts): engine time is UTC → wall-clock in tz
+    (re.compile(r"\bCONVERT_TIMEZONE\s*\(", re.I), "__convert_tz__("),
 ]
 
 
@@ -417,6 +420,13 @@ def transpile(sql: str) -> str:
     out = rewrite_functions(out)
     out = _unmask_literals(out, lits)
     out = _fix_one_arg(out, "__regexp_substr__", _regexp_substr_args)
+    out = _fix_one_arg(
+        out,
+        "__convert_tz__",
+        lambda a: "from_utc_timestamp({1}, {0})".format(
+            *[p.strip() for p in _split_select_items(a)]
+        ),
+    )
     # DATEADD('minute', n, t) → timestampadd(minute, n, t): unquote unit
     out = re.sub(
         r"\b(timestampadd|timestampdiff)\(\s*'(\w+)'",

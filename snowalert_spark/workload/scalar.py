@@ -206,6 +206,87 @@ def range_join_90min_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# TRY_CAST / TRY_TO_TIMESTAMP coercion (§2.8; aws_cloudtrail.py:207-233
+# late/garbled timestamp handling) — malformed inputs become NULL, not
+# errors, even under ANSI mode
+# ---------------------------------------------------------------------------
+@_q(
+    "try_cast_coercion",
+    """
+    SELECT event_id,
+           TRY_CAST(json_extract_string(props, '$.k') AS INTEGER) AS k_int,
+           TRY_CAST(event_type AS INTEGER) AS bad_int,
+           TRY_CAST('2024-01-01 00:00:0' || CAST(event_id % 10 AS VARCHAR)
+                    AS TIMESTAMP) AS parsed_ts,
+           TRY_CAST(event_type AS TIMESTAMP) AS bad_ts
+    FROM events WHERE event_id < 500
+    """,
+)
+def try_cast_coercion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 500)
+    return e.select(
+        "event_id",
+        F.get_json_object("props", "$.k").try_cast("int").alias("k_int"),
+        F.col("event_type").try_cast("int").alias("bad_int"),
+        F.try_to_timestamp(
+            F.concat(
+                F.lit("2024-01-01 00:00:0"), (F.col("event_id") % 10).cast("string")
+            )
+        ).alias("parsed_ts"),
+        F.col("event_type").try_cast("timestamp").alias("bad_ts"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# CONVERT_TIMEZONE (§2.8; create-udtfs.sql.fmt:59-60) + arrays/SPLIT
+# ---------------------------------------------------------------------------
+@_q(
+    "timezone_and_array_functions",
+    """
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_parts,
+           list_contains(string_split(lower(text), ' '), 'merge') AS has_merge,
+           string_split(text, ' ')[1] AS head,
+           CAST(strpos(text, 'join') AS INTEGER) AS join_pos
+    FROM documents
+    """,
+)
+def timezone_and_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    parts = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(parts).cast("long").alias("n_parts"),
+        F.array_contains(F.split(F.lower("text"), " "), "merge").alias("has_merge"),
+        F.element_at(parts, 1).alias("head"),
+        # REGEXP_INSTR/POSITION analog: first occurrence, 1-based, 0 if absent
+        F.instr(F.col("text"), "join").alias("join_pos"),
+    )
+
+
+@_q(
+    "convert_timezone_shift",
+    """
+    SELECT event_id,
+           ts AS utc_ts,
+           ts - INTERVAL 8 HOUR AS pt_wallclock
+    FROM events WHERE event_id < 200
+    """,
+)
+def convert_timezone_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONVERT_TIMEZONE('UTC','America/... ', ts) analog: with the
+    engine pinned to UTC, a timezone conversion is a wall-clock shift;
+    from_utc_timestamp handles DST-aware zones (fixed offset used here
+    so the oracle is engine-independent)."""
+    e = table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.col("ts").alias("utc_ts"),
+        (F.col("ts") - F.expr("INTERVAL 8 HOURS")).alias("pt_wallclock"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # OBJECT_CONSTRUCT / canonical JSON / MD5 identity (§2.8 variant heart)
 # ---------------------------------------------------------------------------
 @_q(

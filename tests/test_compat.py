@@ -89,3 +89,20 @@ def test_transpiled_dateadd_window(spark):
     """
     n = spark.sql(compat.transpile(rule)).collect()[0].n
     assert n == spark.table("events").count()
+
+
+def test_try_and_timezone_functions(spark):
+    out = compat.transpile(
+        "SELECT TRY_TO_TIMESTAMP_LTZ(s), CONVERT_TIMEZONE('America/Los_Angeles', ts) FROM t"
+    )
+    assert "try_to_timestamp(s)" in out
+    assert "from_utc_timestamp(ts, 'America/Los_Angeles')" in out
+    spark.createDataFrame(
+        [("2024-06-01 12:00:00", "garbage")], "ts string, s string"
+    ).createOrReplaceTempView("t")
+    row = spark.sql(compat.transpile(
+        "SELECT TRY_TO_TIMESTAMP(s) AS bad, "
+        "CONVERT_TIMEZONE('America/Los_Angeles', ts::timestamp) AS la FROM t"
+    )).collect()[0]
+    assert row.bad is None
+    assert row.la.hour == 5  # PDT = UTC-7 in June
