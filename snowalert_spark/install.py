@@ -52,6 +52,31 @@ def register_data_views(spark: SparkSession, store: ResultsStore) -> None:
         store.read(t).createOrReplaceTempView(f"data_{t}")
 
 
+def register_metadata_views(spark: SparkSession, store: ResultsStore) -> None:
+    """Run-observability views (data-views.sql.fmt:95-291): per-rule
+    run summaries and error listings over query_metadata."""
+    md = store.read("query_metadata")
+    runs = md.select(
+        "event_time",
+        F.get_json_object("v", "$.RUN_ID").alias("run_id"),
+        F.get_json_object("v", "$.QUERY_NAME").alias("query_name"),
+        F.get_json_object("v", "$.RUN_TYPE").alias("run_type"),
+        F.get_json_object("v", "$.START_TIME").alias("start_time"),
+        F.get_json_object("v", "$.DURATION").cast("double").alias("duration_s"),
+        F.get_json_object("v", "$.ROW_COUNT.inserted").cast("long").alias("inserted"),
+        F.get_json_object("v", "$.ROW_COUNT.updated").cast("long").alias("updated"),
+        F.get_json_object("v", "$.ROW_COUNT.suppressed").cast("long").alias(
+            "suppressed"
+        ),
+        F.get_json_object("v", "$.ERROR.EXCEPTION_ONLY").alias("error"),
+    )
+    runs.createOrReplaceTempView("data_rule_runs")
+    # alert_query_rule_run_errors analog (:209-239): most recent first
+    runs.filter(F.col("error").isNotNull()).orderBy(
+        F.col("event_time").desc()
+    ).createOrReplaceTempView("data_rule_run_errors")
+
+
 def register_rule_tags(spark: SparkSession, registry: RuleRegistry) -> None:
     """data.rule_tags view (data-views.sql.fmt:1-25)."""
     tags = registry.rule_tags()
@@ -78,4 +103,5 @@ def install(
             samples.register_fixture_views(spark, sf_dir)
         samples.register(registry)
     register_data_views(spark, store)
+    register_metadata_views(spark, store)
     register_rule_tags(spark, registry)

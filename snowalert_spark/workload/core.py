@@ -170,18 +170,21 @@ def q5_supplier_volume_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Left-anti join idiom (J3: "left outer + IS NULL") — SURVEY §2.3
 # ---------------------------------------------------------------------------
 @_q(
-    "anti_join_customers_no_orders",
+    "anti_join_parts_no_bulk_orders",
     """
-    SELECT c_custkey, c_name
-    FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    SELECT p_partkey, p_name
+    FROM part
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_partkey = p_partkey AND l_quantity >= 45)
     """,
 )
-def anti_join_customers_no_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = table(spark, sf_dir, "customer")
-    o = table(spark, sf_dir, "orders")
-    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
-        "c_custkey", "c_name"
+def anti_join_parts_no_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts never ordered in bulk — the 'users with no login in 90d'
+    idiom (cis_aws_pack.sql:78-97) with a non-empty result set."""
+    p = table(spark, sf_dir, "part")
+    l = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    return p.join(l, p.p_partkey == l.l_partkey, "left_anti").select(
+        "p_partkey", "p_name"
     )
 
 

@@ -57,3 +57,27 @@ def test_install_views(spark, tmp_path):
     ]
     tags = spark.table("data_rule_tags").collect()
     assert {t.tag for t in tags} == {"snowflake", "mfa"}
+
+
+def test_metadata_views(spark, tmp_path):
+    import datetime as dt
+
+    from snowalert_spark import install
+    from snowalert_spark.rules import RuleRegistry
+    from snowalert_spark.runners import violation_queries
+    from snowalert_spark.store import ResultsStore
+
+    store = ResultsStore(spark, str(tmp_path / "mdv"))
+    reg = RuleRegistry()
+    reg.create("_OK_VIOLATION_QUERY", sql="SELECT 'o' AS object, 'T' AS title",
+               comment="ok")
+    reg.create("_BAD_VIOLATION_QUERY", sql="SELECT raise_error('boom') AS object",
+               comment="bad")
+    violation_queries.main(spark, store, reg)
+    install.register_metadata_views(spark, store)
+    runs = {r.query_name: r for r in spark.table("data_rule_runs").collect()}
+    assert runs["_OK_VIOLATION_QUERY"].inserted == 1
+    assert runs["_OK_VIOLATION_QUERY"].error is None
+    assert runs["_BAD_VIOLATION_QUERY"].error is not None
+    errs = spark.table("data_rule_run_errors").collect()
+    assert [e.query_name for e in errs] == ["_BAD_VIOLATION_QUERY"]
