@@ -25,6 +25,35 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def windowed_counts(
+    events,
+    time_col: str,
+    group_cols: list[str],
+    window: str = "1 hour",
+    slide: str | None = None,
+    watermark: str = "10 minutes",
+):
+    """Streaming tumbling/sliding windowed counts with late-data
+    watermark (§2.10): the streaming form of baselines.hourly_counts.
+    Append-mode emits a window once the watermark passes its end."""
+    w = (
+        F.window(time_col, window)
+        if slide is None
+        else F.window(time_col, window, slide)
+    )
+    return (
+        events.withWatermark(time_col, watermark)
+        .groupBy(w.alias("w"), *group_cols)
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("w.start").alias("slice_start"),
+            F.col("w.end").alias("slice_end"),
+            *group_cols,
+            "n",
+        )
+    )
+
+
 def sessionize_stream(
     events,
     key_col: str,

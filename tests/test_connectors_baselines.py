@@ -219,3 +219,29 @@ def test_has_no_violations(spark, tmp_path):
     violation_queries.main(spark, store, reg)
     assert not violation_queries.has_no_violations(store, "hv_query_id")
     assert violation_queries.has_no_violations(store, "other_query")
+
+
+def test_streaming_windowed_counts(spark, tmp_path):
+    from snowalert_spark.streaming import windowed_counts
+
+    src = tmp_path / "wev"
+    rows = [(1, "2024-01-01 00:10:00", "a"), (2, "2024-01-01 00:20:00", "a"),
+            (3, "2024-01-01 01:10:00", "b"), (4, "2024-01-01 03:10:00", "a")]
+    spark.createDataFrame(rows, "id long, ts string, k string").select(
+        "id", F.col("ts").cast("timestamp").alias("ts"), "k"
+    ).write.parquet(str(src))
+    stream = spark.readStream.schema("id long, ts timestamp, k string").parquet(
+        str(src)
+    )
+    out = windowed_counts(stream, "ts", ["k"], window="1 hour")
+    q = (out.writeStream.format("memory").queryName("wc")
+         .outputMode("append").start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = {(r.slice_start.hour, r.k): r.n for r in spark.sql("SELECT * FROM wc").collect()}
+    # append mode emits only windows sealed by the watermark (the last
+    # event at 03:10 holds back its own window)
+    assert got[(0, "a")] == 2
+    assert got[(1, "b")] == 1
