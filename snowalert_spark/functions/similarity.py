@@ -55,10 +55,14 @@ def brute_force_topk(
     digits; ranking on (quantized sim DESC, neighbor_id) is fully
     deterministic."""
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qv"),
+        F.sqrt(dot(vec_col, vec_col)).alias("qn"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot(vec_col, vec_col)).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -66,7 +70,7 @@ def brute_force_topk(
         .select(
             "query_id",
             "neighbor_id",
-            quantize(cosine("qv", "cv"), 6).alias("sim"),
+            quantize(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("sim"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -87,12 +91,25 @@ def cosine_pairs(
     cosine ≥ threshold. Exact all-pairs baseline (the corpus side is
     broadcast when small); the pruned path at corpus scale is IVF cell
     co-membership (``ivf_assign`` + same-cell pair join) or
-    random-hyperplane LSH, both trading recall for candidates."""
-    a = corpus.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"))
-    b = corpus.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"))
+    random-hyperplane LSH, both trading recall for candidates.
+
+    Self-norms are precomputed per vector (N folds) instead of per
+    pair (2·N² folds) — sqrt(dot(v,v)) yields the identical double
+    either way, so oracle equality is unaffected."""
+    a = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(dot(vec_col, vec_col)).alias("na"),
+    )
+    b = corpus.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(dot(vec_col, vec_col)).alias("nb"),
+    )
+    sim = quantize(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
     return (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", quantize(cosine("va", "vb"), 6).alias("sim"))
+        .select("vec_a", "vec_b", sim.alias("sim"))
         .filter(F.col("sim") >= threshold)
     )
 
