@@ -25,10 +25,10 @@ from snowalert_spark.session import get_session
 from snowalert_spark.store import ResultsStore
 
 
-def run_alerts(spark, store, registry) -> None:
-    alert_queries.main(spark, store, registry)
+def run_alerts(spark, store, registry, from_ts=None, to_ts=None) -> None:
+    alert_queries.main(spark, store, registry, from_ts=from_ts, to_ts=to_ts)
     alert_suppressions.main(spark, store, registry)
-    alert_processor.main(spark, store)
+    alert_processor.main(spark, store, now=to_ts)
     alert_dispatcher.main(spark, store)
 
 
@@ -46,7 +46,24 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="python module exposing register(registry)",
     )
+    # window overrides (SA_ALERT_CUTOFF_MINUTES analog +
+    # explicit backfill range)
+    p.add_argument("--cutoff-minutes", type=int, default=None)
+    p.add_argument("--from-ts", default=None, help="ISO timestamp")
+    p.add_argument("--to-ts", default=None, help="ISO timestamp")
     args = p.parse_args(argv)
+
+    import datetime as dt
+
+    to_ts = dt.datetime.fromisoformat(args.to_ts) if args.to_ts else None
+    if args.from_ts:
+        from_ts = dt.datetime.fromisoformat(args.from_ts)
+    elif args.cutoff_minutes:
+        from_ts = (to_ts or dt.datetime.utcnow()) - dt.timedelta(
+            minutes=args.cutoff_minutes
+        )
+    else:
+        from_ts = None
 
     spark = get_session(app_name="snowalert_spark_run")
     store = ResultsStore(spark, args.store)
@@ -55,7 +72,7 @@ def main(argv: list[str] | None = None) -> int:
         importlib.import_module(args.rules).register(registry)
 
     if args.target in ("alerts", "all"):
-        run_alerts(spark, store, registry)
+        run_alerts(spark, store, registry, from_ts=from_ts, to_ts=to_ts)
     if args.target in ("violations", "all"):
         run_violations(spark, store, registry)
     return 0
