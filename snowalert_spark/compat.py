@@ -225,7 +225,11 @@ _SIMPLE_FN = [
     (re.compile(r"\bCURRENT_TIMESTAMP\s*\(\s*\)", re.I), "current_timestamp()"),
     (re.compile(r"\bREGEXP_SUBSTR\s*\(", re.I), "__regexp_substr__("),
     (re.compile(r"\bDATEADD\s*\(", re.I), "timestampadd("),
-    (re.compile(r"\bDATEDIFF\s*\(", re.I), "timestampdiff("),
+    # DATEDIFF counts date-part *boundary crossings* in Snowflake
+    # (DATEDIFF(DAY,'01-01 23:59','01-02 00:01') = 1), while Spark's
+    # timestampdiff counts complete elapsed units (= 0). Deferred to a
+    # dedicated arg rewrite in transpile() that truncates both sides.
+    (re.compile(r"\bDATEDIFF\s*\(", re.I), "__datediff__("),
     (re.compile(r"\bBOOLOR_AGG\s*\(", re.I), "bool_or("),
     (re.compile(r"\bANY_VALUE\s*\(", re.I), "any_value("),
     (re.compile(r"\bTRY_TO_TIMESTAMP(?:_LTZ|_NTZ)?\s*\(", re.I), "try_to_timestamp("),
@@ -274,6 +278,37 @@ def _regexp_substr_args(args: str) -> str:
     if len(parts) >= 3 and parts[2] != "1":
         raise ValueError("REGEXP_SUBSTR position != 1 unsupported")
     return f"regexp_extract({s}, {p}, {group})"
+
+
+def _datediff_args(args: str) -> str:
+    """DATEDIFF(unit, a, b) → boundary-count semantics: truncate both
+    operands to the unit before diffing, so crossing a unit boundary
+    counts 1 regardless of elapsed time (Snowflake semantics; the
+    reference packs gate their windows on this, e.g.
+    snowflake_security_monitoring.sql 'DATEDIFF(HOUR, ts, NOW) < 24')."""
+    parts = [p.strip() for p in _split_select_items(args)]
+    if len(parts) != 3:
+        raise ValueError(f"DATEDIFF expects 3 args, got {len(parts)}: {args!r}")
+    unit = parts[0].strip("'\"").lower()
+    a, b = parts[1], parts[2]
+    return (
+        f"timestampdiff({unit}, date_trunc('{unit}', {a}),"
+        f" date_trunc('{unit}', {b}))"
+    )
+
+
+def _convert_tz_args(args: str) -> str:
+    """CONVERT_TIMEZONE(tz, ts) → wall-clock in tz (engine time is
+    UTC); CONVERT_TIMEZONE(src, tgt, ts) → reinterpret wall-clock ts
+    from src and render in tgt."""
+    parts = [p.strip() for p in _split_select_items(args)]
+    if len(parts) == 2:
+        tz, ts = parts
+        return f"from_utc_timestamp({ts}, {tz})"
+    if len(parts) == 3:
+        src, tgt, ts = parts
+        return f"from_utc_timestamp(to_utc_timestamp({ts}, {src}), {tgt})"
+    raise ValueError(f"CONVERT_TIMEZONE expects 2 or 3 args: {args!r}")
 
 
 def _fix_one_arg(sql: str, marker: str, build) -> str:
@@ -420,13 +455,8 @@ def transpile(sql: str) -> str:
     out = rewrite_functions(out)
     out = _unmask_literals(out, lits)
     out = _fix_one_arg(out, "__regexp_substr__", _regexp_substr_args)
-    out = _fix_one_arg(
-        out,
-        "__convert_tz__",
-        lambda a: "from_utc_timestamp({1}, {0})".format(
-            *[p.strip() for p in _split_select_items(a)]
-        ),
-    )
+    out = _fix_one_arg(out, "__convert_tz__", _convert_tz_args)
+    out = _fix_one_arg(out, "__datediff__", _datediff_args)
     # DATEADD('minute', n, t) → timestampadd(minute, n, t): unquote unit
     out = re.sub(
         r"\b(timestampadd|timestampdiff)\(\s*'(\w+)'",

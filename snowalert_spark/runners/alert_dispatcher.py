@@ -22,10 +22,16 @@ BATCH = 1000  # alert_dispatcher.py:15
 
 def main(spark: SparkSession, store: ResultsStore) -> int:
     alerts = store.read("alerts")
+    # Reference gate (alert_dispatcher.py:9-16):
+    # IFF(alert:HANDLERS IS NULL, ticket IS NULL, handled IS NULL) —
+    # default-handler alerts whose dispatch failed (handled written,
+    # no ticket) are retried next run instead of being dropped.
+    unhandled = F.when(
+        F.col("alert.HANDLERS").isNull(), F.col("ticket").isNull()
+    ).otherwise(F.col("handled").isNull())
     batch = (
         alerts.filter(
-            F.col("handled").isNull()
-            & (~F.coalesce(F.col("suppressed"), F.lit(False)))
+            unhandled & (~F.coalesce(F.col("suppressed"), F.lit(False)))
         )
         .orderBy(F.col("event_time").asc())
         .limit(BATCH)

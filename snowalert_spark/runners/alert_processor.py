@@ -9,12 +9,23 @@ JSON-stringified before comparison (SP1513 regression, :50-56).
 Distributed equivalent (SURVEY §7.3 hard-part 3): a window pass per
 ACTOR ordered by event time — an alert chains to the previous alert of
 the same actor when the 60-minute gap and OBJECT-or-ACTION conditions
-hold; correlation groups are the resulting prefix-sums, and the group
-id is ``{actor-hash}-{first ALERT_ID}`` (deterministic; the reference
-mints uuid4). Chaining to the *previous* alert of the actor is
-equivalent to the reference's most-recent-correlated lookup whenever
-the previous alert is within the window — the 2-hour scan bound means
-chains older than that are restarted in both designs.
+hold; correlation groups are the resulting prefix-sums. Matching the
+reference exactly (alert_processor.py:33-39, :20-31):
+
+- only alerts with ``correlation_id IS NULL`` and ``alert_time`` in
+  the trailing 2-hour scan window are *assigned*; existing non-null
+  correlation_ids are never rewritten (the reference's UPDATE touches
+  one NULL row at a time);
+- already-correlated alerts *seed* chains: a NULL alert linked (gap +
+  entity match) to a prefix that contains a correlated alert adopts
+  the most recent such correlation_id, like the reference's
+  ``ORDER BY event_time DESC LIMIT 1`` lookup;
+- chains with no correlated seed mint ``{actor-hash}-{first
+  ALERT_ID}`` (deterministic; the reference mints uuid4);
+- the seed pool is bounded by ``event_time >= min(todo.event_time) -
+  60min`` — the exact reachable set for the reference's per-alert
+  60-minute lookback, so backfilled alerts (old event_time, recent
+  alert_time) still correlate.
 """
 
 from __future__ import annotations
@@ -38,9 +49,28 @@ def main(
     now = now or dt.datetime.utcnow()
     scan_from = now - dt.timedelta(hours=SCAN_HOURS)
     alerts = store.read("alerts")
-    todo = alerts.filter(
-        (~F.coalesce(F.col("suppressed"), F.lit(False)))
-        & (F.col("event_time") >= F.lit(scan_from))
+    live = alerts.filter(~F.coalesce(F.col("suppressed"), F.lit(False)))
+    # Assignment set: NULL correlation_id, alert_time in the scan
+    # window (reference bounds on alert_time, not event_time, so
+    # backfilled alerts are still processed).
+    is_todo = F.col("correlation_id").isNull() & (
+        F.col("alert_time") >= F.lit(scan_from)
+    )
+    todo = live.filter(is_todo)
+
+    # Seed-pool lower bound: the earliest todo alert's event_time
+    # minus the 60-minute lookback — the exact set of alerts the
+    # reference's per-alert lookup could reach. Single-scalar agg.
+    lo = todo.agg(F.min("event_time").alias("lo")).collect()[0]["lo"]
+    if lo is None:
+        return 0  # nothing to correlate
+    pool_from = lo - dt.timedelta(minutes=CORRELATION_WINDOW_MINUTES)
+    pool = live.filter(
+        is_todo
+        | (
+            F.col("correlation_id").isNotNull()
+            & (F.col("event_time") >= F.lit(pool_from))
+        )
     )
 
     actor = F.col("alert.ACTOR")
@@ -60,16 +90,28 @@ def main(
     chain = F.sum(new_chain).over(w.rowsBetween(W.unboundedPreceding, 0))
 
     wchain = W.partitionBy(actor, F.col("__chain"))
+    wprefix = (
+        W.partitionBy(actor, F.col("__chain"))
+        .orderBy("event_time", F.col("alert.ALERT_ID"))
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
     corr = (
-        todo.withColumn("__chain", chain)
+        pool.withColumn("__chain", chain)
         .withColumn(
+            # Most recent already-assigned id in the chain prefix wins
+            # (reference: ORDER BY event_time DESC LIMIT 1); a chain
+            # with no seed mints a deterministic id.
             "__corr",
-            F.concat_ws(
-                "-",
-                F.md5(F.coalesce(actor, F.lit(""))),
-                F.min(F.col("alert.ALERT_ID")).over(wchain),
+            F.coalesce(
+                F.last(F.col("correlation_id"), ignorenulls=True).over(wprefix),
+                F.concat_ws(
+                    "-",
+                    F.md5(F.coalesce(actor, F.lit(""))),
+                    F.min(F.col("alert.ALERT_ID")).over(wchain),
+                ),
             ),
         )
+        .filter(F.col("correlation_id").isNull())  # never rewrite existing ids
         .select(
             F.col("alert.ALERT_ID").alias("aid"),
             F.col("__corr").alias("corr"),

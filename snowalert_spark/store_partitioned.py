@@ -115,6 +115,12 @@ class PartitionedResultsStore:
                 ignore_errors=True,
             )
 
+    # NOTE on the distinct-date collect()s below: partitions are
+    # date-grained, so the collected set is bounded by the span of the
+    # data in days (~365 rows/year of driver memory) — not by row
+    # count. This is a driver-protocol collect, not a data collect; if
+    # the partition grain ever becomes finer (hour, key), switch the
+    # publish loop to a partitionBy writer.
     def append(self, table: str, df: DataFrame) -> None:
         dated = self._with_date(table, df).cache()
         for (date,) in dated.select("__date").distinct().collect():
@@ -146,9 +152,22 @@ class PartitionedResultsStore:
 
         Hot dates = dates of incoming rows ∪ [window_from, window_to]
         (the match window: a target row outside it can never match —
-        same contract as the MERGE's EVENT_TIME bound)."""
-        dated_in = self._with_date(table, incoming).cache()
-        hot = {d for (d,) in dated_in.select("__date").distinct().collect()}
+        same contract as the MERGE's EVENT_TIME bound).
+
+        Keyed updates (suppression flags, handled markers, correlation
+        ids) arrive as id-only frames without the table's time column;
+        those derive hot dates from the window args alone, or fall back
+        to every partition when no window is given (correct, just not
+        pruned). ``__date`` for publishing is always computed on the
+        merged output, which carries the full table schema."""
+        tc = TIME_COLS[table]
+        has_time = tc in incoming.columns
+        incoming = incoming.cache()
+        if has_time:
+            dated_in = self._with_date(table, incoming)
+            hot = {d for (d,) in dated_in.select("__date").distinct().collect()}
+        else:
+            hot = set() if (window_from and window_to) else set(self._partitions(table))
         if window_from and window_to:
             d = window_from.date()
             while d <= window_to.date():
@@ -158,7 +177,7 @@ class PartitionedResultsStore:
         hot = sorted(hot)
 
         target = self.read(table, dates=hot).cache()
-        src = dated_in.drop("__date")
+        src = incoming
         src = src.select(
             *[F.col(c).alias(f"src_{c}") for c in src.columns]
         ).withColumn("__src", F.lit(True))
@@ -200,11 +219,32 @@ class PartitionedResultsStore:
         merged.unpersist()
         joined.unpersist()
         target.unpersist()
-        dated_in.unpersist()
+        incoming.unpersist()
         return {
             "updated": int(counts["u"] or 0),
             "inserted": int(counts["i"] or 0) if when_not_matched_insert else 0,
         }
+
+    def update(
+        self, table: str, condition: Column, updates: dict[str, Column]
+    ) -> int:
+        """UPDATE t SET ... WHERE cond, rewriting only partitions that
+        contain matching rows (cold partitions untouched)."""
+        full = self.read(table)
+        hits = self._with_date(table, full.filter(condition)).cache()
+        hot = {d for (d,) in hits.select("__date").distinct().collect()}
+        n = hits.count()
+        hits.unpersist()
+        for date in sorted(hot):
+            part = self.read(table, dates=[date])
+            cols = []
+            for f in self.schema(table):
+                c = F.col(f.name)
+                if f.name in updates:
+                    c = F.when(condition, updates[f.name]).otherwise(c)
+                cols.append(c.cast(f.dataType).alias(f.name))
+            self._publish(table, date, part.select(*cols))
+        return n
 
     def touched_partitions(self, table: str) -> dict[str, int]:
         """Observability: partition → current version (lets tests prove
