@@ -119,9 +119,13 @@ def ivf_assign(
     centroids: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
     """(vec_id, cell): nearest-centroid assignment by max cosine
-    (tiebreak: smaller centroid id). Centroids are broadcast."""
+    (tiebreak: smaller centroid id). Centroids are broadcast.
+    ``nprobe > 1`` emits one row per probed cell (multi-probe: the
+    vector belongs to its nprobe nearest cells), raising candidate
+    recall for same-cell joins at the cost of nprobe× assignments."""
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     cent = centroids.select(
         F.col(id_col).alias("cell"), F.col(vec_col).alias("cent")
@@ -132,8 +136,116 @@ def ivf_assign(
     w = W.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cell"))
     return (
         scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        .filter(F.col("rn") <= nprobe)
         .select("vec_id", "cell")
+    )
+
+
+def kmeans_fit(
+    corpus: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Deterministic Lloyd's k-means over a (bounded) training frame:
+    returns ``(cell int, cent array<double>)``.
+
+    Every step is engine-replayable so a SQL oracle can reproduce the
+    centroids bit-for-bit (see workload/vector.py):
+
+    - init: the k vectors with ``id < k`` (deterministic seed);
+    - assignment: max *quantized* cosine, tiebreak smaller cell — no
+      float-boundary ambiguity;
+    - update: per-dimension mean via exact DECIMAL(25,12) accumulation
+      and a single final cast to double (order-independent), array
+      rebuilt in dimension order;
+    - empty cells keep their previous centroid.
+
+    At scale the training frame is a bounded sample (caller filters),
+    so each iteration is one broadcast-assign scan plus one
+    groupBy(cell, dim) of sample_size×dims rows — never the corpus.
+    """
+    train = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    cent = train.filter(F.col("vec_id") < k).select(
+        F.col("vec_id").cast("int").alias("cell"),
+        F.expr("transform(v, x -> CAST(x AS DOUBLE))").alias("cent"),
+    )
+    for _ in range(iters):
+        assign = ivf_assign(
+            train,
+            cent.select(F.col("cell").alias("vec_id"), F.col("cent").alias("v")),
+            id_col="vec_id",
+            vec_col="v",
+        )
+        ex = (
+            train.join(assign, "vec_id")
+            .select("cell", F.posexplode("v").alias("dim", "x"))
+        )
+        means = ex.groupBy("cell", "dim").agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(25,12)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        newc = means.groupBy("cell").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("cent_new")
+        )
+        cent = (
+            cent.join(newc, "cell", "left")
+            .select("cell", F.coalesce("cent_new", "cent").alias("cent"))
+        )
+    return cent
+
+
+def cosine_pairs_ivf(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Scale-safe embedding near-duplicate pairs: candidate = co-
+    membership in any of each vector's ``nprobe`` nearest IVF cells
+    (equi-join on cell id — never all-pairs), then exact quantized
+    cosine verifies candidates only. Mirrors the MinHash-LSH
+    candidate/verify split (functions/dedup.py): the quadratic factor
+    applies per cell, not per corpus, and cells are load-bounded by
+    the k-means partition of the space.
+
+    Same output schema as :func:`cosine_pairs`; recall < 1 is possible
+    for pairs straddling cell boundaries (raise nprobe to trade cost
+    for recall — tests measure recall vs the exact baseline)."""
+    assign = ivf_assign(corpus, centroids, id_col, vec_col, nprobe=nprobe)
+    a = assign.select(F.col("vec_id").alias("vec_a"), "cell")
+    b = assign.select(F.col("vec_id").alias("vec_b"), "cell")
+    cand = (
+        a.join(b, ["cell"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    va = corpus.select(
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+        F.sqrt(dot(vec_col, vec_col)).alias("na"),
+    )
+    vb = corpus.select(
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+        F.sqrt(dot(vec_col, vec_col)).alias("nb"),
+    )
+    sim = quantize(dot("va", "vb") / (F.col("na") * F.col("nb")), 6)
+    return (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
     )
 
 

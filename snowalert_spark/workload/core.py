@@ -567,18 +567,53 @@ def group_by_ordinals_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Approximate aggregates (A10/A11 real approx form) — engine-specific
-# sketches can't hash-match an oracle; the driver records the weaker
-# rows-only check, and tests/test_approx.py bounds the error vs exact.
+# sketches (HLL++, t-digest) can never hash-match another engine's, so
+# the checkable contract is the *error bound*: the plan computes the
+# real approx aggregates AND exact anchors, and emits booleans
+# asserting the sketch landed within its documented bounds (HLL++
+# rsd≈0.05 → 10% + 5-absolute slack; approx p50 inside the exact
+# p25..p75 bracket; the quantile vector monotone). The oracle states
+# the same invariants as literals over the exact anchor — a real
+# hash-match, not a rows-only waiver. tests/test_approx.py additionally
+# bounds the numeric error vs exact.
 # ---------------------------------------------------------------------------
-@_q("approx_aggregates")
+@_q(
+    "approx_aggregates",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+           TRUE AS users_within_bound,
+           TRUE AS p50_within_bracket,
+           TRUE AS quantiles_monotonic
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id").alias("approx_users"),
-        F.percentile_approx("value", 0.5).alias("approx_p50"),
+    agg = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id").alias("_approx_users"),
+        F.percentile_approx("value", 0.5).alias("_approx_p50"),
+        F.expr("percentile(value, 0.25)").alias("_exact_p25"),
+        F.expr("percentile(value, 0.75)").alias("_exact_p75"),
         F.percentile_approx(
             "value", [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
-        ).alias("approx_quantiles"),
+        ).alias("_approx_quantiles"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("exact_users").cast("long").alias("exact_users"),
+        (
+            F.abs(F.col("_approx_users") - F.col("exact_users"))
+            <= F.greatest(F.lit(5.0), F.col("exact_users") * 0.10)
+        ).alias("users_within_bound"),
+        F.col("_approx_p50")
+        .between(F.col("_exact_p25"), F.col("_exact_p75"))
+        .alias("p50_within_bracket"),
+        (F.col("_approx_quantiles") == F.array_sort("_approx_quantiles")).alias(
+            "quantiles_monotonic"
+        ),
     )
 
 

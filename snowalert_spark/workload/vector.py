@@ -40,7 +40,58 @@ def _cos_sql(a: str, b: str) -> str:
 
 
 N_QUERIES = 10  # query set: vec_id < 10
-N_CENTROIDS = 8  # IVF coarse centroids: vec_id < 8 (stand-in for kmeans output)
+N_CENTROIDS = 8  # IVF coarse centroids: k for kmeans_fit
+TRAIN_N = 64  # kmeans training sample: vec_id < 64 (bounded, deterministic)
+KMEANS_ITERS = 2
+NPROBE_DEDUP = 2  # multi-probe factor for the near-dup candidate join
+
+
+def _kmeans_ctes(k: int = N_CENTROIDS, train_n: int = TRAIN_N, iters: int = KMEANS_ITERS) -> str:
+    """DuckDB CTE chain replaying kmeans_fit bit-for-bit: ``ktrain``,
+    ``c0`` … ``c{iters}`` (final centroids in ``c{iters}(cell, cent)``).
+    Unrolled Lloyd rounds — assignment by quantized cosine with
+    smaller-cell tiebreak, per-dim DECIMAL(25,12)-exact means, empty
+    cells keep their previous centroid — matching
+    functions/similarity.py kmeans_fit step for step."""
+    ctes = [
+        f"ktrain AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < {train_n})",
+        f"""c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+                      list_transform(v, x -> CAST(x AS DOUBLE)) AS cent
+               FROM ktrain WHERE vec_id < {k})""",
+    ]
+    for i in range(1, iters + 1):
+        prev, a, m = f"c{i-1}", f"ka{i}", f"km{i}"
+        ctes.append(
+            f"""{a} AS (
+            SELECT vec_id, cell FROM (
+                SELECT t.vec_id, c.cell,
+                       {quantize_sql(_cos_sql('t.v', 'c.cent'), 6)} AS sim
+                FROM ktrain t CROSS JOIN {prev} c)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell) = 1)"""
+        )
+        ctes.append(
+            f"""{m} AS (
+            SELECT cell, dim,
+                   CAST(SUM(CAST(CAST(x AS DOUBLE) AS DECIMAL(25,12))) AS DOUBLE)
+                     / COUNT(*) AS m
+            FROM (SELECT a.cell,
+                         unnest(generate_series(1, len(t.v))) AS dim,
+                         unnest(t.v) AS x
+                  FROM ktrain t JOIN {a} a USING (vec_id))
+            GROUP BY cell, dim)"""
+        )
+        ctes.append(
+            f"""c{i} AS (
+            SELECT c.cell, COALESCE(n.cent, c.cent) AS cent
+            FROM {prev} c
+            LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cent
+                       FROM {m} GROUP BY cell) n USING (cell))"""
+        )
+    return ",\n".join(ctes)
+
+
+KMEANS_FINAL = f"c{KMEANS_ITERS}"
 
 
 @_q(
@@ -71,8 +122,8 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_q(
     "ann_ivf_topk",
     f"""
-    WITH cent AS (SELECT vec_id AS cell, embedding AS cent
-                  FROM embeddings WHERE vec_id < {N_CENTROIDS}),
+    WITH {_kmeans_ctes()},
+    cent AS (SELECT cell, cent FROM {KMEANS_FINAL}),
     ascore AS (
         SELECT e.vec_id, cell,
                {quantize_sql(_cos_sql('e.embedding', 'cent'), 6)} AS sim
@@ -102,9 +153,14 @@ def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(
+        emb.filter(F.col("vec_id") < TRAIN_N), k=N_CENTROIDS, iters=KMEANS_ITERS
+    )
     return S.ivf_topk(
         emb,
-        emb.filter(F.col("vec_id") < N_CENTROIDS),
+        cents.select(
+            F.col("cell").alias("vec_id"), F.col("cent").alias("embedding")
+        ),
         emb.filter(F.col("vec_id") < N_QUERIES),
         k=3,
     )
@@ -124,8 +180,54 @@ SIM_THRESHOLD = 0.35  # data has no planted embedding dups; max cos ≈ 0.51
     """,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (the 5th dedup tier)."""
+    """Embedding-cosine near-dup pairs, exact all-pairs form — the
+    *verification baseline* for dedup_embedding_ivf (recall is
+    measured against this in tests/test_oracle_vectors.py); the scale
+    path is the IVF-pruned variant below."""
     return S.cosine_pairs(table(spark, sf_dir, "embeddings"), SIM_THRESHOLD)
+
+
+@_q(
+    "dedup_embedding_ivf",
+    f"""
+    WITH {_kmeans_ctes()},
+    assign AS (
+        SELECT vec_id, cell FROM (
+            SELECT e.vec_id, c.cell,
+                   {quantize_sql(_cos_sql('e.embedding', 'c.cent'), 6)} AS sim
+            FROM embeddings e CROSS JOIN {KMEANS_FINAL} c)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell) <= {NPROBE_DEDUP}),
+    cand AS (
+        SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           {quantize_sql(_cos_sql('ea.embedding', 'eb.embedding'), 6)} AS sim
+    FROM cand
+    JOIN embeddings ea ON vec_a = ea.vec_id
+    JOIN embeddings eb ON vec_b = eb.vec_id
+    WHERE {quantize_sql(_cos_sql('ea.embedding', 'eb.embedding'), 6)} >= {SIM_THRESHOLD}
+    """,
+)
+def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe embedding near-dup tier: k-means-trained IVF cells →
+    multi-probe co-membership equi-join (candidates) → exact cosine
+    verification. No all-pairs product anywhere in the plan (pinned by
+    tests/test_plans.py); the same candidate/verify split as
+    MinHash-LSH."""
+    emb = table(spark, sf_dir, "embeddings")
+    cents = S.kmeans_fit(
+        emb.filter(F.col("vec_id") < TRAIN_N), k=N_CENTROIDS, iters=KMEANS_ITERS
+    )
+    return S.cosine_pairs_ivf(
+        emb,
+        cents.select(
+            F.col("cell").alias("vec_id"), F.col("cent").alias("embedding")
+        ),
+        SIM_THRESHOLD,
+        nprobe=NPROBE_DEDUP,
+    )
 
 
 @_q(

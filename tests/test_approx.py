@@ -1,5 +1,10 @@
-"""Approximate aggregates: bounded-error checks against exact values
-(no cross-engine oracle is possible for sketches)."""
+"""Approximate aggregates: bounded-error checks against exact values.
+
+Engine-specific sketches can't hash-match a cross-engine oracle, so
+the driver-facing query (workload/core.py approx_aggregates) emits
+exact anchors + in-bound booleans; here we verify those booleans hold
+AND bound the raw sketch error directly.
+"""
 
 from __future__ import annotations
 
@@ -11,12 +16,32 @@ from snowalert_spark.workload.core import approx_aggregates
 SF = "/root/testdata/sf0.01"
 
 
+def test_approx_contract_holds(spark):
+    rows = approx_aggregates(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.users_within_bound, r
+        assert r.p50_within_bracket, r
+        assert r.quantiles_monotonic, r
+
+
 def test_approx_vs_exact(spark):
-    approx = {r.event_type: r for r in approx_aggregates(spark, SF).collect()}
+    e = table(spark, SF, "events")
+    approx = {
+        r.event_type: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", 0.5).alias("approx_p50"),
+            F.percentile_approx(
+                "value", [0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99]
+            ).alias("approx_quantiles"),
+        )
+        .collect()
+    }
     exact = {
         r.event_type: r
-        for r in table(spark, SF, "events")
-        .groupBy("event_type")
+        for r in e.groupBy("event_type")
         .agg(
             F.countDistinct("user_id").alias("users"),
             F.expr("percentile(value, 0.5)").alias("p50"),

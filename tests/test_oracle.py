@@ -14,8 +14,8 @@ from tests.oracle_harness import compare
 
 SF_DIR = os.environ.get("ORACLE_SF_DIR", "/root/testdata/sf0.001")
 
-_QUERIES = workload.queries()
-_ORACLES = workload.oracle_sql()
+_QUERIES = workload.queries(include_local=True)
+_ORACLES = workload.oracle_sql(include_local=True)
 
 
 @pytest.mark.parametrize("name", sorted(_QUERIES))

@@ -50,3 +50,11 @@ def test_brute_force_broadcasts_queries(spark):
     plan = _plan(spark, "cosine_topk_bruteforce")
     # the tiny query set is the broadcast side of the nested-loop join
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_embedding_ivf_dedup_no_cartesian(spark):
+    """The scale-safe embedding near-dup tier: the corpus-corpus
+    candidate join is equi on cell id — the only product in the plan
+    is the broadcast scan against the k(=8) centroids."""
+    plan = _plan(spark, "dedup_embedding_ivf")
+    assert "CartesianProduct" not in plan

@@ -1,0 +1,111 @@
+"""k-means IVF training + the scale-safe embedding near-dup tier.
+
+The oracle hash-match for ``ann_ivf_topk`` / ``dedup_embedding_ivf``
+lives in tests/test_oracle.py (DuckDB replays the unrolled Lloyd
+rounds bit-for-bit). Here: trainer determinism, the candidate/verify
+contract (IVF pairs ⊆ exact pairs), measured recall on the fixture,
+and full recall on planted near-duplicates — the operator's actual
+production case (near-identical vectors land in the same cells).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowalert_spark import workload
+from snowalert_spark.functions import similarity as S
+from snowalert_spark.tables import table
+from snowalert_spark.workload.vector import (
+    KMEANS_ITERS,
+    N_CENTROIDS,
+    SIM_THRESHOLD,
+    TRAIN_N,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return table(spark, SF, "embeddings")
+
+
+def test_kmeans_deterministic(spark):
+    emb = _emb(spark)
+    fit = lambda: sorted(
+        (r.cell, tuple(r.cent))
+        for r in S.kmeans_fit(
+            emb.filter(F.col("vec_id") < TRAIN_N), k=N_CENTROIDS, iters=KMEANS_ITERS
+        ).collect()
+    )
+    a, b = fit(), fit()
+    assert a == b
+    assert len(a) == N_CENTROIDS
+    # training moved the centroids off their seed vectors
+    seeds = {
+        r.vec_id: tuple(float(x) for x in r.embedding)
+        for r in emb.filter(F.col("vec_id") < N_CENTROIDS).collect()
+    }
+    moved = sum(1 for cell, cent in a if cent != seeds[cell])
+    assert moved == N_CENTROIDS
+
+
+def test_ivf_pairs_subset_and_recall(spark):
+    qs = workload.queries(include_local=True)
+    exact = {
+        (r.vec_a, r.vec_b): r.sim
+        for r in qs["dedup_embedding_cosine"](spark, SF).collect()
+    }
+    ivf = {(r.vec_a, r.vec_b) for r in qs["dedup_embedding_ivf"](spark, SF).collect()}
+    assert ivf <= set(exact), "IVF tier must never invent pairs"
+    recall = len(ivf) / len(exact)
+    # fixture vectors are near-orthogonal (max cos ≈ 0.51), so the low
+    # 0.35 threshold sits at the cell-boundary regime — the measured
+    # floor is ~0.72 at nprobe=2; genuine near-dups get full recall
+    # (next test)
+    assert recall >= 0.65, f"recall {recall:.3f} regressed"
+
+
+def test_planted_near_dups_full_recall(spark):
+    """Jittered copies (cos ≈ 0.999) of 30 corpus vectors must all be
+    recovered by the IVF tier at a 0.9 threshold: near-identical
+    vectors share nearest centroids, so multi-probe co-membership
+    always proposes the pair."""
+    emb = _emb(spark)
+    base = emb.filter(F.col("vec_id") < 30)
+    clones = base.select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+            "THEN CAST(x * 1.05 + 0.01 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+        "label",
+    )
+    corpus = emb.unionByName(clones)
+    cents = S.kmeans_fit(
+        corpus.filter(F.col("vec_id") < TRAIN_N), k=N_CENTROIDS, iters=KMEANS_ITERS
+    )
+    pairs = S.cosine_pairs_ivf(
+        corpus,
+        cents.select(
+            F.col("cell").alias("vec_id"), F.col("cent").alias("embedding")
+        ),
+        threshold=0.9,
+        nprobe=2,
+    )
+    found = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in range(30)}
+    assert planted <= found, f"missed {sorted(planted - found)[:5]}"
+
+
+def test_driver_registry_is_exactly_capped(spark):
+    qs = workload.queries()
+    assert len(qs) == workload.DRIVER_QUERY_CAP
+    # every driver-declared query has an oracle except declared-weaker ones
+    missing = set(qs) - set(workload.oracle_sql())
+    assert missing == set(), f"driver queries without oracle: {missing}"
+    # the round-1 unchecked vector queries are inside the cap now
+    names = list(qs)
+    for n in ("ann_ivf_topk", "dedup_embedding_cosine", "dedup_embedding_ivf",
+              "embedding_label_stats"):
+        assert names.index(n) < workload.DRIVER_QUERY_CAP
