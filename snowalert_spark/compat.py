@@ -4,20 +4,48 @@ The reference's entire workload is Snowflake SQL text (rule views in
 ``packs/*.sql`` + engine-emitted statements). This module rewrites the
 dialect differences so rule bodies run near-verbatim under Catalyst:
 
-- ``QUALIFY <pred>``           → window-in-subquery + WHERE rewrite
-- ``col:a.b['k'][0]::type``   → CAST(get_json_object(col,'$.…') AS t)
+- ``QUALIFY <pred>``           → window-in-subquery + WHERE rewrite,
+                                 applied at every nesting depth (CTE
+                                 bodies, derived tables — the packs use
+                                 QUALIFY inside CTEs, e.g.
+                                 cis_aws_pack.sql:513).
+- ``col:a:b.c['k'][0]::type`` → CAST(get_json_object(col,'$…') AS t);
+                                 multi-colon Snowflake paths
+                                 (cis_aws_pack.sql raw:requestParameters
+                                 :name) and bracket access on bare
+                                 columns (aws_query_pack.sql:127
+                                 request_parameters['bucketName']) both
+                                 resolve.
+- ``LATERAL FLATTEN``          → LATERAL VIEW posexplode(from_json(…)),
+                                 comma- and JOIN-joined forms, optional
+                                 alias, args with nested parens, placed
+                                 at the end of the FROM clause so
+                                 ``FROM a, FLATTEN(…), b`` parses
+                                 (cis_aws_pack.sql:846);
+                                 ``recursive => true`` → LATERAL VIEW
+                                 inline(sa_rflatten(…)) over the
+                                 pandas-UDF JSON walker
+                                 (cis_azure_pack.sql:207).
 - function renames             → IFF→if, ZEROIFNULL→coalesce, DATEADD/
-                                 DATEDIFF→timestampadd/timestampdiff,
-                                 REGEXP_SUBSTR→regexp_extract, RLIKE
-                                 with flags → inline (?flags), …
-- ``OBJECT_CONSTRUCT(*)``      → to_json(struct(*))
-- ``ARRAY_CONSTRUCT``          → array
-- ``SELECT-alias reuse in WHERE`` is NOT auto-rewritten (Snowflake
-  extension); rules using it are wrapped explicitly at registration.
+                                 DATEDIFF→timestampadd/timestampdiff
+                                 (boundary-count semantics),
+                                 REGEXP_SUBSTR→regexp_extract (incl.
+                                 6-arg group_num form), ARRAY_AGG→
+                                 collect_list / sort_array(collect_set),
+                                 ARRAY_CONTAINS arg-swap over JSON-text
+                                 arrays, RLIKE flags → inline (?flags).
+- ``OBJECT_CONSTRUCT(…)``      → to_json(named_struct(…)) — the variant
+                                 convention is JSON text (functions/
+                                 variant.py).
+- ``USING col``                → USING (col) (osquery_query_pack.sql:35)
+- SELECT-alias reuse in WHERE  → inline expansion (Snowflake extension;
+                                 Spark only resolves lateral aliases in
+                                 the SELECT list).
 
-String-level rewriting is deliberate: no SQL parser dependency, and
-the rewrites are all local token substitutions except QUALIFY, which
-splits at top level (paren/quote-aware).
+String-level rewriting is deliberate: no SQL parser dependency. All
+rewrites are local token substitutions except QUALIFY/FLATTEN/alias-in-
+WHERE, which operate per paren-nesting scope (literals are masked first
+so quotes can't confuse the scanners).
 """
 
 from __future__ import annotations
@@ -74,6 +102,38 @@ def _split_top_level(sql: str, keyword: str) -> tuple[str, str] | None:
     return None
 
 
+def _find_top_level_any(sql: str, keywords: tuple[str, ...], start: int = 0) -> int:
+    """Index of the earliest top-level occurrence of any keyword at or
+    after ``start``; len(sql) if none."""
+    best = len(sql)
+    tail = sql[start:]
+    for kw in keywords:
+        sp = _split_top_level(tail, kw)
+        if sp is not None:
+            best = min(best, start + len(sp[0]))
+    return best
+
+
+def _match_paren(s: str, i: int) -> int:
+    """Index of the ')' matching the '(' at ``i`` (quote-aware)."""
+    depth = 0
+    n = len(s)
+    while i < n:
+        c = s[i]
+        if c == "'":
+            i += 1
+            while i < n and s[i] != "'":
+                i += 1
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    raise ValueError("unbalanced parens")
+
+
 def rewrite_qualify(sql: str) -> str:
     """``SELECT <sel> FROM <rest> QUALIFY p [ORDER BY …] [LIMIT …]`` →
     ``SELECT * EXCEPT (__q) FROM (SELECT <sel>, (p) AS __q FROM <rest>)
@@ -105,121 +165,217 @@ def rewrite_qualify(sql: str) -> str:
     )
 
 
+# --------------------------------------------------------------------------
+# LATERAL FLATTEN
+# --------------------------------------------------------------------------
+
+_FLAT_START_RE = re.compile(
+    r"(?P<lead>,|\bJOIN\b|\bINNER\s+JOIN\b)?\s*\bLATERAL\s+FLATTEN\s*\(", re.I
+)
+# words that cannot be a flatten alias (the packs write `FLATTEN(…) f`
+# or no alias at all, directly followed by a clause keyword)
+_NOT_ALIAS = {
+    "where", "group", "order", "qualify", "having", "limit", "union",
+    "on", "join", "left", "right", "full", "inner", "cross", "lateral",
+    "using", "and", "or", "select", "with", "window",
+}
+_CLAUSE_KWS = ("WHERE", "GROUP BY", "QUALIFY", "HAVING", "ORDER BY", "LIMIT", "UNION")
+
+
+def _rewrite_flatten_level(sql: str, counter: list[int]) -> str:
+    """Rewrite every top-level LATERAL FLATTEN of this scope into a
+    LATERAL VIEW placed at the end of its FROM clause (before the next
+    top-level clause keyword), so comma-joined relations that follow the
+    flatten (cis_aws_pack.sql:846 ``FROM t, FLATTEN(…), cte``) stay
+    valid under Spark's grammar."""
+    while True:
+        m = None
+        for cand in _FLAT_START_RE.finditer(sql):
+            # only top-level occurrences: count depth up to match
+            depth = sql[: cand.start()].count("(") - sql[: cand.start()].count(")")
+            if depth == 0:
+                m = cand
+                break
+        if m is None:
+            return sql
+        open_i = m.end() - 1
+        close_i = _match_paren(sql, open_i)
+        args = sql[open_i + 1 : close_i]
+        # optional alias after the close paren
+        am = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", sql[close_i + 1 :])
+        alias = None
+        end_i = close_i + 1
+        if am and am.group(1).lower() not in _NOT_ALIAS:
+            alias = am.group(1)
+            end_i = close_i + 1 + am.end()
+        if alias is None:
+            counter[0] += 1
+            alias = f"_flat{counter[0]}"
+        # parse input => expr [, recursive => true]
+        recursive = bool(re.search(r"\brecursive\s*=>\s*true", args, re.I))
+        args = re.sub(r",?\s*\brecursive\s*=>\s*\w+", "", args, flags=re.I)
+        im = re.match(r"\s*input\s*=>\s*(.*)$", args, flags=re.I | re.S)
+        expr = (im.group(1) if im else args).strip()
+        if recursive:
+            # Snowflake recursive flatten: one row per node (path, value)
+            # — sa_rflatten (functions/variant.py) walks the JSON doc.
+            lview = f" LATERAL VIEW inline(sa_rflatten({expr})) {alias} "
+        else:
+            lview = (
+                f" LATERAL VIEW posexplode(from_json({expr}, 'array<string>')) "
+                f"{alias} AS index, value "
+            )
+        lead = m.group("lead") or ""
+        start_i = m.start() if lead else m.start()
+        sql = sql[:start_i] + " " + sql[end_i:]
+        # insertion point: first top-level clause keyword after removal
+        ins = _find_top_level_any(sql, _CLAUSE_KWS, start_i)
+        sql = sql[:ins] + lview + sql[ins:]
+
+
+def rewrite_flatten(sql: str) -> str:
+    """Standalone FLATTEN rewrite (single scope). ``transpile`` applies
+    the scope-recursive version; this is kept for direct use/tests."""
+    return _rewrite_flatten_level(sql, [0])
+
+
+# --------------------------------------------------------------------------
+# Variant paths
+# --------------------------------------------------------------------------
+
+# Matches Snowflake variant path access on a (possibly qualified)
+# column. The path must START with `:seg` or a masked-literal bracket
+# (so plain `a.b` qualified refs and `arr[0]` array indexing are left
+# alone); subsequent segments may be `:seg`, `.seg`, `['k']`, `[0]`.
 _PATH_RE = re.compile(
     r"""
-    (?P<col>\b\w+(?:\.\w+)?\b)     # col or qualifier.col (f.value:…)
-    :
+    (?P<col>\b\w+(?:\.\w+)?)
     (?P<path>
-        \w+
-        (?: \.\w+ | \['[^']+'\] | \[\d+\] )*
+        (?: :(?!:)\w+ | \[__STRLIT\d+X__\] )
+        (?: :(?!:)\w+ | \.\w+ | \[__STRLIT\d+X__\] | \[\d+\] )*
     )
     (?: ::(?P<cast>\w+) )?
     """,
     re.VERBOSE,
 )
 
-
-_FLATTEN_RE = re.compile(
-    r",?\s*LATERAL\s+FLATTEN\s*\(\s*input\s*=>\s*(?P<arg>[^)]+)\)\s*(?:AS\s+)?(?P<alias>\w+)",
-    re.I,
-)
+_SEG_RE = re.compile(r":(\w+)|\.(\w+)|\[__STRLIT(\d+)X__\]|\[(\d+)\]")
 
 
-def rewrite_flatten(sql: str) -> str:
-    """``FROM t, LATERAL FLATTEN(input => x) f`` →
-    ``FROM t LATERAL VIEW posexplode(from_json(x, 'array<string>')) f
-    AS index, value`` — array elements surface as raw JSON text
-    (f.value, f.index; f.value:path::t then resolves via the variant
-    rewrite). ``recursive => true`` is not SQL-expressible here — use
-    functions.variant.recursive_flatten (DataFrame API)."""
-    if re.search(r"\brecursive\s*=>\s*true", sql, re.I):
-        raise ValueError(
-            "FLATTEN(recursive=>true) needs variant.recursive_flatten"
-        )
-
-    def sub(m: re.Match) -> str:
-        return (
-            f" LATERAL VIEW posexplode(from_json({m.group('arg').strip()}, "
-            f"'array<string>')) {m.group('alias')} AS index, value"
-        )
-
-    return _FLATTEN_RE.sub(sub, sql)
-
-
-def _path_to_jsonpath(path: str) -> str:
+def _path_to_jsonpath(path: str, lits: list[str]) -> str:
     out = "$"
-    for m in re.finditer(r"\.?(\w+)|\['([^']+)'\]|\[(\d+)\]", path):
-        word, quoted, idx = m.groups()
-        if word is not None:
-            out += f".{word}"
-        elif quoted is not None:
-            out += f".{quoted}"
+    for m in _SEG_RE.finditer(path):
+        colon_seg, dot_seg, lit_i, idx = m.groups()
+        if colon_seg is not None:
+            out += f".{colon_seg}"
+        elif dot_seg is not None:
+            out += f".{dot_seg}"
+        elif lit_i is not None:
+            out += f".{lits[int(lit_i)][1:-1]}"
         else:
             out += f"[{idx}]"
     return out
 
 
-def rewrite_variant_paths(sql: str) -> str:
-    """``raw:a.b['k'][0]::string`` → CAST(get_json_object(raw, '$.a.b.k[0]') AS STRING)."""
+def rewrite_variant_paths(sql: str, lits: list[str] | None = None) -> str:
+    """``raw:a:b.c['k'][0]::string`` →
+    CAST(get_json_object(raw, '$.a.b.c.k[0]') AS STRING).
+
+    Operates on literal-masked text; masks/unmasks itself when called
+    standalone (lits=None)."""
+    standalone = lits is None
+    if standalone:
+        sql, lits = _mask_literals(sql)
 
     def sub(m: re.Match) -> str:
         col, path, cast = m.group("col"), m.group("path"), m.group("cast")
-        expr = f"get_json_object({col}, '{_path_to_jsonpath(path)}')"
+        expr = f"get_json_object({col}, '{_path_to_jsonpath(path, lits)}')"
         if cast:
             t = _TYPE_MAP.get(cast.lower(), cast.upper())
             expr = f"CAST({expr} AS {t})"
         return expr
 
-    return _PATH_RE.sub(sub, sql)
+    out = _PATH_RE.sub(sub, sql)
+    if standalone:
+        out = _unmask_literals(out, lits)
+    return out
 
 
-# cast-only rewrites for ::type on plain expressions (x::string)
-_CAST_RE = re.compile(r"(\))\s*::(\w+)|(\b[\w.]+\b)::(\w+)")
+# --------------------------------------------------------------------------
+# Casts
+# --------------------------------------------------------------------------
+
+# cast rewrites for ::type on plain expressions, call results and
+# bracket-indexed results: x::t, f(x)::t, (e)::t, split(a,b)[8]::t
+_CAST_RE = re.compile(r"([\)\]])\s*::(\w+)|(\b[\w.]+\b)::(\w+)")
 
 
 def rewrite_casts(sql: str) -> str:
     def sub(m: re.Match) -> str:
         if m.group(1):
-            # handled by caller context: `(expr)::type` — we can't see
-            # the opening paren here, leave in place for _fn rewrites
             t = _TYPE_MAP.get(m.group(2).lower(), m.group(2).upper())
-            return f") AS __CAST_{t}__"  # placeholder, fixed below
+            return f"{m.group(1)} AS __CAST_{t}__"  # placeholder, fixed below
         t = _TYPE_MAP.get(m.group(4).lower(), m.group(4).upper())
         return f"CAST({m.group(3)} AS {t})"
 
     out = _CAST_RE.sub(sub, sql)
-    # fix (expr) AS __CAST_T__ placeholders: find matching open paren
-    while "__CAST_" in out:
-        i = out.index(") AS __CAST_")
-        j = out.index("__", i + 12)
-        t = out[i + len(") AS __CAST_") : j]
-        # walk back to the matching '(' …
-        depth = 0
+    # fix `<closer> AS __CAST_T__` placeholders: walk back over the
+    # postfix chain (paren/bracket groups + identifier) to find the
+    # start of the casted expression
+    pat = re.compile(r"([\)\]]) AS __CAST_(\w+?)__")
+    while True:
+        pm = pat.search(out)
+        if pm is None:
+            return out
+        i = pm.start(1)
+        t = pm.group(2)
         k = i
-        while k >= 0:
+        while True:
             if out[k] == ")":
-                depth += 1
-            elif out[k] == "(":
-                depth -= 1
-                if depth == 0:
-                    break
-            k -= 1
-        # … and include a preceding function-call name (f(x)::t, a.b(x)::t)
-        while k > 0 and (out[k - 1].isalnum() or out[k - 1] in "_."):
-            k -= 1
-        out = out[:k] + f"CAST({out[k:i + 1]} AS {t})" + out[j + 2 :]
-    return out
+                depth = 0
+                while k >= 0:
+                    if out[k] == ")":
+                        depth += 1
+                    elif out[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+            elif out[k] == "]":
+                depth = 0
+                while k >= 0:
+                    if out[k] == "]":
+                        depth += 1
+                    elif out[k] == "[":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+            else:
+                break
+            # include a preceding identifier/function name
+            while k > 0 and (out[k - 1].isalnum() or out[k - 1] in "_."):
+                k -= 1
+            if k > 0 and out[k - 1] in ")]":
+                k -= 1
+                continue
+            break
+        out = out[:k] + f"CAST({out[k:i + 1]} AS {t})" + out[pm.end():]
 
 
 _SIMPLE_FN = [
     (re.compile(r"\bIFF\s*\(", re.I), "if("),
-    (re.compile(r"\bZEROIFNULL\s*\(", re.I), "coalesce(0, "),  # fixed below
     (re.compile(r"\bUUID_STRING\s*\(\s*\)", re.I), "uuid()"),
     (re.compile(r"\bSEQ4\s*\(\s*\)", re.I), "monotonically_increasing_id()"),
+    # empty ARRAY_CONSTRUCT() → empty JSON array text (variant-as-string
+    # convention; cis_azure_pack.sql:1450 IFNULL(v:categories, ARRAY_CONSTRUCT()))
+    (re.compile(r"\bARRAY_CONSTRUCT\s*\(\s*\)", re.I), "__EMPTY_JSON_ARR__"),
     (re.compile(r"\bARRAY_CONSTRUCT\s*\(", re.I), "array("),
     (re.compile(r"\bARRAY_SIZE\s*\(", re.I), "size("),
+    (re.compile(r"\bARRAY_AGG\s*\(\s*DISTINCT\b", re.I), "__array_agg_distinct__("),
+    (re.compile(r"\bARRAY_AGG\s*\(", re.I), "collect_list("),
+    (re.compile(r"\bARRAY_CONTAINS\s*\(", re.I), "__array_contains__("),
     (re.compile(r"\bOBJECT_CONSTRUCT\s*\(\s*\*\s*\)", re.I), "to_json(struct(*))"),
-    (re.compile(r"\bPARSE_JSON\s*\(", re.I), "("),  # JSON stays a string
     (re.compile(r"\bTO_VARCHAR\s*\(", re.I), "string("),
     (re.compile(r"\bCURRENT_ACCOUNT\s*\(\s*\)", re.I), "'spark_account'"),
     (re.compile(r"\bCURRENT_TIMESTAMP\s*\(\s*\)", re.I), "current_timestamp()"),
@@ -240,13 +396,16 @@ _SIMPLE_FN = [
 
 def rewrite_functions(sql: str) -> str:
     out = sql
+    # PARSE_JSON(x):path ≡ x:path under the JSON-text variant model
+    # (cis_aws_pack.sql:1021 FLATTEN(input => PARSE_JSON(policy):Statement))
+    out = re.sub(r"\bPARSE_JSON\s*\(\s*([\w.]+)\s*\)\s*(?=:[^:])", r"\1", out, flags=re.I)
+    out = re.sub(r"\bPARSE_JSON\s*\(", "(", out, flags=re.I)  # JSON stays a string
     # ZEROIFNULL(x) → coalesce(x, 0): plain rename then arg fix
     out = re.sub(r"\bZEROIFNULL\s*\(", "__zeroifnull__(", out, flags=re.I)
     out = _fix_one_arg(out, "__zeroifnull__", lambda a: f"coalesce({a}, 0)")
     for pat, rep in _SIMPLE_FN:
-        if rep.startswith("coalesce(0"):
-            continue
         out = pat.sub(rep, out)
+    out = _fix_one_arg(out, "__array_agg_distinct__", lambda a: f"sort_array(collect_set({a}))")
     # OBJECT_CONSTRUCT(k1, v1, …) → compact JSON document string
     out = re.sub(r"\bOBJECT_CONSTRUCT\s*\(", "__object_construct__(", out, flags=re.I)
     out = _fix_one_arg(out, "__object_construct__", lambda a: f"to_json(named_struct({a}))")
@@ -261,10 +420,12 @@ def rewrite_functions(sql: str) -> str:
 
 
 def _regexp_substr_args(args: str) -> str:
-    """REGEXP_SUBSTR(s, p[, pos[, occ[, flags]]]) → regexp_extract:
-    i/s flags fold into the literal pattern as (?is); flag 'e' means
-    "return first capture group" (snowflake_query_pack.sql:5: 'ie').
-    Runs post-unmask so the pattern literal is visible."""
+    """REGEXP_SUBSTR(s, p[, pos[, occ[, flags[, group_num]]]]) →
+    regexp_extract: i/s flags fold into the literal pattern as (?is);
+    flag 'e' means "return first capture group"
+    (snowflake_query_pack.sql:5: 'ie'); an explicit 6th arg selects the
+    group (cis_azure_pack.sql:1258). Runs post-unmask so the pattern
+    literal is visible."""
     parts = [p.strip() for p in _split_select_items(args)]
     s, p = parts[0], parts[1]
     group = 0
@@ -275,9 +436,22 @@ def _regexp_substr_args(args: str) -> str:
             p = f"'(?{inline})" + p[1:]
         if "e" in flags:
             group = 1
+    if len(parts) >= 6:
+        group = int(parts[5])
     if len(parts) >= 3 and parts[2] != "1":
         raise ValueError("REGEXP_SUBSTR position != 1 unsupported")
     return f"regexp_extract({s}, {p}, {group})"
+
+
+def _array_contains_args(args: str) -> str:
+    """ARRAY_CONTAINS(value, array) — Snowflake arg order, over the
+    JSON-text array convention → array_contains(from_json(arr), value)
+    (cis_azure_pack.sql:1459)."""
+    parts = [p.strip() for p in _split_select_items(args)]
+    if len(parts) != 2:
+        raise ValueError(f"ARRAY_CONTAINS expects 2 args: {args!r}")
+    val, arr = parts
+    return f"array_contains(from_json({arr}, 'array<string>'), {val})"
 
 
 def _datediff_args(args: str) -> str:
@@ -318,16 +492,7 @@ def _fix_one_arg(sql: str, marker: str, build) -> str:
         i = sql.index(marker)
         j = i + len(marker)
         assert sql[j] == "("
-        depth = 0
-        k = j
-        while k < len(sql):
-            if sql[k] == "(":
-                depth += 1
-            elif sql[k] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            k += 1
+        k = _match_paren(sql, j)
         args = sql[j + 1 : k]
         sql = sql[:i] + build(args) + sql[k + 1 :]
     return sql
@@ -388,8 +553,10 @@ def rewrite_alias_in_where(sql: str) -> str:
     from_split = _split_top_level(sp[1], "FROM")
     if from_split is None:
         return sql
+    sel_text = from_split[0]
+    m_dist = re.match(r"\s*(?:ALL\s+|DISTINCT\s+)?(.*)$", sel_text, re.S | re.I)
     exprs: dict[str, str] = {}
-    for item in _split_select_items(from_split[0]):
+    for item in _split_select_items(m_dist.group(1) if m_dist else sel_text):
         m = _ALIAS_RE.search(item.rstrip())
         if m:
             exprs[m.group(1).lower()] = item.rstrip()[: m.start()].strip()
@@ -444,19 +611,49 @@ def _unmask_literals(sql: str, lits: list[str]) -> str:
     return sql
 
 
+def _transform_scopes(sql: str, counter: list[int]) -> str:
+    """Recursively transform every paren-nesting scope (innermost
+    first): FLATTEN placement, alias-in-WHERE expansion, QUALIFY
+    rewrite. Operates on literal-masked text."""
+    out = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "(":
+            j = _match_paren(sql, i)
+            out.append("(" + _transform_scopes(sql[i + 1 : j], counter) + ")")
+            i = j + 1
+        else:
+            out.append(c)
+            i += 1
+    level = "".join(out)
+    level = _rewrite_flatten_level(level, counter)
+    level = rewrite_alias_in_where(level)
+    while _split_top_level(level, "QUALIFY") is not None:
+        level = rewrite_qualify(level)
+    return level
+
+
+def rewrite_using_bare(sql: str) -> str:
+    """``JOIN t USING col`` → ``USING (col)`` (Snowflake permits the
+    unparenthesized form — osquery_query_pack.sql:35)."""
+    return re.sub(r"\bUSING\s+(?!\()(\w+)", r"USING (\1)", sql, flags=re.I)
+
+
 def transpile(sql: str) -> str:
     """Full Snowflake→Spark rewrite pipeline for a rule body."""
-    out = rewrite_qualify(sql)
-    out = rewrite_alias_in_where(out)
-    out = rewrite_flatten(out)
-    out, lits = _mask_literals(out)
-    out = rewrite_variant_paths(out)
+    out, lits = _mask_literals(sql)
+    out = rewrite_using_bare(out)
+    out = _transform_scopes(out, [0])
+    out = rewrite_variant_paths(out, lits)
     out = rewrite_casts(out)
     out = rewrite_functions(out)
     out = _unmask_literals(out, lits)
+    out = out.replace("__EMPTY_JSON_ARR__", "'[]'")
     out = _fix_one_arg(out, "__regexp_substr__", _regexp_substr_args)
     out = _fix_one_arg(out, "__convert_tz__", _convert_tz_args)
     out = _fix_one_arg(out, "__datediff__", _datediff_args)
+    out = _fix_one_arg(out, "__array_contains__", _array_contains_args)
     # DATEADD('minute', n, t) → timestampadd(minute, n, t): unquote unit
     out = re.sub(
         r"\b(timestampadd|timestampdiff)\(\s*'(\w+)'",

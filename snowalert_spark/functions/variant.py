@@ -92,6 +92,66 @@ def recursive_flatten(df, json_col: str, id_cols: list[str]):
     return df.select(*id_cols, json_col).mapInPandas(batches, out_schema)
 
 
+def _rflatten_rows(doc_text: str | None) -> list[dict]:
+    """Walk a JSON document, yielding one row per sub-element at every
+    nesting level — Snowflake ``FLATTEN(…, recursive => true)`` order
+    and shape (KEY/PATH/INDEX/VALUE; compound nodes included, then
+    their children). Scalar string values surface bare, other scalars
+    as JSON text, JSON null as the "null" sentinel, compound values as
+    compact JSON — the repo's variant-as-JSON-text convention."""
+    import json as _json
+
+    if not doc_text:
+        return []
+    try:
+        doc = _json.loads(doc_text)
+    except ValueError:
+        return []
+
+    def enc(v) -> str:
+        if isinstance(v, str):
+            return v
+        return _json.dumps(v, separators=(",", ":"))
+
+    out: list[dict] = []
+
+    def walk(prefix: str, v) -> None:
+        if isinstance(v, dict):
+            for k, vv in v.items():
+                p = f"{prefix}.{k}" if prefix else k
+                out.append({"key": k, "path": p, "index": None, "value": enc(vv)})
+                walk(p, vv)
+        elif isinstance(v, list):
+            for i, vv in enumerate(v):
+                p = f"{prefix}[{i}]"
+                out.append({"key": None, "path": p, "index": i, "value": enc(vv)})
+                walk(p, vv)
+
+    walk("", doc)
+    return out
+
+
+def register_sql_functions(spark) -> None:
+    """Register the SQL-callable helpers the transpiler emits.
+
+    ``sa_rflatten(doc)`` backs ``LATERAL FLATTEN(input => v,
+    recursive => true)`` (cis_azure_pack.sql:207): the compat layer
+    rewrites it to ``LATERAL VIEW inline(sa_rflatten(v)) f`` so rule
+    bodies keep their ``f.path`` / ``f.value`` references. Arrow-batched
+    pandas UDF (never row-at-a-time): JSON recursion is not expressible
+    with built-in operators, and per-batch Python keeps the walk off
+    the driver and parallel per partition at scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    # hint-free form: module-wide `from __future__ import annotations`
+    # turns signature hints into unresolvable strings
+    sa_rflatten = pandas_udf(
+        lambda docs: docs.map(_rflatten_rows),
+        "array<struct<key:string,path:string,index:int,value:string>>",
+    )
+    spark.udf.register("sa_rflatten", sa_rflatten)
+
+
 def object_assign(a_json: Column, b_json: Column) -> Column:
     """OBJECT_ASSIGN (shallow merge, b wins) over JSON object strings.
 

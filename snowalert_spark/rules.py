@@ -66,6 +66,11 @@ class Rule:
     def df(self, spark: SparkSession) -> DataFrame:
         if self.fn is not None:
             return self.fn(spark)
+        # driver sessions are vanilla (no get_session): make sure the
+        # SQL helpers the transpiler emits (sa_rflatten) exist
+        from snowalert_spark.functions.variant import register_sql_functions
+
+        register_sql_functions(spark)
         return spark.sql(compat.transpile(self.sql))
 
 

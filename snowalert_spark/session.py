@@ -52,4 +52,7 @@ def get_session(
         b = b.config(k, v)
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    from snowalert_spark.functions.variant import register_sql_functions
+
+    register_sql_functions(spark)
     return spark

@@ -231,8 +231,39 @@ def test_policy_flatten_booleans_rule(spark):
     assert got == {"admin-policy": True, "readonly-policy": False}
 
 
-def test_flatten_recursive_raises(spark):
-    with pytest.raises(ValueError, match="recursive_flatten"):
-        compat.transpile(
-            "SELECT * FROM t, LATERAL FLATTEN(input => v, recursive => true) f"
-        )
+# ---------------------------------------------------------------------------
+# cis_azure_pack.sql:192-217 — FLATTEN(recursive => true) + BOOLOR_AGG
+# path predicates (AZ CIS 1.3: role definitions assignable to root
+# scope that permit all actions)
+# ---------------------------------------------------------------------------
+def test_flatten_recursive_rule(spark):
+    docs = [
+        ("rd1", '{"assignableScopes": ["/"], '
+                '"permissions": [{"actions": ["*"]}], "type": "CustomRole"}'),
+        ("rd2", '{"assignableScopes": ["/subscriptions/abc-123"], '
+                '"permissions": [{"actions": ["Microsoft.Compute/read"]}], '
+                '"type": "CustomRole"}'),
+    ]
+    spark.createDataFrame(docs, "id string, properties string") \
+        .createOrReplaceTempView("role_definitions")
+
+    out = _sql(
+        spark,
+        r"""
+        SELECT
+          id,
+          BOOLOR_AGG(
+            path RLIKE '^assignableScopes\\[[0-9]+\\]$'
+            AND (value = '/' OR value RLIKE '^/subscriptions/[0-9a-f-]+$')
+          ) AS root_scope,
+          BOOLOR_AGG(
+            path RLIKE '^permissions\\[[0-9]+\\].actions\\[[0-9]+\\]'
+            AND value = '*'
+          ) AS all_actions
+        FROM role_definitions
+           , LATERAL FLATTEN(input => properties, recursive => true)
+        GROUP BY id
+        """,
+    ).collect()
+    got = {r.id: (r.root_scope, r.all_actions) for r in out}
+    assert got == {"rd1": (True, True), "rd2": (True, False)}
