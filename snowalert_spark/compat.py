@@ -251,7 +251,11 @@ _PATH_RE = re.compile(
     r"""
     (?P<col>\b\w+(?:\.\w+)?)
     (?P<path>
-        (?: :(?!:)\w+ | \[__STRLIT\d+X__\] )
+        # first segment: `:seg`, a masked string-literal bracket, or a
+        # numeric index that is itself followed by another segment
+        # (cis_azure_pack.sql:1689 logs[0]:category::STRING) — a bare
+        # trailing arr[0] is real array indexing and stays untouched
+        (?: :(?!:)\w+ | \[__STRLIT\d+X__\] | \[\d+\](?=[:.\[]) )
         (?: :(?!:)\w+ | \.\w+ | \[__STRLIT\d+X__\] | \[\d+\] )*
     )
     (?: ::(?P<cast>\w+) )?
@@ -640,10 +644,29 @@ def rewrite_using_bare(sql: str) -> str:
     return re.sub(r"\bUSING\s+(?!\()(\w+)", r"USING (\1)", sql, flags=re.I)
 
 
+def _escape_regex_braces(lit: str) -> str:
+    """Snowflake's regex engine treats a bare ``{`` literally; Java's
+    throws PatternSyntaxException unless it opens a valid quantifier
+    (cis_aws_pack.sql:1032 RLIKE '…"Condition":\\s*{\\s*…'). Escape
+    non-quantifier braces inside the pattern literal."""
+    body = lit[1:-1]
+    body = re.sub(r"(?<!\\)\{(?!\d+(,\d*)?\})", r"\\\\{", body)
+    return f"'{body}'"
+
+
 def transpile(sql: str) -> str:
     """Full Snowflake→Spark rewrite pipeline for a rule body."""
     out, lits = _mask_literals(sql)
+    # patch RLIKE pattern literals for Java-regex brace semantics
+    for m in re.finditer(r"\bRLIKE\s*__STRLIT(\d+)X__", out, re.I):
+        i = int(m.group(1))
+        lits[i] = _escape_regex_braces(lits[i])
     out = rewrite_using_bare(out)
+    # PARSE_JSON(x):path ≡ x:path under the JSON-text variant model —
+    # unwrap BEFORE flatten/variant-path rewriting so
+    # FLATTEN(input => PARSE_JSON(policy):Statement)
+    # (cis_aws_pack.sql:1021) resolves through both
+    out = re.sub(r"\bPARSE_JSON\s*\(\s*([\w.]+)\s*\)\s*(?=:[^:])", r"\1", out, flags=re.I)
     out = _transform_scopes(out, [0])
     out = rewrite_variant_paths(out, lits)
     out = rewrite_casts(out)

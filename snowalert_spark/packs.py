@@ -78,12 +78,22 @@ FIXUPS: dict[str, list[tuple[str, str]]] = {
         ("FROM data.cloudtrail_v\nWHERE", "FROM data.cloudtrail_v AS cloudtrail\nWHERE")
     ],
     # osquery_query_pack.sql:9,36 — `map.deployment` / `map.account_alias`
-    # but the aws_account_map join has no `map` alias.
+    # but the aws_account_map join has no `map` alias. Also :39 filters
+    # `id IS NULL`, a column no relation in the query provides (the
+    # osquery subquery projects only instance_id); the rule's own
+    # comment says the intent is "server not shipping osquery logs",
+    # i.e. a null test on the left-joined osquery side — project the
+    # osquery instance id as `id` so the filter means that.
     "MISSING_SERVER_OSQUERY_LOGS_VIOLATION_QUERY": [
         (
             "JOIN aws_inventory.snapshots.aws_account_map\nUSING account_id",
             "JOIN aws_inventory.snapshots.aws_account_map AS map\nUSING account_id",
-        )
+        ),
+        (
+            "SELECT distinct instance_id::string AS instance_id\n  FROM data.osquery_v",
+            "SELECT distinct instance_id::string AS instance_id\n"
+            "       , instance_id::string AS id\n  FROM data.osquery_v",
+        ),
     ],
     # cis_aws_pack.sql:693-696 (CIS 1.16) — description expression is
     # missing its opening paren and relies on adjacent-literal
@@ -101,8 +111,12 @@ FIXUPS: dict[str, list[tuple[str, str]]] = {
 }
 
 
+# cis_azure_pack.sql writes `CREATE VIEW snowalert.rules.x` (3-part,
+# no OR REPLACE); every other pack writes `CREATE OR REPLACE VIEW
+# rules.x COPY GRANTS`.
 _CREATE_RE = re.compile(
-    r"^\s*CREATE\s+OR\s+REPLACE\s+VIEW\s+(?P<schema>\w+)\.(?P<name>\w+)"
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+    r"(?:\w+\.)?(?P<schema>\w+)\.(?P<name>\w+)"
     r"(?:\s+COPY\s+GRANTS)?"
     r"(?:\s+COMMENT\s*=\s*'(?P<comment>(?:[^']|'')*)')?"
     r"\s+AS\s+(?P<body>.*)$",
@@ -159,7 +173,7 @@ def flatten_names(sql: str) -> str:
     def qualify(m: re.Match, flat: str, last: str) -> str:
         # look behind for FROM/JOIN/comma context and ahead for an alias
         tail = masked[m.end():]
-        nm = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", tail)
+        nm = re.match(r"\s*(?:AS\s+)?([A-Za-z_]\w*)", tail, re.I)
         head = masked[: m.start()].rstrip()
         is_relation = bool(re.search(r"(\bFROM|\bJOIN|,)$", head, re.I))
         if not is_relation:
@@ -209,6 +223,8 @@ def load_pack(path: str) -> list[PackStatement]:
                     kind="view",
                 )
             )
+        elif re.match(r"^SELECT\s+\*\s+FROM\s+[\w.]+$", stripped, re.I):
+            continue  # okta.sql's trailing smoke selects
         elif re.match(r"^(SELECT|WITH)\b", stripped, re.I):
             title = lead_comments[0] if lead_comments else "query"
             name = _slug(title)
