@@ -395,6 +395,10 @@ _SIMPLE_FN = [
     (re.compile(r"\bTRY_TO_TIMESTAMP(?:_LTZ|_NTZ)?\s*\(", re.I), "try_to_timestamp("),
     # CONVERT_TIMEZONE(tz, ts): engine time is UTC → wall-clock in tz
     (re.compile(r"\bCONVERT_TIMEZONE\s*\(", re.I), "__convert_tz__("),
+    # TO_NUMBER(x): Snowflake default precision/scale is (38,0); Spark's
+    # to_number requires a format string (cis_azure_pack.sql:1774
+    # TO_NUMBER(SPLIT(range,'-')[0]))
+    (re.compile(r"\bTO_NUMBER\s*\(", re.I), "__to_number__("),
 ]
 
 
@@ -536,6 +540,38 @@ def _split_select_items(sel: str) -> list[str]:
 
 _ALIAS_RE = re.compile(r"\s+AS\s+(\w+)\s*$", re.I)
 
+# words that cannot end the expression part of an implicitly-aliased
+# select item (`expr alias` with no AS — Snowflake style, used heavily
+# by the packs: `id disk_id`, `MAX(recorded_at) recorded_last`)
+_EXPR_TAIL_KW = {
+    "and", "or", "not", "in", "like", "ilike", "rlike", "between", "is",
+    "then", "else", "when", "distinct", "all", "as", "case", "by",
+    "from", "select", "where", "join", "on", "using", "union", "over",
+    "partition", "order", "group", "interval",
+}
+
+
+def _split_alias(item: str) -> tuple[str, str] | None:
+    """Split a select item into (expr, alias) for both ``expr AS a``
+    and the implicit ``expr a`` form; None when the item is unaliased."""
+    item = item.rstrip()
+    m = _ALIAS_RE.search(item)
+    if m:
+        return item[: m.start()].strip(), m.group(1)
+    m = re.match(r"^(.*\S)\s+([A-Za-z_]\w*)$", item, re.S)
+    if not m:
+        return None
+    expr, alias = m.group(1), m.group(2)
+    tail = expr.rstrip()
+    if tail[-1] in "(,+-*/=<>|:.":
+        return None  # `a || b` and friends: b is an operand, not an alias
+    last_word = re.search(r"(\w+)$", tail)
+    if last_word and last_word.group(1).lower() in _EXPR_TAIL_KW:
+        return None
+    if alias.lower() in _EXPR_TAIL_KW:
+        return None
+    return expr.strip(), alias
+
 
 def rewrite_alias_in_where(sql: str) -> str:
     """Snowflake allows WHERE to reference a SELECT alias
@@ -561,9 +597,9 @@ def rewrite_alias_in_where(sql: str) -> str:
     m_dist = re.match(r"\s*(?:ALL\s+|DISTINCT\s+)?(.*)$", sel_text, re.S | re.I)
     exprs: dict[str, str] = {}
     for item in _split_select_items(m_dist.group(1) if m_dist else sel_text):
-        m = _ALIAS_RE.search(item.rstrip())
-        if m:
-            exprs[m.group(1).lower()] = item.rstrip()[: m.start()].strip()
+        split = _split_alias(item)
+        if split is not None:
+            exprs[split[1].lower()] = split[0]
     if not exprs:
         return sql
     # split the predicate off trailing clauses
@@ -591,6 +627,52 @@ def rewrite_alias_in_where(sql: str) -> str:
         return sql
     out = f"{head}WHERE {new_pred.strip()}{tail}"
     return _unmask_literals(out, lits)
+
+
+_BARE_IDENT_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def rewrite_bool_conjuncts(sql: str) -> str:
+    """Snowflake coerces a VARIANT/string value to boolean in predicate
+    context (cis_azure_pack.sql:2172 ``WHERE … AND enabled`` over
+    ``attributes:enabled``); Spark's ANSI analyzer rejects a STRING
+    filter. Wrap bare-identifier WHERE conjuncts in an explicit
+    boolean cast — a no-op for columns that already are boolean."""
+    parts = _split_top_level(sql, "WHERE")
+    if parts is None:
+        return sql
+    head, pred = parts
+    tail = ""
+    for kw in ("GROUP BY", "QUALIFY", "HAVING", "ORDER BY", "LIMIT", "UNION"):
+        sp = _split_top_level(pred, kw)
+        if sp is not None:
+            pred, after = sp
+            tail += f" {kw} {after.strip()}"
+    conjs = []
+    rest = pred
+    while True:
+        sp = _split_top_level(rest, "AND")
+        if sp is None:
+            conjs.append(rest)
+            break
+        conjs.append(sp[0])
+        rest = sp[1]
+    changed = False
+    out_conjs = []
+    for c in conjs:
+        ident = c.strip()
+        if (
+            _BARE_IDENT_RE.match(ident)
+            and not ident.upper().startswith("__STRLIT")
+            and ident.upper() not in ("TRUE", "FALSE", "NULL")
+        ):
+            out_conjs.append(c.replace(ident, f"CAST({ident} AS BOOLEAN)"))
+            changed = True
+        else:
+            out_conjs.append(c)
+    if not changed:
+        return sql
+    return f"{head}WHERE{'AND'.join(out_conjs)}{tail}"
 
 
 _LIT_RE = re.compile(r"'(?:[^'\\]|\\.)*'")
@@ -633,6 +715,7 @@ def _transform_scopes(sql: str, counter: list[int]) -> str:
     level = "".join(out)
     level = _rewrite_flatten_level(level, counter)
     level = rewrite_alias_in_where(level)
+    level = rewrite_bool_conjuncts(level)
     while _split_top_level(level, "QUALIFY") is not None:
         level = rewrite_qualify(level)
     return level
@@ -674,6 +757,7 @@ def transpile(sql: str) -> str:
     out = _unmask_literals(out, lits)
     out = out.replace("__EMPTY_JSON_ARR__", "'[]'")
     out = _fix_one_arg(out, "__regexp_substr__", _regexp_substr_args)
+    out = _fix_one_arg(out, "__to_number__", lambda a: f"CAST({a} AS DECIMAL(38,0))")
     out = _fix_one_arg(out, "__convert_tz__", _convert_tz_args)
     out = _fix_one_arg(out, "__datediff__", _datediff_args)
     out = _fix_one_arg(out, "__array_contains__", _array_contains_args)

@@ -202,6 +202,35 @@ def kmeans_fit(
     return cent
 
 
+# Trained-centroid cache: k-means training runs once per (corpus
+# version, k, iters) — the production shape the round-2 review asked
+# for ("training-per-query is the wrong production shape"). Centroids
+# are k × dims doubles (a few KB), so they live driver-side and
+# rebuild as a broadcastable literal frame on each use; re-training
+# only happens when the corpus version key changes.
+_CENTROID_CACHE: dict[tuple, list] = {}
+
+
+def trained_centroids(
+    spark,
+    corpus_version: str,
+    train: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Return the IVF centroid frame ``(cell int, cent array<double>)``
+    for a corpus version, training at most once per version."""
+    key = (corpus_version, k, iters)
+    if key not in _CENTROID_CACHE:
+        rows = kmeans_fit(train, k=k, iters=iters, id_col=id_col, vec_col=vec_col).collect()
+        _CENTROID_CACHE[key] = [(int(r["cell"]), [float(x) for x in r["cent"]]) for r in rows]
+    return spark.createDataFrame(
+        _CENTROID_CACHE[key], "cell int, cent array<double>"
+    )
+
+
 def cosine_pairs_ivf(
     corpus: DataFrame,
     centroids: DataFrame,

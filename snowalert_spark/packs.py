@@ -196,6 +196,15 @@ def _slug(comment: str) -> str:
     return re.sub(r"\W+", "_", comment.strip().lower()).strip("_")
 
 
+def _strip_comments(sql: str) -> str:
+    """Drop ``--`` line comments from a view body (literal-masked so a
+    ``--`` inside a string survives). Keeps the string-level rewrites
+    and alias scanners from tripping over prose."""
+    masked, lits = compat._mask_literals(sql)
+    masked = re.sub(r"--[^\n]*", "", masked)
+    return compat._unmask_literals(masked, lits)
+
+
 def load_pack(path: str) -> list[PackStatement]:
     with open(path) as f:
         text = f.read()
@@ -219,7 +228,7 @@ def load_pack(path: str) -> list[PackStatement]:
                     name=name,
                     schema=m.group("schema").lower(),
                     comment=(m.group("comment") or "").replace("''", "'"),
-                    body=flatten_names(body),
+                    body=flatten_names(_strip_comments(body)),
                     kind="view",
                 )
             )

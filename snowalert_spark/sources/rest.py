@@ -79,6 +79,25 @@ class LandingStore:
         df.write.mode("append").parquet(f"{self.base}/{table}")
         return len(rows)
 
+    def append_timed(self, table: str, pairs: list[tuple[dict, "dt.datetime"]]) -> int:
+        """Append rows carrying their own event_time (okta system logs
+        land with each row's ``published`` — okta.py:196-199)."""
+        rows = [
+            (json.dumps(r, default=str, sort_keys=True), t) for r, t in pairs
+        ]
+        df = self.spark.createDataFrame(rows, "raw string, event_time timestamp")
+        df.write.mode("append").parquet(f"{self.base}/{table}")
+        return len(rows)
+
+    def fetch_latest(self, table: str) -> dt.datetime | None:
+        """db.fetch_latest analog: the incremental since-cursor."""
+        try:
+            df = self.read(table)
+        except Exception:
+            return None
+        row = df.agg(F.max("event_time").alias("m")).collect()[0]
+        return row["m"]
+
     def read(self, table: str) -> DataFrame:
         return self.spark.read.parquet(f"{self.base}/{table}")
 
