@@ -9,8 +9,9 @@ JSON-stringified before comparison (SP1513 regression, :50-56).
 Distributed equivalent (SURVEY §7.3 hard-part 3): a window pass per
 ACTOR ordered by event time — an alert chains to the previous alert of
 the same actor when the 60-minute gap and OBJECT-or-ACTION conditions
-hold; correlation groups are the resulting prefix-sums. Matching the
-reference exactly (alert_processor.py:33-39, :20-31):
+hold; correlation groups are the resulting prefix-sums. Reference semantics
+(alert_processor.py:33-39, :20-31), with one deliberate divergence
+noted below:
 
 - only alerts with ``correlation_id IS NULL`` and ``alert_time`` in
   the trailing 2-hour scan window are *assigned*; existing non-null
@@ -26,6 +27,16 @@ reference exactly (alert_processor.py:33-39, :20-31):
   60min`` — the exact reachable set for the reference's per-alert
   60-minute lookback, so backfilled alerts (old event_time, recent
   alert_time) still correlate.
+
+Deliberate divergence: the reference's GET_CORRELATED_ALERT
+(alert_processor.py:20-31) has only a *lower* event_time bound, so a
+backfilled NULL alert there can adopt the id of a correlated alert
+whose event_time is *after* its own (most-recent-first lookup); this
+implementation only adopts seeds from the chain *prefix* (earlier
+event_time) and mints a new id otherwise. Prefix-only seeding keeps
+the window pass one-directional and deterministic under re-runs; the
+affected case is a backfill race the reference resolves by driver
+iteration order.
 """
 
 from __future__ import annotations

@@ -6,6 +6,7 @@ per-policy pass/fail counts and records them as metadata."""
 from __future__ import annotations
 
 import datetime as dt
+import re
 import uuid
 
 from pyspark.sql import SparkSession
@@ -14,6 +15,45 @@ from pyspark.sql import functions as F
 from snowalert_spark.rules import POLICY_DEFINITION, RuleRegistry
 from snowalert_spark.runners import metadata
 from snowalert_spark.store import ResultsStore
+
+_SUFFIX_RE = re.compile(
+    r"_(alert|violation|policy)_(query|suppression|definition)$", re.I
+)
+
+
+def list_rules(
+    spark: SparkSession,
+    registry: RuleRegistry,
+    rule_target: str | None = None,
+    rule_type: str | None = None,
+) -> list[dict]:
+    """WebUI rule listing shape (webui/api/rules.py:40-65): one entry
+    per registered rule with the suffix split into target/type, the
+    body text, and — for policy definitions only — the evaluated
+    (title, passing) rows inline."""
+    out = []
+    for name in sorted(registry.rules):
+        rule = registry.rules[name]
+        parts = name.split("_")
+        target, typ = parts[-2].upper(), parts[-1].upper()
+        if rule_target and target != rule_target.upper():
+            continue
+        if rule_type and typ != rule_type.upper():
+            continue
+        out.append(
+            {
+                "title": _SUFFIX_RE.sub("", name),
+                "target": target,
+                "type": typ,
+                "body": rule.sql,
+                "results": (
+                    [r.asDict() for r in rule.df(spark).collect()]
+                    if name.endswith(POLICY_DEFINITION)
+                    else None
+                ),
+            }
+        )
+    return out
 
 
 def main(

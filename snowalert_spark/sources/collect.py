@@ -47,10 +47,55 @@ class DBEntry:
     entity: dict = field(default_factory=dict)
 
 
+# parsed-column marker: ("csv"|"json", raw_colname, parsed_colname) —
+# the reference's ParsedCol (aws_collect.py:76-81)
+def _parse_col(kind: str, value):
+    import csv
+    import io
+
+    if kind == "csv":
+        return [dict(x) for x in csv.DictReader(io.StringIO(value))]
+    return json.loads(value)
+
+
+def _response_items(coldict, page, entry: dict) -> dict:
+    """aws_collect.py:1161-1179: scalar/parsed/nested-dict nodes of a
+    response coldict (list nodes handled by :func:`_response_lists`)."""
+    if type(coldict) is str:
+        entry[coldict] = page
+    elif type(coldict) is tuple:
+        kind, colname, parsed_colname = coldict
+        entry[colname] = page
+        entry[parsed_colname] = _parse_col(kind, page)
+    elif type(coldict) is dict:
+        for response_key, colname in coldict.items():
+            if page:
+                _response_items(colname, page.get(response_key), entry)
+    return entry
+
+
+def _response_lists(coldict, page) -> Iterator[dict]:
+    """aws_collect.py:1148-1158: one output entity per item of each
+    list-typed response node."""
+    for response_key, colname in coldict.items():
+        value = page.get(response_key)
+        if type(colname) is list:
+            for x in value or []:
+                yield _response_items(colname[0], x, {})
+        elif type(colname) is dict and value:
+            yield from _response_lists(colname, value)
+
+
 def process_response(
     spec: dict, task: CollectTask, page, now: dt.datetime | None = None
 ) -> Iterator[DBEntry | CollectTask]:
-    """(task, raw API page | Exception) → landing rows + child tasks."""
+    """(task, raw API page | Exception) → landing rows + child tasks.
+
+    Two spec dialects: the reference's ``response`` coldict
+    (aws_collect.py:556-1100 — nested dicts, per-item lists, parsed
+    columns, ``params``/``children`` with ``methods`` and
+    ``required_args``), and the compact ``fields``/``list`` form used
+    by the generic toy spec."""
     mspec = spec[task.method]
     table = mspec.get("table", task.method.replace(".", "_"))
     base = {"account_id": task.account_id, "recorded_at": now or dt.datetime.utcnow()}
@@ -59,32 +104,47 @@ def process_response(
 
     if isinstance(page, Exception):
         base["error"] = json.dumps(
-            {"exceptionName": type(page).__name__, "message": str(page)}
+            {
+                "exceptionName": type(page).__name__,
+                "exceptionArgs": list(page.args),
+                "message": str(page),
+            }
         )
         yield DBEntry(table, base)
         return
 
-    for fld, col in mspec.get("fields", {}).items():
-        base[col] = page.get(fld)
+    if "response" in mspec:
+        coldict = mspec["response"]
+        _response_items(coldict, page, base)
+        entries = list(_response_lists(coldict, page)) or [{}]
+        rows = [dict(base, **e) for e in entries]
+    else:
+        for fld, col in mspec.get("fields", {}).items():
+            base[col] = page.get(fld)
+        list_field, item_map = mspec.get("list", (None, None))
+        rows = (
+            [dict(base, **{col: item.get(f) for f, col in item_map.items()})
+             for item in page.get(list_field, [])]
+            if list_field
+            else [base]
+        )
 
-    list_field, item_map = mspec.get("list", (None, None))
-    rows = (
-        [dict(base, **{col: item.get(f) for f, col in item_map.items()})
-         for item in page.get(list_field, [])]
-        if list_field
-        else [base]
-    )
     for row in rows:
         yield DBEntry(table, row)
         for child in mspec.get("children", []):
-            bindings = child.get("args", {})
-            if any(row.get(src) is None for src in bindings.values()):
-                continue
-            yield CollectTask(
-                task.account_id,
-                child["method"],
-                tuple((arg, row[src]) for arg, src in sorted(bindings.items())),
-            )
+            for method in child.get("methods", [child.get("method")]):
+                bindings = child.get("args", {})
+                # aws_collect.py:1222-1229: skip when a binding source
+                # is absent, or a required arg is falsy
+                if any(src not in row for src in bindings.values()):
+                    continue
+                if not all(row.get(k) for k in child.get("required_args", [])):
+                    continue
+                yield CollectTask(
+                    task.account_id,
+                    method,
+                    tuple((arg, row[src]) for arg, src in sorted(bindings.items())),
+                )
 
 
 def collect(

@@ -147,6 +147,7 @@ class PartitionedResultsStore:
         when_not_matched_insert: bool = True,
         window_from: dt.datetime | None = None,
         window_to: dt.datetime | None = None,
+        prune_to_window: bool = False,
     ) -> dict[str, int]:
         """Join-merge against hot partitions only.
 
@@ -167,6 +168,18 @@ class PartitionedResultsStore:
             dated_in = self._with_date(table, incoming)
             hot = {d for (d,) in dated_in.select("__date").distinct().collect()}
         else:
+            if window_from and window_to and not prune_to_window:
+                # An id-only source gives no evidence its matches lie
+                # inside [window_from, window_to]; pruning hot dates to
+                # the window alone would silently skip matches in other
+                # partitions. Callers whose on-condition is genuinely
+                # window-bounded opt in with prune_to_window=True.
+                raise ValueError(
+                    f"upsert({table!r}): incoming frame lacks the "
+                    f"{tc!r} time column but a merge window was given; "
+                    "pass prune_to_window=True only if the on-condition "
+                    "cannot match outside the window"
+                )
             hot = set() if (window_from and window_to) else set(self._partitions(table))
         if window_from and window_to:
             d = window_from.date()

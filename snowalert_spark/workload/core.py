@@ -608,12 +608,20 @@ def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("_approx_users") - F.col("exact_users"))
             <= F.greatest(F.lit(5.0), F.col("exact_users") * 0.10)
         ).alias("users_within_bound"),
-        F.col("_approx_p50")
-        .between(F.col("_exact_p25"), F.col("_exact_p75"))
-        .alias("p50_within_bracket"),
-        (F.col("_approx_quantiles") == F.array_sort("_approx_quantiles")).alias(
-            "quantiles_monotonic"
-        ),
+        # all-NULL value groups: percentile/percentile_approx return
+        # NULL and the checks would yield NULL while the oracle states
+        # TRUE — coalesce with the exact side's nullness so both
+        # engines agree (data-independent)
+        F.coalesce(
+            F.col("_approx_p50").between(
+                F.col("_exact_p25"), F.col("_exact_p75")
+            ),
+            F.col("_exact_p25").isNull(),
+        ).alias("p50_within_bracket"),
+        F.coalesce(
+            F.col("_approx_quantiles") == F.array_sort("_approx_quantiles"),
+            F.col("_approx_quantiles").isNull(),
+        ).alias("quantiles_monotonic"),
     )
 
 

@@ -29,6 +29,11 @@ def _norm_cell(v):
         return None
     if isinstance(v, float) and math.isnan(v):
         return None
+    # numpy arrays (DuckDB list columns) → python lists, cell-normalized
+    if type(v).__module__ == "numpy" and hasattr(v, "ndim") and v.ndim > 0:
+        return tuple(_norm_cell(x) for x in v.tolist())
+    if isinstance(v, (list, tuple)):
+        return tuple(_norm_cell(x) for x in v)
     # numpy scalars → python
     if hasattr(v, "item") and type(v).__module__ == "numpy":
         v = v.item()

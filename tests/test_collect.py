@@ -65,7 +65,7 @@ CASES = [
     (  # error response → quarantined error row, crawl continues
         CollectTask("123", "iam.list_users"),
         RuntimeError("AccessDenied"),
-        [{"error": '{"exceptionName": "RuntimeError", "message": "AccessDenied"}'}],
+        [{"error": '{"exceptionName": "RuntimeError", "exceptionArgs": ["AccessDenied"], "message": "AccessDenied"}'}],
         [],
     ),
 ]

@@ -1,0 +1,102 @@
+"""LOCAL_ONLY demotion pins (round-2 advice): the driver gate caps at
+50 queries, so a handful of implemented queries are not declared. These
+tests make the 'semantically covered by a declared sibling' claims
+executable — each demoted query is (a) still oracle-checked locally
+(tests/test_oracle.py runs the full include_local registry), and (b)
+pinned here to its declared sibling's plan shape, so a regression that
+diverges the pair is visible even though the external gate can't see
+the demoted name."""
+
+from __future__ import annotations
+
+import pytest
+
+from snowalert_spark import workload
+from snowalert_spark.workload import LOCAL_ONLY
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(spark, name):
+    return (
+        workload.queries(include_local=True)[name](spark, SF)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+
+
+def test_every_local_only_query_is_implemented_and_oracle_backed():
+    qs = workload.queries(include_local=True)
+    oracles = workload.oracle_sql(include_local=True)
+    for name in LOCAL_ONLY:
+        assert name in qs, f"{name} demoted but not implemented"
+        assert name in oracles, f"{name} demoted without an oracle"
+    # and none of them leak into the declared registry
+    assert not (LOCAL_ONLY & set(workload.queries()))
+
+
+def test_global_agg_events_is_zero_key_form_of_q1(spark):
+    """A14 ⊂ A1/A2: same two-phase hash aggregation, just without
+    grouping keys — no other operator may creep in."""
+    local = _plan(spark, "global_agg_events")
+    sibling = _plan(spark, "q1_pricing_summary")
+    for plan in (local, sibling):
+        assert "HashAggregate" in plan
+    assert "Join" not in local and "CartesianProduct" not in local
+
+
+def test_range_join_90min_slices_same_strategy_as_hourly(spark):
+    """J7 siblings: both range joins must stay arithmetic binning —
+    never a nested-loop/cartesian fallback."""
+    for name in ("range_join_90min_slices", "range_join_hourly_counts"):
+        plan = _plan(spark, name)
+        assert "NestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_convert_timezone_shift_is_shuffle_free_projection(spark):
+    """Scalar-function siblings: pure scan→project plans, no Exchange
+    (same shape as timezone_and_array_functions)."""
+    for name in ("convert_timezone_shift", "timezone_and_array_functions"):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+
+
+def test_multimodal_frame_sample_stays_jvm_side(spark):
+    """Multimodal siblings: frame sampling is arithmetic frame-index
+    generation — a pure JVM Generate/scan plan with no shuffle and no
+    Python stage; the Arrow mapInPandas stage lives in the declared
+    sibling multimodal_features."""
+    local = _plan(spark, "multimodal_frame_sample")
+    sibling = _plan(spark, "multimodal_features")
+    assert "Generate explode" in local
+    assert "MapInPandas" not in local and "Exchange" not in local
+    assert "MapInPandas" in sibling
+
+
+def test_kmeans_centroid_cache_matches_fresh_training(spark):
+    """kmeans_centroids (LOCAL_ONLY) pins the trainer; the cached
+    centroids the declared IVF queries consume must be byte-identical
+    to a fresh kmeans_fit run."""
+    import pyspark.sql.functions as F
+
+    from snowalert_spark.functions import similarity as S
+    from snowalert_spark.tables import table
+    from snowalert_spark.workload.vector import (
+        KMEANS_ITERS,
+        N_CENTROIDS,
+        TRAIN_N,
+        _centroids,
+    )
+
+    emb = table(spark, SF, "embeddings")
+    fresh = {
+        r["cell"]: r["cent"]
+        for r in S.kmeans_fit(
+            emb.filter(F.col("vec_id") < TRAIN_N),
+            k=N_CENTROIDS,
+            iters=KMEANS_ITERS,
+        ).collect()
+    }
+    cached = {r["cell"]: r["cent"] for r in _centroids(spark, SF, emb).collect()}
+    assert cached == fresh

@@ -115,3 +115,43 @@ def test_alert_pipeline_on_partitioned_store(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0].counter == 4
     assert list(pstore.touched_partitions("alerts")) == ["2024-01-05"]
+
+
+def test_id_only_upsert_with_window_requires_opt_in(pstore, spark):
+    """Round-3 advice guard: an id-only source frame combined with a
+    merge window would prune hot dates to the window alone and silently
+    skip matches elsewhere — the API now refuses unless the caller
+    opts in with prune_to_window=True."""
+    import pytest as _pytest
+
+    frm, to = dt.datetime(2024, 1, 5), dt.datetime(2024, 1, 6)
+    pstore.upsert(
+        "alerts",
+        _alert(spark, "g1", "d", 5),
+        on=_match(frm),
+        window_from=frm,
+        window_to=to,
+    )
+    ids = spark.createDataFrame([("g1-5",)], "sid string")
+    with _pytest.raises(ValueError, match="prune_to_window"):
+        pstore.upsert(
+            "alerts",
+            ids,
+            on=lambda t, s: F.col("alert.ALERT_ID") == F.col("src_sid"),
+            when_matched={"suppressed": F.lit(True)},
+            when_not_matched_insert=False,
+            window_from=frm,
+            window_to=to,
+        )
+    # opting in works when the caller knows matches are window-bounded
+    n = pstore.upsert(
+        "alerts",
+        ids,
+        on=lambda t, s: F.col("alert.ALERT_ID") == F.col("src_sid"),
+        when_matched={"suppressed": F.lit(True)},
+        when_not_matched_insert=False,
+        window_from=frm,
+        window_to=to,
+        prune_to_window=True,
+    )
+    assert n["updated"] == 1
