@@ -108,3 +108,193 @@ def read_flow_log_csv(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn(
         "start_time", F.timestamp_seconds("start_time")
     ).withColumn("end_time", F.timestamp_seconds("end_time"))
+
+
+def _jget(col: str, path: str, cast: str | None = None):
+    """Variant path over a raw-JSON text column; optional cast."""
+    e = F.get_json_object(F.col(col), f"$.{path}")
+    return e.cast(cast) if cast else e
+
+
+def _nullif_dash(c):
+    return F.nullif(c, F.lit("-"))
+
+
+def read_osquery_log_json(spark: SparkSession, path: str) -> DataFrame:
+    """osquery result logs, JSON-lines (osquery_log.py:48-63 landing,
+    :216-223 COPY projection): raw + HASH + typed paths; event_time is
+    the row's unixTime."""
+    raw = spark.read.text(path).withColumnRenamed("value", "raw")
+    return raw.select(
+        "raw",
+        F.xxhash64("raw").alias("hash_raw"),
+        F.timestamp_seconds(_jget("raw", "unixTime", "long")).alias("event_time"),
+        _jget("raw", "action").alias("action"),
+        _jget("raw", "calendarTime").alias("calendartime"),
+        _jget("raw", "columns").alias("columns"),
+        _jget("raw", "counter", "long").alias("counter"),
+        _jget("raw", "epoch", "long").alias("epoch"),
+        _jget("raw", "hostIdentifier").alias("hostidentifier"),
+        _jget("raw", "instance_id").alias("instance_id"),
+        _jget("raw", "name").alias("name"),
+        F.timestamp_seconds(_jget("raw", "unixTime", "long")).alias("unixtime"),
+        _jget("raw", "decorations").alias("decorations"),
+    )
+
+
+def _last_of_chains(col_expr):
+    """nginx upstream chains: `a : b, c` → the final hop's value
+    (nginx_log.py:225-228 array_slice/split idiom)."""
+    last_colon = F.element_at(F.split(col_expr, " : "), -1)
+    return F.nullif(F.element_at(F.split(last_colon, ", "), -1), F.lit("-"))
+
+
+def read_nginx_log_json(spark: SparkSession, path: str) -> DataFrame:
+    """nginx access logs, JSON-lines (nginx_log.py:48-80 landing,
+    :216-231 COPY projection): request-id extraction, '-'-as-NULL
+    normalization, host/user-agent derivations, and final-hop upstream
+    parsing."""
+    raw = spark.read.text(path).withColumnRenamed("value", "raw")
+    req = _jget("raw", "request")
+    host_header = _jget("raw", "host_header")
+    ua = _jget("raw", "http_user_agent")
+    up_status = _jget("raw", "upstream_status")
+    return raw.select(
+        "raw",
+        F.xxhash64("raw").alias("hash_raw"),
+        F.regexp_extract(req, r".*request_?[iI]+d=([^&\s]+)", 1).alias("request_id"),
+        _jget("raw", "time", "timestamp").alias("event_time"),
+        _jget("raw", "bytes_sent", "long").alias("bytes_sent"),
+        _jget("raw", "connection", "long").alias("connection"),
+        _jget("raw", "connection_requests", "long").alias("connection_requests"),
+        _nullif_dash(_jget("raw", "deployment_cluster")).alias("deployment_cluster"),
+        _nullif_dash(_jget("raw", "gzip_ratio")).cast("double").alias("gzip_ratio"),
+        host_header.alias("host_header"),
+        F.upper(F.element_at(F.split(host_header, r"\."), 1)).alias("host_name"),
+        _nullif_dash(
+            F.element_at(F.split(F.element_at(F.split(ua, r"\("), 1), "/"), 1)
+        ).alias("user_agent"),
+        _nullif_dash(ua).alias("http_user_agent"),
+        _nullif_dash(_jget("raw", "http_xff")).alias("http_xff"),
+        _nullif_dash(_jget("raw", "http_referer")).alias("http_referer"),
+        F.regexp_extract(req, r"^([A-Z]{3,4})\s+.*", 1).alias("http_method"),
+        _jget("raw", "instance_id").alias("instance_id"),
+        _jget("raw", "redirect_counter", "long").alias("redirect_counter"),
+        _jget("raw", "remote_address").alias("remote_address"),
+        req.alias("request"),
+        _jget("raw", "request_time", "double").alias("request_time"),
+        _jget("raw", "requests_length", "long").alias("requests_length"),
+        _nullif_dash(_jget("raw", "ssl_session_id")).alias("ssl_session_id"),
+        _nullif_dash(_jget("raw", "ssl_session_reused")).alias("ssl_session_reused"),
+        _jget("raw", "status", "long").alias("status"),
+        (
+            F.regexp_count(up_status, F.lit(" : "))
+            + F.regexp_count(up_status, F.lit(", "))
+            + F.lit(1)
+        ).alias("upstream_count"),
+        _last_of_chains(_jget("raw", "upstream_address")).alias("upstream_address"),
+        _last_of_chains(_jget("raw", "upstream_response_length"))
+        .cast("long")
+        .alias("upstream_response_length"),
+        _last_of_chains(_jget("raw", "upstream_response_time"))
+        .cast("double")
+        .alias("upstream_response_time"),
+        _last_of_chains(up_status).cast("long").alias("upstream_status"),
+    )
+
+
+def read_nginx_error_log_json(spark: SparkSession, path: str) -> DataFrame:
+    """nginx error logs (nginx_log.py:82-90 landing, :242-245 COPY)."""
+    raw = spark.read.text(path).withColumnRenamed("value", "raw")
+    return raw.select(
+        "raw",
+        F.xxhash64("raw").alias("hash_raw"),
+        _jget("raw", "instance_id").alias("instance_id"),
+        _jget("raw", "log_level").alias("log_level"),
+        _jget("raw", "message").alias("message"),
+        _jget("raw", "time", "timestamp").alias("event_time"),
+        _jget("raw", "pid", "long").alias("pid"),
+        _jget("raw", "tid", "long").alias("tid"),
+    )
+
+
+def read_azure_log_json(
+    spark: SparkSession, path: str, connection_type: str = "operation"
+) -> DataFrame:
+    """Azure activity/audit logs, JSON-lines of event records
+    (azure_log.py:73-124 landing, :318-352 merge projections).
+    ``operation`` and ``audit`` connection types; dedupe-on-raw is the
+    store's upsert concern (the reference MERGEs ON a.raw = b.value).
+    """
+    raw = spark.read.text(path).withColumnRenamed("value", "raw")
+    if connection_type == "operation":
+        return raw.select(
+            "raw",
+            F.xxhash64("raw").alias("hash_raw"),
+            _jget("raw", "callerIpAddress").alias("caller_ip_address"),
+            _jget("raw", "category").alias("category"),
+            _jget("raw", "correlationId").alias("correlation_id"),
+            _jget("raw", "durationMs", "long").alias("duration_ms"),
+            _jget("raw", "identity").alias("identity"),
+            _jget("raw", "identity.authorization").alias("identity_authorization"),
+            _jget("raw", "identity.claims").alias("identity_claims"),
+            _jget("raw", "level").alias("level"),
+            _jget("raw", "location").alias("location"),
+            _jget("raw", "operationName").alias("operation_name"),
+            _jget("raw", "properties").alias("properties"),
+            _jget("raw", "properties.ancestors").alias("properties_ancestors"),
+            _jget("raw", "properties.isComplianceCheck").alias(
+                "properties_is_compliance_check"
+            ),
+            _jget("raw", "properties.policies").alias("properties_policies"),
+            _jget("raw", "properties.resourceLocation").alias(
+                "properties_resource_location"
+            ),
+            _jget("raw", "resourceId").alias("resource_id"),
+            _jget("raw", "resultSignature").alias("result_signature"),
+            _jget("raw", "resultType").alias("result_type"),
+            _jget("raw", "time", "timestamp").alias("event_time"),
+            F.current_timestamp().alias("loaded_on"),
+        )
+    if connection_type == "audit":
+        return raw.select(
+            "raw",
+            F.xxhash64("raw").alias("hash_raw"),
+            _jget("raw", "callerIpAddress").alias("caller_ip_address"),
+            _jget("raw", "category").alias("category"),
+            _jget("raw", "correlationId").alias("correlation_id"),
+            _jget("raw", "durationMs", "long").alias("duration_ms"),
+            _jget("raw", "level").alias("level"),
+            _jget("raw", "operationName").alias("operation_name"),
+            _jget("raw", "operationVersion").alias("operation_version"),
+            _jget("raw", "properties").alias("properties"),
+            _jget("raw", "properties.activityDateTime", "timestamp").alias(
+                "properties_activity_date_time"
+            ),
+            _jget("raw", "properties.activityDisplayName").alias(
+                "properties_activity_display_name"
+            ),
+            _jget("raw", "properties.additionalDetails").alias(
+                "properties_additional_details"
+            ),
+            _jget("raw", "properties.category").alias("properties_category"),
+            _jget("raw", "properties.id").alias("properties_id"),
+            _jget("raw", "properties.initiatedBy").alias("properties_initiated_by"),
+            _jget("raw", "properties.loggedByService").alias(
+                "properties_logged_by_service"
+            ),
+            _jget("raw", "properties.operationType").alias(
+                "properties_operation_type"
+            ),
+            _jget("raw", "properties.result").alias("properties_result"),
+            _jget("raw", "properties.resultReason").alias("properties_result_reason"),
+            _jget("raw", "properties.targetResources").alias(
+                "properties_target_resources"
+            ),
+            _jget("raw", "resourceId").alias("resource_id"),
+            _jget("raw", "resultSignature").alias("result_signature"),
+            _jget("raw", "tenantId").alias("tenant_id"),
+            _jget("raw", "time", "timestamp").alias("event_time"),
+            F.current_timestamp().alias("loaded_on"),
+        )
+    raise ValueError(f"unsupported azure_log connection type {connection_type!r}")
