@@ -618,3 +618,20 @@ def test_cost_warehouse_spike(spark, monitoring):
     rows = monitoring("warehouse_spending_spike")
     assert len(rows) == 1 and rows[0].warehouse_name == "wh1"
     assert rows[0].ld_credits_used == 30.0
+
+
+def test_corpus_plans_product_free(spark, corpus):
+    """Scale health across the whole non-azure corpus: no pack view may
+    compile to a cartesian/nested-loop product — except CIS 1.14, whose
+    reference SQL is a deliberate three-way comma cross join
+    (cis_aws_pack.sql:631-648)."""
+    reg, _ = corpus
+    allowed = {"VQ_ZDIAEIEAMP_VIOLATION_QUERY"}
+    offenders = {}
+    for rule in reg.rules.values():
+        plan = rule.df(spark)._jdf.queryExecution().executedPlan().toString()
+        prods = [op for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                 if op in plan]
+        if prods and rule.name not in allowed:
+            offenders[rule.name] = prods
+    assert offenders == {}

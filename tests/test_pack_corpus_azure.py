@@ -398,3 +398,16 @@ def test_azure_cis_6_2_ssh(spark, azure):
 def test_azure_cis_7_4_extensions(spark, azure):
     rows = _rows(spark, azure, "7_4")
     assert {r.object for r in rows} == {"vm1"}
+
+
+def test_azure_corpus_plans_product_free(spark, azure):
+    """All 45 azure views compile cartesian-free over their landing
+    fixtures — the corpus-wide scale-health pin."""
+    offenders = {}
+    for rule in azure.rules.values():
+        plan = rule.df(spark)._jdf.queryExecution().executedPlan().toString()
+        prods = [op for op in ("CartesianProduct", "BroadcastNestedLoopJoin")
+                 if op in plan]
+        if prods:
+            offenders[rule.name] = prods
+    assert offenders == {}
