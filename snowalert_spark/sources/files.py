@@ -298,3 +298,62 @@ def read_azure_log_json(
             F.current_timestamp().alias("loaded_on"),
         )
     raise ValueError(f"unsupported azure_log connection type {connection_type!r}")
+
+
+# github_webhooks_s3.py:207-214 — the webhook COPY's path projection
+GITHUB_WEBHOOK_PATHS = [
+    "ref", "before", "after", "created", "deleted", "forced", "base_ref",
+    "compare", "commits", "head_commit", "repository", "pusher",
+    "organization", "sender", "action", "check_run", "check_suite", "number",
+    "pull_request", "label", "requested_team", "ref_type", "master_branch",
+    "description", "pusher_type", "review", "changes", "comment", "issue",
+    "id", "sha", "name", "target_url", "context", "state", "commit",
+    "branches", "created_at", "updated_at", "assignee", "release",
+    "membership", "alert", "scope", "member", "requested_reviewer", "team",
+    "starred_at", "pages", "project_card", "build", "deployment_status",
+    "deployment", "forkee", "milestone", "key", "project_column", "status",
+    "avatar_url",
+]
+
+
+def read_github_webhooks_json(spark: SparkSession, path: str) -> DataFrame:
+    """GitHub webhook payload dumps, JSON-lines
+    (github_webhooks_s3.py:60-130 landing, :207-214 COPY): insert
+    time + raw + HASH + one column per top-level webhook path."""
+    raw = spark.read.text(path).withColumnRenamed("value", "raw")
+    return raw.select(
+        F.current_timestamp().alias("insert_time"),
+        "raw",
+        F.xxhash64("raw").alias("hash_raw"),
+        *[
+            F.get_json_object(F.col("raw"), f"$.{p}").alias(p)
+            for p in GITHUB_WEBHOOK_PATHS
+        ],
+    )
+
+
+# ldap_log.py:49-58
+LDAP_SCHEMA = T.StructType(
+    [
+        T.StructField("group_name", T.StringType()),
+        T.StructField("display_name", T.StringType()),
+        T.StructField("sam", T.StringType()),
+        T.StructField("email", T.StringType()),
+        T.StructField("account_created", T.TimestampType()),
+        T.StructField("account_last_modified", T.TimestampType()),
+        T.StructField("password_last_set", T.TimestampType()),
+        T.StructField("password_expires", T.TimestampType()),
+    ]
+)
+
+
+def read_ldap_log_csv(spark: SparkSession, path: str) -> DataFrame:
+    """LDAP group exports: comma CSV, header row, optionally-quoted
+    fields (ldap_log.py:45-58)."""
+    return (
+        spark.read.schema(LDAP_SCHEMA)
+        .option("sep", ",")
+        .option("header", "true")
+        .option("quote", '"')
+        .csv(path)
+    )

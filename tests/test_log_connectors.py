@@ -142,3 +142,39 @@ def test_osquery_landing_feeds_pack_shape(spark, tmp_path):
     ])
     df = read_osquery_log_json(spark, path).select("instance_id", "event_time")
     assert df.collect()[0].instance_id == "i-123"
+
+
+def test_github_webhooks_projection(spark, tmp_path):
+    from snowalert_spark.sources.files import read_github_webhooks_json
+
+    path = _write(tmp_path, "gh.jsonl", [
+        {"ref": "refs/heads/main", "before": "aaa", "after": "bbb",
+         "created": False, "deleted": False, "forced": True,
+         "repository": {"full_name": "org/repo"},
+         "pusher": {"name": "kim"}, "sender": {"login": "kim"},
+         "commits": [{"id": "bbb"}]},
+        {"action": "opened", "number": 7,
+         "pull_request": {"title": "fix"}, "sender": {"login": "lee"}},
+    ])
+    rows = read_github_webhooks_json(spark, path).collect()
+    push, pr = rows
+    assert push.ref == "refs/heads/main" and push.forced == "true"
+    assert json.loads(push.repository)["full_name"] == "org/repo"
+    assert pr.action == "opened" and pr.number == "7"
+    assert pr.ref is None
+    assert push.hash_raw is not None and push.insert_time is not None
+
+
+def test_ldap_log_csv(spark, tmp_path):
+    from snowalert_spark.sources.files import read_ldap_log_csv
+
+    p = tmp_path / "ldap.csv"
+    p.write_text(
+        "group_name,display_name,sam,email,account_created,"
+        "account_last_modified,password_last_set,password_expires\n"
+        'admins,"Kim, A.",kima,kim@x.io,2023-01-01 00:00:00,'
+        "2024-01-01 00:00:00,2024-02-01 00:00:00,2024-08-01 00:00:00\n"
+    )
+    row = read_ldap_log_csv(spark, str(p)).collect()[0]
+    assert row.group_name == "admins" and row.display_name == "Kim, A."
+    assert row.password_last_set == dt.datetime(2024, 2, 1)
