@@ -96,6 +96,28 @@ class RuleRegistry:
         self.rules[name] = r
         return r
 
+    _DDL_RE = re.compile(
+        r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+"
+        r"(?:\w+\.)*(?P<name>\w+)"
+        r"(?:\s+COPY\s+GRANTS)?"
+        r"(?:\s+COMMENT\s*=\s*'(?P<comment>(?:\\'|[^'])*)')?"
+        r"\s+AS\s+(?P<body>.*)$",
+        re.I | re.S,
+    )
+
+    def create_from_ddl(self, ddl: str) -> Rule:
+        """WebUI create path (webui/api/rules.py:68-95): accept the
+        full ``CREATE OR REPLACE VIEW rules.<name> … COMMENT='…' AS
+        <body>`` text the frontend sends, peel the DDL envelope, and
+        register the body under the view's own name."""
+        m = self._DDL_RE.match(ddl.strip())
+        if m is None:
+            raise ValueError("not a CREATE VIEW statement")
+        comment = (m.group("comment") or "").replace("\\'", "'")
+        return self.create(
+            m.group("name").upper(), sql=m.group("body"), comment=comment
+        )
+
     def rename(self, name: str, new_name: str) -> Rule:
         """webui/api/rules.py:151-178 analog."""
         rule = self.rules.pop(name)
