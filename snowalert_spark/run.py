@@ -46,6 +46,12 @@ def main(argv: list[str] | None = None) -> int:
         default=None,
         help="python module exposing register(registry)",
     )
+    p.add_argument(
+        "--packs",
+        default=None,
+        help="comma-separated pack files (e.g. cis_aws_pack.sql,okta.sql) "
+        "to register verbatim from the packs dir (SNOWALERT_PACKS_DIR)",
+    )
     # window overrides (SA_ALERT_CUTOFF_MINUTES analog +
     # explicit backfill range)
     p.add_argument("--cutoff-minutes", type=int, default=None)
@@ -70,6 +76,13 @@ def main(argv: list[str] | None = None) -> int:
     registry = RuleRegistry()
     if args.rules:
         importlib.import_module(args.rules).register(registry)
+    if args.packs:
+        from snowalert_spark import packs as _packs
+
+        for f in args.packs.split(","):
+            f = f.strip()
+            _packs.register_pack_rules(registry, f"{_packs.PACKS_DIR}/{f}")
+            _packs.create_pack_data_views(spark, f"{_packs.PACKS_DIR}/{f}")
 
     if args.target in ("alerts", "all"):
         run_alerts(spark, store, registry, from_ts=from_ts, to_ts=to_ts)
