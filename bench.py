@@ -95,6 +95,72 @@ def _bench_pipeline(spark, sf_dir: str) -> float:
     return [once() for _ in range(3)]
 
 
+def _bench_packs(spark, sf_dir: str):
+    """Pack-rule throughput: the 4 aws_query_pack views (verbatim
+    reference SQL through the transpiler) over a CloudTrail landing
+    synthesized from the sf-scaled events table — the engine's actual
+    workload shape at bench scale. Returns three timed sweeps or None
+    when the reference packs dir is absent."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from snowalert_spark import packs
+    from snowalert_spark.rules import RuleRegistry
+    from snowalert_spark.tables import table
+
+    if not os.path.isdir(packs.PACKS_DIR):
+        return None
+
+    e = table(spark, sf_dir, "events")
+    acct = (F.col("user_id") % 5).cast("string")
+    names = F.array(*[F.lit(x) for x in (
+        "StopLogging", "DeleteTrail", "CreateUser", "GetObject",
+        "ConsoleLogin", "PutObject", "DescribeInstances")])
+    e.select(
+        F.lit("prod").alias("deployment"),
+        acct.alias("recipient_account_id"),
+        F.col("props").alias("raw"),
+        F.col("ts").alias("event_time"),
+        F.element_at(names, (F.col("event_id") % 7 + 1).cast("int")).alias("event_name"),
+        F.concat(F.lit("user"), F.col("user_id")).alias(
+            "user_identity_session_context_session_issuer_user_name"),
+        F.concat(F.lit("arn:aws:iam::"), acct, F.lit(":user/u"),
+                 F.col("user_id")).alias("user_identity_arn"),
+        F.when(F.col("value") > 180, "AccessDenied").alias("error_code"),
+        F.when(F.col("value") > 180, "not authorized").alias("error_message"),
+        F.when(F.col("event_id") % 97 == 0, "Root").otherwise("IAMUser").alias(
+            "user_identity_type"),
+        F.concat(F.lit("10.0."), (F.col("event_id") % 255).cast("string"),
+                 F.lit(".1")).alias("source_ip_address"),
+        F.to_json(F.struct(
+            F.concat(F.lit("bkt-"), (F.col("user_id") % 50).cast("string"))
+            .alias("bucketName"),
+            F.concat(F.lit("trail-"), acct).alias("name"),
+        )).alias("request_parameters"),
+        F.to_json(F.struct(
+            (F.col("user_id") % 7).cast("string").alias("accountId"),
+        )).alias("user_identity"),
+        F.concat(F.lit("asset-"), (F.col("event_id") % 13).cast("string"),
+                 F.when(F.col("event_id") % 13 == 0, "public").otherwise("")
+                 ).alias("affectedobject"),
+    ).createOrReplaceTempView("data_cloudtrail_v")
+    spark.createDataFrame([(str(i),) for i in range(4)], "account_id string"
+                          ).createOrReplaceTempView("prod_aws_account_map")
+
+    reg = RuleRegistry()
+    packs.register_pack_rules(reg, f"{packs.PACKS_DIR}/aws_query_pack.sql")
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        for r in reg.rules.values():
+            r.df(spark).write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warm
+    return [once() for _ in range(3)]
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -124,6 +190,14 @@ def main() -> None:
     rs = sorted(round(t, 4) for t in _bench_pipeline(spark, sf_dir))
     runs["pipeline_alert_run"] = rs
     timings["pipeline_alert_run"] = rs[1]
+
+    # verbatim pack-rule sweep (4 aws_query_pack views over a
+    # synthesized sf-scale CloudTrail landing)
+    pk = _bench_packs(spark, sf_dir)
+    if pk is not None:
+        rs = sorted(round(t, 4) for t in pk)
+        runs["pack_aws_query_sweep"] = rs
+        timings["pack_aws_query_sweep"] = rs[1]
 
     total = round(sum(timings.values()), 4)
     print(
