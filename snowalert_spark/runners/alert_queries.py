@@ -73,12 +73,21 @@ def create_alerts(
     store: ResultsStore,
     rule: Rule,
     from_ts: dt.datetime,
-    to_ts: dt.datetime,
+    to_ts: dt.datetime | None,
 ) -> dict:
-    """Run one alert rule over [from_ts, to_ts] and merge results."""
+    """Run one alert rule over [from_ts, to_ts] and merge results.
+
+    ``to_ts=None`` mirrors the reference default exactly: the upper
+    bound is ``CURRENT_TIMESTAMP`` evaluated *inside* the query
+    (alert_queries_runner.py:31,60), so a rule that emits
+    ``CURRENT_TIMESTAMP()`` as its event_time — the reference's own
+    sample and SP1099 rules do — still falls inside the window. A
+    pre-snapshotted driver timestamp would land strictly before the
+    rule's evaluation time and silently drop those alerts."""
     raw = rule.df(spark)
+    upper = F.lit(to_ts) if to_ts is not None else F.current_timestamp()
     projected = _to_alert_doc(raw, rule).filter(
-        F.col("alert.EVENT_TIME").between(F.lit(from_ts), F.lit(to_ts))
+        F.col("alert.EVENT_TIME").between(F.lit(from_ts), upper)
     )
     run = projected.select(
         "alert",
@@ -141,8 +150,12 @@ def main(
     Spark, rule plans share one scheduler and local[N] parallelism, so
     thread fan-out only helps overlap driver-side planning."""
     run_id = run_id or uuid.uuid4().hex
-    to_ts = to_ts or dt.datetime.utcnow()
-    from_ts = from_ts or (to_ts - dt.timedelta(minutes=CUTOFF_MINUTES))
+    # to_ts stays None on the default path: the window's upper bound is
+    # then query-time CURRENT_TIMESTAMP (reference parity, see
+    # create_alerts); explicit backfill ranges pass both bounds.
+    from_ts = from_ts or (
+        (to_ts or dt.datetime.utcnow()) - dt.timedelta(minutes=CUTOFF_MINUTES)
+    )
     results = []
     for rule in registry.load_rules(ALERT_QUERY):
         start = dt.datetime.utcnow()
