@@ -297,6 +297,72 @@ def read_azure_log_json(
             _jget("raw", "time", "timestamp").alias("event_time"),
             F.current_timestamp().alias("loaded_on"),
         )
+    if connection_type == "signin":
+        # azure_log.py signin projection (:318-352) — camelCase path →
+        # landing column pairs; typed columns cast, VARIANT stays text
+        paths = [
+            ("Level", "level", "long"),
+            ("callerIpAddress", "caller_ip_address", None),
+            ("category", "category", None),
+            ("correlationId", "correlation_id", None),
+            ("durationMs", "duration_ms", "long"),
+            ("identity", "identity", None),
+            ("location", "location", None),
+            ("operationName", "operation_name", None),
+            ("operationVersion", "operation_version", None),
+            ("properties", "properties", None),
+            ("properties.appDisplayName", "properties_app_display_name", None),
+            ("properties.appId", "properties_app_id", None),
+            ("properties.appliedConditionalAccessPolicies",
+             "properties_applied_conditional_acess_policies", None),
+            ("properties.authenticationMethodsUsed",
+             "properties_authentication_methods_used", None),
+            ("properties.authenticationProcessingDetails",
+             "properties_authentication_processing_details", None),
+            ("properties.clientAppUsed", "properties_client_app_used", None),
+            ("properties.conditionalAccessStatus",
+             "properties_conditional_access_status", None),
+            ("properties.createdDateTime", "properties_created_date_time",
+             "timestamp"),
+            ("properties.deviceDetail", "properties_device_detail", None),
+            ("properties.id", "properties_id", None),
+            ("properties.ipAddress", "properties_ip_address", None),
+            ("properties.isInteractive", "properties_is_interactive", "boolean"),
+            ("properties.location", "properties_location", None),
+            ("properties.mfaDetail", "properties_mfa_detail", None),
+            ("properties.networkLocationDetails",
+             "properties_network_location", None),
+            ("properties.processingTimeInMilliseconds",
+             "properties_processing_time_in_milliseconds", "long"),
+            ("properties.resourceDisplayName",
+             "properties_resource_display_name", None),
+            ("properties.resourceId", "properties_resource_id", None),
+            ("properties.riskDetail", "properties_risk_detail", None),
+            ("properties.riskEventTypes", "properties_risk_event_types", None),
+            ("properties.riskLevelAggregated",
+             "properties_risk_level_aggregated", None),
+            ("properties.riskLevelDuringSignIn",
+             "properties_risk_level_during_signin", None),
+            ("properties.riskState", "properties_risk_state", None),
+            ("properties.status", "properties_status", None),
+            ("properties.tokenIssuerType", "properties_token_issuer_type", None),
+            ("properties.userDisplayName", "properties_user_display_name", None),
+            ("properties.userId", "properties_user_id", None),
+            ("properties.userPrincipalName",
+             "properties_user_principal_name", None),
+            ("resourceId", "resource_id", None),
+            ("resultDescription", "result_description", None),
+            ("resultSignature", "result_signature", None),
+            ("resultType", "result_type", None),
+            ("tenantId", "tenant_id", None),
+            ("time", "event_time", "timestamp"),
+        ]
+        return raw.select(
+            "raw",
+            F.xxhash64("raw").alias("hash_raw"),
+            *[_jget("raw", p, cast).alias(col) for p, col, cast in paths],
+            F.current_timestamp().alias("loaded_on"),
+        )
     raise ValueError(f"unsupported azure_log connection type {connection_type!r}")
 
 

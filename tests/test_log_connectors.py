@@ -128,7 +128,36 @@ def test_azure_audit_log_projection(spark, tmp_path):
     assert json.loads(row.properties_initiated_by)["user"]["id"] == "u1"
     assert row.tenant_id == "t1"
     with pytest.raises(ValueError):
-        read_azure_log_json(spark, path, "signin")
+        read_azure_log_json(spark, path, "metrics")
+
+
+def test_azure_signin_log_projection(spark, tmp_path):
+    path = _write(tmp_path, "azsign.jsonl", [
+        {"time": "2024-05-01T10:00:00Z", "Level": 4,
+         "callerIpAddress": "4.5.6.7", "category": "SignInLogs",
+         "correlationId": "c-3", "durationMs": 0, "identity": "Kim A",
+         "operationName": "Sign-in activity", "operationVersion": "1.0",
+         "properties": {"appDisplayName": "Azure Portal", "appId": "ap-1",
+                        "clientAppUsed": "Browser",
+                        "conditionalAccessStatus": "success",
+                        "createdDateTime": "2024-05-01T09:59:59Z",
+                        "deviceDetail": {"operatingSystem": "MacOs"},
+                        "id": "s-1", "ipAddress": "4.5.6.7",
+                        "isInteractive": True,
+                        "processingTimeInMilliseconds": 321,
+                        "riskLevelDuringSignIn": "none",
+                        "status": {"errorCode": 0},
+                        "userDisplayName": "Kim A", "userId": "u-9",
+                        "userPrincipalName": "kim@x.io"},
+         "resourceId": "/t/x", "resultType": "0", "tenantId": "t1"},
+    ])
+    row = read_azure_log_json(spark, path, "signin").collect()[0]
+    assert row.level == 4 and row.properties_is_interactive is True
+    assert row.properties_app_display_name == "Azure Portal"
+    assert row.properties_processing_time_in_milliseconds == 321
+    assert row.properties_created_date_time == dt.datetime(2024, 5, 1, 9, 59, 59)
+    assert json.loads(row.properties_status) == {"errorCode": 0}
+    assert row.properties_user_principal_name == "kim@x.io"
 
 
 def test_osquery_landing_feeds_pack_shape(spark, tmp_path):
