@@ -102,6 +102,18 @@ def _split_top_level(sql: str, keyword: str) -> tuple[str, str] | None:
     return None
 
 
+def _count_top_level(sql: str, keyword: str) -> int:
+    """Number of top-level (outside parens/quotes) keyword occurrences."""
+    n = 0
+    rest = sql
+    while True:
+        sp = _split_top_level(rest, keyword)
+        if sp is None:
+            return n
+        n += 1
+        rest = sp[1]
+
+
 def _find_top_level_any(sql: str, keywords: tuple[str, ...], start: int = 0) -> int:
     """Index of the earliest top-level occurrence of any keyword at or
     after ``start``; len(sql) if none."""
@@ -146,9 +158,11 @@ def rewrite_qualify(sql: str) -> str:
     if parts is None:
         return sql
     inner, rest = parts
-    # peel trailing ORDER BY / LIMIT off the qualify predicate
+    # peel trailing UNION branches / ORDER BY / LIMIT off the qualify
+    # predicate (UNION first: everything after it — including its own
+    # ORDER BY — belongs to the union, not this branch)
     tail = ""
-    for kw in ("ORDER BY", "LIMIT"):
+    for kw in ("UNION", "ORDER BY", "LIMIT"):
         sp = _split_top_level(rest, kw)
         if sp is not None:
             rest, after = sp
@@ -170,7 +184,9 @@ def rewrite_qualify(sql: str) -> str:
 # --------------------------------------------------------------------------
 
 _FLAT_START_RE = re.compile(
-    r"(?P<lead>,|\bJOIN\b|\bINNER\s+JOIN\b)?\s*\bLATERAL\s+FLATTEN\s*\(", re.I
+    r"(?P<lead>,|\b(?:(?:LEFT|RIGHT|FULL|CROSS|INNER)\s+)?(?:OUTER\s+)?JOIN\b)?"
+    r"\s*\bLATERAL\s+FLATTEN\s*\(",
+    re.I,
 )
 # words that cannot be a flatten alias (the packs write `FLATTEN(…) f`
 # or no alias at all, directly followed by a clause keyword)
@@ -179,7 +195,9 @@ _NOT_ALIAS = {
     "on", "join", "left", "right", "full", "inner", "cross", "lateral",
     "using", "and", "or", "select", "with", "window",
 }
-_CLAUSE_KWS = ("WHERE", "GROUP BY", "QUALIFY", "HAVING", "ORDER BY", "LIMIT", "UNION")
+# single-word keys: "GROUP BY" written as "GROUP\nBY" or with doubled
+# spaces is legal SQL a two-word substring match silently misses
+_CLAUSE_KWS = ("WHERE", "GROUP", "QUALIFY", "HAVING", "ORDER", "LIMIT", "UNION")
 
 
 def _rewrite_flatten_level(sql: str, counter: list[int]) -> str:
@@ -211,21 +229,26 @@ def _rewrite_flatten_level(sql: str, counter: list[int]) -> str:
         if alias is None:
             counter[0] += 1
             alias = f"_flat{counter[0]}"
-        # parse input => expr [, recursive => true]
+        # parse input => expr [, recursive => true] [, outer => true]
         recursive = bool(re.search(r"\brecursive\s*=>\s*true", args, re.I))
-        args = re.sub(r",?\s*\brecursive\s*=>\s*\w+", "", args, flags=re.I)
+        outer = bool(re.search(r"\bouter\s*=>\s*true", args, re.I))
+        args = re.sub(r",?\s*\b(?:recursive|outer)\s*=>\s*\w+", "", args, flags=re.I)
         im = re.match(r"\s*input\s*=>\s*(.*)$", args, flags=re.I | re.S)
         expr = (im.group(1) if im else args).strip()
+        lead = m.group("lead") or ""
+        # LEFT/FULL JOIN LATERAL FLATTEN and outer => true both keep
+        # rows with empty/NULL input → the OUTER lateral view form
+        outer = outer or bool(re.search(r"\b(LEFT|FULL)\b", lead, re.I))
+        ov = "OUTER " if outer else ""
         if recursive:
             # Snowflake recursive flatten: one row per node (path, value)
             # — sa_rflatten (functions/variant.py) walks the JSON doc.
-            lview = f" LATERAL VIEW inline(sa_rflatten({expr})) {alias} "
+            lview = f" LATERAL VIEW {ov}inline(sa_rflatten({expr})) {alias} "
         else:
             lview = (
-                f" LATERAL VIEW posexplode(from_json({expr}, 'array<string>')) "
+                f" LATERAL VIEW {ov}posexplode(from_json({expr}, 'array<string>')) "
                 f"{alias} AS index, value "
             )
-        lead = m.group("lead") or ""
         start_i = m.start() if lead else m.start()
         sql = sql[:start_i] + " " + sql[end_i:]
         # insertion point: first top-level clause keyword after removal
@@ -326,7 +349,9 @@ def rewrite_casts(sql: str) -> str:
     # fix `<closer> AS __CAST_T__` placeholders: walk back over the
     # postfix chain (paren/bracket groups + identifier) to find the
     # start of the casted expression
-    pat = re.compile(r"([\)\]]) AS __CAST_(\w+?)__")
+    # types may contain non-word chars (DECIMAL(38,0), ARRAY<STRING>) —
+    # match lazily up to the closing marker
+    pat = re.compile(r"([\)\]]) AS __CAST_(.+?)__")
     while True:
         pm = pat.search(out)
         if pm is None:
@@ -648,15 +673,31 @@ def rewrite_bool_conjuncts(sql: str) -> str:
         if sp is not None:
             pred, after = sp
             tail += f" {kw} {after.strip()}"
-    conjs = []
+    # split on top-level AND, except the AND that closes a pending
+    # [NOT] BETWEEN lo AND hi — that one belongs to the expression
+    pieces = []
     rest = pred
     while True:
         sp = _split_top_level(rest, "AND")
         if sp is None:
-            conjs.append(rest)
+            pieces.append(rest)
             break
-        conjs.append(sp[0])
+        pieces.append(sp[0])
         rest = sp[1]
+    conjs = []
+    cur, pending = None, 0
+    for p in pieces:
+        if cur is None:
+            cur = p
+        else:
+            cur = cur.rstrip() + " AND " + p.lstrip()
+            pending -= 1  # this AND closed a BETWEEN
+        pending += _count_top_level(p, "BETWEEN")
+        if pending <= 0:
+            conjs.append(cur)
+            cur, pending = None, 0
+    if cur is not None:
+        conjs.append(cur)
     changed = False
     out_conjs = []
     for c in conjs:

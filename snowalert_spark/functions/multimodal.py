@@ -128,8 +128,11 @@ def extract_features(media: DataFrame, decode: str = "fake") -> DataFrame:
                 fmts = pdf["meta"].map(lambda m: (m or {}).get("format"))
                 missing = set(fmts) - set(decoders)
                 if missing:
+                    # missing may mix None (rows without meta.format)
+                    # with strings — stringify before sorting
                     raise NotImplementedError(
-                        f"no decoder registered for format(s) {sorted(missing)}; "
+                        "no decoder registered for format(s) "
+                        f"{sorted(map(str, missing))}; "
                         "register_decoder() one or use decode='fake'"
                     )
                 data = pdf["data"]

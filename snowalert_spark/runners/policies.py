@@ -35,6 +35,8 @@ def list_rules(
     for name in sorted(registry.rules):
         rule = registry.rules[name]
         parts = name.split("_")
+        if len(parts) < 2:
+            continue  # webui filters by is_valid_rule_name (rules.py:63)
         target, typ = parts[-2].upper(), parts[-1].upper()
         if rule_target and target != rule_target.upper():
             continue

@@ -66,7 +66,9 @@ def _response_items(coldict, page, entry: dict) -> dict:
     elif type(coldict) is tuple:
         kind, colname, parsed_colname = coldict
         entry[colname] = page
-        entry[parsed_colname] = _parse_col(kind, page)
+        # a success page can lack the parsed source (e.g. a credential
+        # report still generating): land NULLs, don't abort the crawl
+        entry[parsed_colname] = None if page is None else _parse_col(kind, page)
     elif type(coldict) is dict:
         for response_key, colname in coldict.items():
             if page:

@@ -66,12 +66,18 @@ def replace_device_keys(objects: list[dict], names: dict) -> list[dict]:
     for key, value in names.items():
         for device in objects:
             if device.get(key, False):
-                if device.get(value) is not None:
+                # per-device target: the reference mutates the shared
+                # loop variable here (assetpanda.py:92-93), so a
+                # collision on one device renames every later device's
+                # field to the suffixed name — replicating that would
+                # scatter the landing columns
+                target = value
+                if device.get(target) is not None:
                     number = 2
-                    while device.get(f"{value}_{number}") is not None:
+                    while device.get(f"{target}_{number}") is not None:
                         number += 1
-                    value = f"{value}_{number}"
-                device[value] = device.pop(key)
+                    target = f"{target}_{number}"
+                device[target] = device.pop(key)
     return objects
 
 
