@@ -173,45 +173,57 @@ def main() -> None:
     names = [n for n in HEADLINE if n in qs]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
-    for name in names:
-        def one() -> float:
-            df = qs[name](spark, sf_dir)
-            t0 = time.perf_counter()
-            df.write.format("noop").mode("overwrite").save()
-            return time.perf_counter() - t0
+    errors: dict[str, str] = {}
 
-        one()  # warm-up, discarded
-        rs = sorted(round(one(), 4) for _ in range(3))
+    def record(name, thunk) -> None:
+        """One broken query must yield an err row, not zero the whole
+        benchmark (rounds 4-5 lost all perf data to a single warm-up
+        crash)."""
+        try:
+            rs = sorted(round(t, 4) for t in thunk())
+        except Exception as exc:  # noqa: BLE001 — isolate per query
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            return
         runs[name] = rs
         timings[name] = rs[1]  # median
 
+    for name in names:
+        def triple(name=name) -> list[float]:
+            def one() -> float:
+                df = qs[name](spark, sf_dir)
+                t0 = time.perf_counter()
+                df.write.format("noop").mode("overwrite").save()
+                return time.perf_counter() - t0
+
+            one()  # warm-up, discarded
+            return [one() for _ in range(3)]
+
+        record(name, triple)
+
     # end-to-end rule-engine pipeline over the events table (project →
     # dedupe → partition-pruned merge → suppress), timed as one unit
-    rs = sorted(round(t, 4) for t in _bench_pipeline(spark, sf_dir))
-    runs["pipeline_alert_run"] = rs
-    timings["pipeline_alert_run"] = rs[1]
+    record("pipeline_alert_run", lambda: _bench_pipeline(spark, sf_dir))
 
     # verbatim pack-rule sweep (4 aws_query_pack views over a
-    # synthesized sf-scale CloudTrail landing)
-    pk = _bench_packs(spark, sf_dir)
-    if pk is not None:
-        rs = sorted(round(t, 4) for t in pk)
-        runs["pack_aws_query_sweep"] = rs
-        timings["pack_aws_query_sweep"] = rs[1]
+    # synthesized sf-scale CloudTrail landing); skipped (not an error)
+    # when the reference packs dir is absent
+    from snowalert_spark import packs
+
+    if os.path.isdir(packs.PACKS_DIR):
+        record("pack_aws_query_sweep", lambda: _bench_packs(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "runs": runs,
-                "sf": sf,
-            }
-        )
-    )
+    out = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "runs": runs,
+        "sf": sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

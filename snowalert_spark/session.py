@@ -40,6 +40,12 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # tz-less parquet timestamps read as TIMESTAMP (not NTZ): session
+        # tz is UTC, so values match DuckDB's naive reading, and the
+        # workload's epoch arithmetic (cast-to-double, unix_micros) stays
+        # legal. tables.py additionally normalizes per-column for
+        # sessions not built by this factory.
+        .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # 100 TB note: autoBroadcastJoinThreshold stays default (10 MB);
         # dimension tables (region/nation/rule metadata) broadcast, fact

@@ -30,29 +30,48 @@ TABLES = (
 
 
 @lru_cache(maxsize=None)
-def _nano_ts_cols(path: str) -> tuple[str, ...]:
-    """Columns stored as parquet TIMESTAMP(NANOS) — Spark rejects the
-    type outright; we read them as int64 (legacy conf) and truncate to
-    microseconds, exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast
-    does, so oracle comparisons agree. One driver-side footer read per
-    path (cached) — no data scan."""
+def _ts_normalize_cols(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
+    """Footer-driven timestamp normalization plan: ``(nanos, ntz)``.
+
+    * ``nanos`` — parquet TIMESTAMP(NANOS) columns; Spark rejects the
+      type outright, so we read them as int64 (legacy conf) and truncate
+      to microseconds, exactly what DuckDB's TIMESTAMP_NS→TIMESTAMP cast
+      does, so oracle comparisons agree.
+    * ``ntz`` — tz-less ``timestamp[us/ms/s]`` columns; PySpark ≥3.4
+      reads these as TIMESTAMP_NTZ (inferTimestampNTZ), which forbids
+      ``cast(ts AS DOUBLE)`` / ``unix_micros(ts)`` and breaks oracle
+      schema parity. We cast to session-zone TIMESTAMP on load — the
+      session timezone is pinned UTC (session.py), so the conversion is
+      value-preserving and matches DuckDB's naive-timestamp reading.
+
+    One driver-side footer read per path (cached) — no data scan, and at
+    cluster scale the per-column cast is a pure projection (no shuffle).
+    """
     schema = pq.read_schema(path)
-    return tuple(
-        f.name for f in schema if str(f.type) in ("timestamp[ns]", "timestamp[ns, tz=UTC]")
-    )
+    nanos, ntz = [], []
+    for f in schema:
+        t = str(f.type)
+        if t in ("timestamp[ns]", "timestamp[ns, tz=UTC]"):
+            nanos.append(f.name)
+        elif t in ("timestamp[us]", "timestamp[ms]", "timestamp[s]"):
+            ntz.append(f.name)
+    return tuple(nanos), tuple(ntz)
 
 
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}")
     path = f"{sf_dir}/{name}.parquet"
-    nanos = _nano_ts_cols(path)
-    if not nanos:
-        return spark.read.parquet(path)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanos, ntz = _ts_normalize_cols(path)
+    if nanos:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(path)
     for c in nanos:
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ntz:
+        # No-op if the session already read the column as TIMESTAMP
+        # (e.g. inferTimestampNTZ disabled); NTZ→TIMESTAMP otherwise.
+        df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 

@@ -190,7 +190,9 @@ def correlation_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
     )
     w = W.partitionBy("actor").orderBy("ts", "event_id")
-    secs = F.col("ts").cast("double")
+    # NTZ-tolerant: cast-to-double is illegal on TIMESTAMP_NTZ, legal
+    # (and a no-op hop) via TIMESTAMP.
+    secs = F.col("ts").cast("timestamp").cast("double")
     is_new = (secs - F.lag(secs, 1, None).over(w) > 3600.0).cast("int")
     sess = F.sum(F.coalesce(is_new, F.lit(0))).over(
         w.rowsBetween(W.unboundedPreceding, 0)

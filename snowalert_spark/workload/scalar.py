@@ -135,16 +135,20 @@ def conditional_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
+    # NTZ-tolerant: no-op when ts is already TIMESTAMP; converts if a
+    # foreign session read the tz-less parquet column as TIMESTAMP_NTZ
+    # (cast-to-double is illegal on NTZ).
+    ts = F.col("ts").cast("timestamp")
     t0 = F.lit("2024-01-01 00:00:00").cast("timestamp")
     return e.select(
         "event_id",
-        F.date_trunc("day", "ts").alias("day"),
-        F.hour("ts").alias("hr"),
-        F.dayofweek("ts").alias("dow"),
-        (F.col("ts") + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
-        F.floor(
-            (F.col("ts").cast("double") - t0.cast("double")) / 60.0
-        ).alias("minutes_since_epoch0"),
+        F.date_trunc("day", ts).alias("day"),
+        F.hour(ts).alias("hr"),
+        F.dayofweek(ts).alias("dow"),
+        (ts + F.expr("INTERVAL 90 MINUTES")).alias("ts_plus_90m"),
+        F.floor((ts.cast("double") - t0.cast("double")) / 60.0).alias(
+            "minutes_since_epoch0"
+        ),
     )
 
 
@@ -192,7 +196,8 @@ def range_join_90min_slices(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     t0_us = int(SLICE_T0.replace(tzinfo=dt.timezone.utc).timestamp() * 1_000_000)
     w_us = SLICE_SECONDS * 1_000_000
-    k = F.expr(f"(unix_micros(ts) - {t0_us}) div {w_us}")
+    # NTZ-tolerant: unix_micros is illegal on TIMESTAMP_NTZ inputs.
+    k = F.expr(f"(unix_micros(cast(ts AS TIMESTAMP)) - {t0_us}) div {w_us}")
     return (
         e.withColumn("slice_start", F.timestamp_micros(F.lit(t0_us) + k * w_us))
         .groupBy("slice_start")
