@@ -81,21 +81,44 @@ def brute_force_topk(
     )
 
 
+#: cosine_pairs refuses corpora above this size unless explicitly
+#: overridden — 100k rows is already 5e9 candidate pairs.
+COSINE_PAIRS_MAX_ROWS = 100_000
+
+
 def cosine_pairs(
     corpus: DataFrame,
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_rows: int | None = COSINE_PAIRS_MAX_ROWS,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a < b) with quantized
     cosine ≥ threshold. Exact all-pairs baseline (the corpus side is
     broadcast when small); the pruned path at corpus scale is IVF cell
-    co-membership (``ivf_assign`` + same-cell pair join) or
-    random-hyperplane LSH, both trading recall for candidates.
+    co-membership (``cosine_pairs_ivf``) or random-hyperplane LSH,
+    both trading recall for candidates.
+
+    Guarded: this plan is O(N²) by design (recall baseline / candidate
+    verification), so a real corpus pointed here by accident would be a
+    scale killer. If the corpus exceeds ``max_rows`` we raise instead
+    of launching the quadratic join — use ``cosine_pairs_ivf`` for
+    anything bigger, or pass ``max_rows=None`` to insist. The guard
+    count is one cheap column-pruned scan of the id column.
 
     Self-norms are precomputed per vector (N folds) instead of per
     pair (2·N² folds) — sqrt(dot(v,v)) yields the identical double
     either way, so oracle equality is unaffected."""
+    if max_rows is not None:
+        n = corpus.select(id_col).count()
+        if n > max_rows:
+            raise ValueError(
+                f"cosine_pairs is an exact all-pairs (O(N²)) baseline; "
+                f"corpus has {n} rows > max_rows={max_rows} "
+                f"(~{n * (n - 1) // 2:.2e} candidate pairs). Use "
+                f"cosine_pairs_ivf for large corpora, or pass "
+                f"max_rows=None to force the quadratic plan."
+            )
     a = corpus.select(
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),

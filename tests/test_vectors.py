@@ -98,6 +98,20 @@ def test_planted_near_dups_full_recall(spark):
     assert planted <= found, f"missed {sorted(planted - found)[:5]}"
 
 
+def test_cosine_pairs_guard_refuses_large_corpus(spark):
+    """The exact all-pairs baseline must refuse a real-sized corpus:
+    O(N²) pointed at production data is the one declared scale-unsafe
+    plan, so the guard raises with a pointer to the IVF path."""
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="cosine_pairs_ivf"):
+        S.cosine_pairs(emb, threshold=0.9, max_rows=10)
+    # explicit override still runs the quadratic plan
+    n = S.cosine_pairs(
+        emb.filter(F.col("vec_id") < 20), threshold=-1.0, max_rows=None
+    ).count()
+    assert n == 20 * 19 // 2
+
+
 def test_driver_registry_is_exactly_capped(spark):
     qs = workload.queries()
     assert len(qs) == workload.DRIVER_QUERY_CAP
