@@ -142,10 +142,16 @@ def process_response(
                     continue
                 if not all(row.get(k) for k in child.get("required_args", [])):
                     continue
+                # list-valued bindings (e.g. inspector findingArns) become
+                # tuples so the task stays hashable for the BFS seen-set
                 yield CollectTask(
                     task.account_id,
                     method,
-                    tuple((arg, row[src]) for arg, src in sorted(bindings.items())),
+                    tuple(
+                        (arg, tuple(v) if isinstance(v, list) else v)
+                        for arg, src in sorted(bindings.items())
+                        for v in [row[src]]
+                    ),
                 )
 
 
@@ -182,6 +188,100 @@ def collect(
                     queue.append(item)
             else:
                 out.append(item)
+    return out
+
+
+def spec_columns(mspec: dict) -> list[str]:
+    """Full landing-column set a method can ever emit: params echoes +
+    every response colname (recursively; ParsedCol contributes raw and
+    parsed names). Mirrors the reference's fixed SUPPLEMENTARY_TABLES
+    DDL (aws_collect.py:95-530) without re-encoding it — a column the
+    pack SQL references exists even when no crawled row populated it."""
+    cols: list[str] = ["recorded_at", "account_id", "error"]
+
+    def walk(node) -> None:
+        if type(node) is str:
+            if node not in cols:
+                cols.append(node)
+        elif type(node) is tuple:
+            for c in node[1:]:
+                if c not in cols:
+                    cols.append(c)
+        elif type(node) is dict:
+            for v in node.values():
+                walk(v)
+        elif type(node) is list:
+            walk(node[0])
+
+    for col in mspec.get("params", {}).values():
+        if col not in cols:
+            cols.append(col)
+    walk(mspec.get("response", {}))
+    return cols
+
+
+def land_entries(
+    spark,
+    entries: list[DBEntry],
+    prefix: str = "data_aws_collect_",
+    spec: dict | None = None,
+):
+    """Land collector output as ``{prefix}{table}`` temp views — the
+    collect→land seam the pack views read (reference: db.insert into
+    ``data.aws_collect_*``, aws_collect.py:1241-1253).
+
+    Columns are the union of entity keys per table; nested dicts/lists
+    (variant-typed in the reference DDL) are JSON-serialized so the
+    pack SQL's ``col:path`` access and LATERAL FLATTEN work unchanged.
+    Column types come from the first non-null value (all-null → string).
+
+    Scale note: this driver-side landing is sized to collector output
+    (API inventory snapshots — thousands of rows, not fact data). The
+    100 TB path is ``collect_distributed`` landing its JSON rows via a
+    partitioned parquet append; the view shape is identical.
+    """
+    import datetime as _dt
+
+    from pyspark.sql import types as T
+
+    by_table: dict[str, list[dict]] = {}
+    for e in entries:
+        by_table.setdefault(e.table, []).append(e.entity)
+
+    # table → declared full column set (when a spec is given)
+    declared: dict[str, list[str]] = {}
+    for method, mspec in (spec or {}).items():
+        declared[mspec.get("table", method.replace(".", "_"))] = spec_columns(mspec)
+
+    def conv(v):
+        return json.dumps(v, default=str) if isinstance(v, (dict, list)) else v
+
+    out = {}
+    for tname, rows in by_table.items():
+        cols = list(declared.get(tname, []))
+        for r in rows:
+            for k in r:
+                if k not in cols:
+                    cols.append(k)
+        data = [[conv(r.get(c)) for c in cols] for r in rows]
+        fields = []
+        for i, c in enumerate(cols):
+            sample = next((row[i] for row in data if row[i] is not None), None)
+            if isinstance(sample, bool):
+                t = T.BooleanType()
+            elif isinstance(sample, int):
+                t = T.LongType()
+            elif isinstance(sample, float):
+                t = T.DoubleType()
+            elif isinstance(sample, _dt.datetime):
+                t = T.TimestampType()
+            else:
+                t = T.StringType()
+            fields.append(T.StructField(c, t))
+        df = spark.createDataFrame(data, T.StructType(fields))
+        view = f"{prefix}{tname}"
+        df.createOrReplaceTempView(view)
+        out[view] = df
     return out
 
 
