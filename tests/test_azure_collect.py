@@ -90,24 +90,153 @@ def test_error_payload_lands_error_row():
     assert rows[0]["error"] == "AuthorizationFailed"
 
 
+SUB_CHILD_KINDS = (
+    "virtual_machines", "disks", "sql_servers", "role_definitions",
+    "role_assignments", "pricings", "auto_provisioning_settings",
+    "policy_assignments", "security_contacts", "activity_log_alerts",
+    "vaults", "network_watchers", "network_security_groups", "log_profiles",
+    "hosting_environments", "resource_groups", "subscriptions_locations",
+    "managed_clusters", "storage_accounts",
+)
+
+
 def test_subscription_fanout_dag():
+    """Full reference fan-out (azure_collect.py:768-810): 19 child
+    kinds per subscription; empty child pages land empty rows and
+    spawn no grandchildren (their arg bindings are NULL)."""
     subs_url = AZ.build_url("subscriptions", {})
     routes = {
         subs_url: {"value": [{"id": "/subscriptions/sub1",
                               "subscriptionId": "sub1",
                               "displayName": "Prod", "state": "Enabled"}]},
     }
-    for kind in ("virtual_machines", "disks", "role_definitions",
-                 "role_assignments", "pricings", "auto_provisioning_settings",
-                 "policy_assignments", "security_contacts", "vaults",
-                 "network_watchers", "network_security_groups", "log_profiles",
-                 "subscriptions_locations", "storage_accounts"):
+    for kind in SUB_CHILD_KINDS:
         routes[AZ.build_url(kind, {"subscriptionId": "sub1"})] = {"value": []}
     t = FakeTransport(routes)
     batches = dict(AZ.ingest(OPTS | {}, t, kinds=("subscriptions",)))
     assert batches["subscriptions"][0]["subscription_id"] == "sub1"
-    assert len(batches) == 15  # subscriptions + 14 child kinds
+    assert len(batches) == 20  # subscriptions + 19 child kinds
     assert all(len(rows) == 1 for k, rows in batches.items())  # empty rows
+
+
+def test_spec_covers_all_reference_kinds():
+    """All 37 kinds of the reference API_SPECS (azure_collect.py:
+    753-1790) are encoded, and every child kind is itself spec'd."""
+    assert len(AZ.API_SPECS) == 37
+    for kind, spec in AZ.API_SPECS.items():
+        for child in spec.get("children", []):
+            assert child["kind"] in AZ.API_SPECS, f"{kind} -> {child['kind']}"
+    # landing naming parity: the subscriptions seed lands _connection
+    assert AZ.landing_table("subscriptions") == "data_azure_collect_connection"
+    assert AZ.landing_table("pricings") == "data_azure_collect_pricings"
+
+
+def test_groups_members_chain():
+    """Graph group → per-member child with groupId echo and '*' raw."""
+    groups_url = AZ.build_url("groups", {})
+    members_url = AZ.build_url("groups_members", {"groupId": "g1"})
+    t = FakeTransport({
+        groups_url: {"value": [{"id": "g1", "displayName": "Admins",
+                                "securityEnabled": True}]},
+        members_url: {"value": [
+            {"id": "u1", "@odata.type": "#microsoft.graph.user",
+             "extraField": "kept-in-raw"},
+        ]},
+    })
+    batches = dict(AZ.ingest(OPTS | {}, t, kinds=("groups",)))
+    assert batches["groups"][0]["display_name"] == "Admins"
+    m = batches["groups_members"][0]
+    assert m["group_id"] == "g1" and m["odata_type"] == "#microsoft.graph.user"
+    assert m["raw"]["extraField"] == "kept-in-raw"
+
+
+def test_vault_data_plane_host_templating():
+    """vaults_keys hosts are per-vault templates
+    (azure_collect.py:1233-1236); usgov swaps the suffix."""
+    assert AZ.build_url("vaults_keys", {"vaultName": "v1"}).startswith(
+        "https://v1.vault.azure.net/keys?api-version=7.0")
+    assert AZ.build_url("vaults_keys", {"vaultName": "v1"}, cloud="usgov"
+                        ).startswith("https://v1.vault.usgovcloudapi.net/")
+
+
+def test_vaults_spawn_keys_secrets_diagnostics():
+    vaults_url = AZ.build_url("vaults", {"subscriptionId": "sub1"})
+    routes = {
+        vaults_url: {"value": [{"id": "/subscriptions/sub1/v1", "name": "v1",
+                                "location": "eastus", "type": "kv",
+                                "tags": {}}]},
+        AZ.build_url("vaults_keys", {"vaultName": "v1"}): {"value": [
+            {"kid": "https://v1.vault.azure.net/keys/k1",
+             "attributes": {"enabled": True}, "managed": None, "tags": None}]},
+        AZ.build_url("vaults_secrets", {"vaultName": "v1"}): {"value": []},
+        AZ.build_url("diagnostic_settings",
+                     {"resourceUri": "/subscriptions/sub1/v1"}): {"value": []},
+    }
+    t = FakeTransport(routes)
+    vault_rows = list(AZ.get_pages("vaults", {"subscriptionId": "sub1"}, t, "t1"))
+    children = list(AZ.child_tasks("vaults", vault_rows[0]))
+    assert [k for k, _ in children] == [
+        "vaults_keys", "vaults_secrets", "diagnostic_settings"]
+    batches = {k: list(AZ.get_pages(k, args, t, "t1")) for k, args in children}
+    assert batches["vaults_keys"][0]["kid"].endswith("/keys/k1")
+    assert batches["vaults_keys"][0]["vault_name"] == "v1"
+    assert batches["diagnostic_settings"][0]["resource_uri"] == (
+        "/subscriptions/sub1/v1")
+
+
+def test_hosting_environment_callable_arg_binding():
+    """webapps' resourceGroupName binds via a callable from
+    properties.resourceGroup (azure_collect.py:1325-1328)."""
+    row = {"subscription_id": "sub1", "name": "ase1",
+           "properties": {"resourceGroup": "rg9"}}
+    children = dict(AZ.child_tasks("hosting_environments", row))
+    assert children["webapps"] == {
+        "subscriptionId": "sub1", "resourceGroupName": "rg9", "name": "ase1"}
+    # missing resourceGroup → binding is None → child skipped
+    assert not list(AZ.child_tasks("hosting_environments",
+                                   {**row, "properties": {}}))
+
+
+def test_queue_services_properties_header_and_value_key():
+    """Storage data-plane call versions via x-ms-version header and
+    unwraps the StorageServiceProperties envelope."""
+    url = AZ.build_url("queue_services_properties",
+                       {"subscriptionId": "sub1", "accountName": "acct1",
+                        "accountFullId": "/subscriptions/sub1/sa/acct1"})
+    assert url.startswith("https://acct1.queue.core.windows.net/?")
+    assert "api-version" not in url
+    assert AZ.request_headers("queue_services_properties") == {
+        "Accept": "application/json", "x-ms-version": "2019-12-12"}
+    t = FakeTransport({url: {"StorageServiceProperties": {
+        "Logging": {"Read": "true"}, "HourMetrics": {"Enabled": "false"}}}})
+    rows = list(AZ.get_pages(
+        "queue_services_properties",
+        {"subscriptionId": "sub1", "accountName": "acct1",
+         "accountFullId": "/subscriptions/sub1/sa/acct1"}, t, "t1"))
+    assert rows[0]["logging"] == {"Read": "true"}
+    assert rows[0]["account_name"] == "acct1"
+
+
+def test_sql_server_auditing_chain():
+    sql_url = AZ.build_url("sql_servers", {"subscriptionId": "sub1"})
+    srv_id = "/subscriptions/sub1/providers/Microsoft.Sql/servers/s1"
+    routes = {
+        sql_url: {"value": [{"id": srv_id, "name": "s1", "location": "eastus",
+                             "type": "t", "kind": "v12", "properties": {},
+                             "tags": {}, "identity": None}]},
+        AZ.build_url("sql_servers_auditing_settings",
+                     {"serverFullId": srv_id}): {"value": [
+            {"id": srv_id + "/auditingSettings/default", "name": "default",
+             "type": "t", "properties": {"state": "Disabled"}}]},
+    }
+    t = FakeTransport(routes)
+    srv_rows = list(
+        AZ.get_pages("sql_servers", {"subscriptionId": "sub1"}, t, "t1"))
+    (ck, args), = AZ.child_tasks("sql_servers", srv_rows[0])
+    assert ck == "sql_servers_auditing_settings"
+    audit = list(AZ.get_pages(ck, args, t, "t1"))[0]
+    assert audit["server_full_id"] == srv_id
+    assert audit["properties"]["state"] == "Disabled"
 
 
 def test_collected_rows_feed_the_pack_view(spark):
