@@ -184,3 +184,39 @@ def file_stream_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def file_stream_ingest_continuous(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    transform=None,
+    processing_interval: str = "60 seconds",
+):
+    """Continuous pipe analog (reference: the 1-minute CloudTrail
+    ingest task, src/connectors/aws_cloudtrail.py:270-275): a long-
+    running ``processingTime`` micro-batch stream that picks up
+    newly-arrived files each tick, exactly once per file across
+    restarts (file-source + checkpoint guarantee).
+
+    Returns the StreamingQuery — the caller owns its lifecycle
+    (``stop()``), matching the reference where the warehouse task
+    scheduler owns the cadence. At cluster scale the same code runs
+    against an object-store prefix; ``maxFilesPerTrigger`` bounds a
+    tick's intake so one giant backlog can't blow a micro-batch."""
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    stream = reader.option("maxFilesPerTrigger", "1000").load(src_path)
+    if transform is not None:
+        stream = transform(stream)
+    return (
+        stream.writeStream.format("parquet")
+        .option("path", dst_path)
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=processing_interval)
+        .start()
+    )

@@ -95,3 +95,65 @@ def test_osquery_stream_to_pack_view(spark, tmp_path):
     rows = reg.rules["MISSING_SERVER_OSQUERY_LOGS_VIOLATION_QUERY"].df(
         spark).collect()
     assert {r.object for r in rows} == {"i-789"}
+
+
+def test_continuous_trigger_ingest_exactly_once(spark, tmp_path):
+    """processingTime pipe parity (aws_cloudtrail.py:270-275 — the
+    1-minute ingest task): a running stream picks up newly-arrived
+    files without restart, and a restarted stream resumes from the
+    checkpoint without reprocessing — exactly once per file."""
+    import time
+
+    from pyspark.sql import types as T
+
+    from snowalert_spark.streaming import file_stream_ingest_continuous
+
+    src = tmp_path / "incoming"
+    src.mkdir()
+    landing = str(tmp_path / "landing")
+    ckpt = str(tmp_path / "ckpt")
+    schema = T.StructType([
+        T.StructField("event_id", T.LongType()),
+        T.StructField("payload", T.StringType()),
+    ])
+
+    def write_file(name, ids):
+        (src / name).write_text(
+            "\n".join(json.dumps({"event_id": i, "payload": f"p{i}"})
+                      for i in ids))
+
+    def landed_ids(expect_n, timeout=60):
+        deadline = time.monotonic() + timeout
+        while time.monotonic() < deadline:
+            try:
+                rows = spark.read.parquet(landing).collect()
+                if len(rows) >= expect_n:
+                    return sorted(r.event_id for r in rows)
+            except Exception:
+                pass
+            time.sleep(0.5)
+        raise AssertionError(f"landing never reached {expect_n} rows")
+
+    write_file("a.jsonl", [1, 2])
+    q = file_stream_ingest_continuous(
+        spark, str(src), landing, ckpt, schema,
+        processing_interval="1 second")
+    try:
+        assert landed_ids(2) == [1, 2]
+        # mid-flight arrival: picked up by a later tick, no restart
+        write_file("b.jsonl", [3])
+        assert landed_ids(3) == [1, 2, 3]
+    finally:
+        q.stop()
+        q.awaitTermination()
+
+    # restart from checkpoint: only the new file lands, a/b not redone
+    write_file("c.jsonl", [4])
+    q2 = file_stream_ingest_continuous(
+        spark, str(src), landing, ckpt, schema,
+        processing_interval="1 second")
+    try:
+        assert landed_ids(4) == [1, 2, 3, 4]
+    finally:
+        q2.stop()
+        q2.awaitTermination()
