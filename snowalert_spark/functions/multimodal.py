@@ -96,6 +96,80 @@ def ppm_decode(data: bytes) -> list[float]:
     return [float(w), float(h), *means]
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_PNG_CHANNELS = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}  # color type → samples/px
+
+
+def png_decode(data: bytes) -> list[float]:
+    """Pure-stdlib PNG decode (zlib inflate + scanline unfiltering per
+    the public PNG spec): returns [width, height, *per-channel means]
+    normalized to 0..1. Supports 8-bit greyscale/RGB/palette-less
+    color types, non-interlaced — the mainstream training-corpus
+    shape. Retires the PNG stub in the decoder registry; JPEG/MP3
+    remain honest NotImplementedError stubs."""
+    import struct
+    import zlib
+
+    if data[:8] != _PNG_SIG:
+        raise ValueError("not a png")
+    pos, idat, ihdr = 8, b"", None
+    while pos < len(data):
+        (length,) = struct.unpack(">I", data[pos:pos + 4])
+        ctype = data[pos + 4:pos + 8]
+        chunk = data[pos + 8:pos + 8 + length]
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", chunk)
+        elif ctype == b"IDAT":
+            idat += chunk
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length  # length + type + data + crc
+    if ihdr is None:
+        raise ValueError("png missing IHDR")
+    w, h, depth, color, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0 or color not in _PNG_CHANNELS or color == 3:
+        raise NotImplementedError(
+            f"png depth={depth} color={color} interlace={interlace} unsupported"
+        )
+    ch = _PNG_CHANNELS[color]
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    prev = bytearray(stride)
+    sums = [0] * ch
+    for y in range(h):
+        off = y * (stride + 1)
+        ftype = raw[off]
+        line = bytearray(raw[off + 1:off + 1 + stride])
+        # unfilter per the PNG spec: 0 None, 1 Sub, 2 Up, 3 Average,
+        # 4 Paeth (left/up/up-left predictor)
+        if ftype == 1:
+            for i in range(ch, stride):
+                line[i] = (line[i] + line[i - ch]) & 0xFF
+        elif ftype == 2:
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:
+            for i in range(stride):
+                left = line[i - ch] if i >= ch else 0
+                line[i] = (line[i] + (left + prev[i]) // 2) & 0xFF
+        elif ftype == 4:
+            for i in range(stride):
+                a = line[i - ch] if i >= ch else 0
+                b = prev[i]
+                c = prev[i - ch] if i >= ch else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else b if pb <= pc else c
+                line[i] = (line[i] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad png filter {ftype}")
+        for i in range(stride):
+            sums[i % ch] += line[i]
+        prev = line
+    n = max(w * h, 1)
+    return [float(w), float(h), *(s / n / 255.0 for s in sums)]
+
+
 def wav_decode(data: bytes) -> list[float]:
     """Pure-stdlib RIFF/WAVE header parse: channels, sample rate,
     bit depth, data length."""
