@@ -781,6 +781,13 @@ def _escape_regex_braces(lit: str) -> str:
 def transpile(sql: str) -> str:
     """Full Snowflake→Spark rewrite pipeline for a rule body."""
     out, lits = _mask_literals(sql)
+    # strip comments up front (literal-safe — literals are masked):
+    # several rewrites (QUALIFY wrap, bare-bool conjuncts) scan across
+    # lines and must not be derailed by an interleaved -- or /* */
+    # comment. The pack loader pre-strips too; this covers ad-hoc rule
+    # bodies (WebUI create, user SQL) with commentary inside.
+    out = re.sub(r"--[^\n]*", "", out)
+    out = re.sub(r"/\*.*?\*/", "", out, flags=re.S)
     # patch RLIKE pattern literals for Java-regex brace semantics
     for m in re.finditer(r"\bRLIKE\s*__STRLIT(\d+)X__", out, re.I):
         i = int(m.group(1))

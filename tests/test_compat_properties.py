@@ -118,3 +118,110 @@ def test_pack_fixup_drift_detection(tmp_path):
     )
     with pytest.raises(AssertionError, match="fixup target drifted"):
         packs.load_pack(str(p))
+
+
+# ---------------------------------------------------------------------------
+# Pack-corpus mutation suite: every reference pack statement must
+# round-trip the transpiler under whitespace, comment, and literal
+# mutation (round-5 verdict item 9). "Dispatch literals" — those whose
+# content the transpiler legitimately dispatches on (dateparts,
+# timezone names, to_char formats) — are discovered per statement by
+# single-literal probing and exempted; every other literal must pass
+# through byte-identically and independently.
+# ---------------------------------------------------------------------------
+import os
+
+_MARK = "ZQ9"
+
+packs_available = pytest.mark.skipif(
+    not os.path.isdir(packs.PACKS_DIR), reason="reference packs dir unavailable"
+)
+
+
+def _canon(sql):
+    """(skeleton, literals): comments stripped, whitespace collapsed,
+    literals positional — the comparison key for 'same transpile'."""
+    masked, lits = compat._mask_literals(sql)
+    masked = re.sub(r"--[^\n]*", "", masked)
+    masked = re.sub(r"\s+", " ", masked).strip()
+    return masked, tuple(lits)
+
+
+def _statements(fname):
+    return [(s.name, s.body) for s in packs.load_pack(f"{packs.PACKS_DIR}/{fname}")]
+
+
+@packs_available
+@pytest.mark.parametrize("fname", packs.PACK_FILES)
+def test_pack_whitespace_mutation(fname):
+    """Doubling every inter-token space (outside literals) must not
+    change what any rewrite produces."""
+    for name, body in _statements(fname):
+        base = _canon(compat.transpile(body))
+        masked, lits = compat._mask_literals(body)
+        mutant = compat._unmask_literals(masked.replace(" ", "  "), lits)
+        assert _canon(compat.transpile(mutant)) == base, name
+
+
+@packs_available
+@pytest.mark.parametrize("fname", packs.PACK_FILES)
+def test_pack_comment_mutation(fname):
+    """Interleaved -- comments (leading, mid-statement, trailing) must
+    not derail any rewrite — QUALIFY wrapping and bare-bool conjunct
+    casts historically broke on a comment between clauses."""
+    for name, body in _statements(fname):
+        base = _canon(compat.transpile(body))
+        masked, lits = compat._mask_literals(body)
+        cm = ("-- mutant one\n"
+              + masked.replace("\n", "\n-- mutant two\n", 1)
+              + "\n-- mutant three")
+        mutant = compat._unmask_literals(cm, lits)
+        assert _canon(compat.transpile(mutant)) == base, name
+
+
+@packs_available
+@pytest.mark.parametrize("fname", packs.PACK_FILES)
+def test_pack_literal_mutation(fname):
+    """Appending a marker to every non-dispatch literal must leave the
+    skeleton identical and change output literals only by that marker
+    — no rewrite may fire inside, or dispatch on, plain data literals."""
+    def marked(lit):  # literals carry their quotes: mark INSIDE them
+        return lit[:-1] + _MARK + lit[-1]
+
+    for name, body in _statements(fname):
+        masked, lits = compat._mask_literals(body)
+        base_skel, base_lits = _canon(compat.transpile(body))
+
+        # discover exempt literals: mutating one alone either changes
+        # the skeleton (datepart/timezone/format tokens the rewrites
+        # map) or vanishes entirely (consumed flags, e.g. REGEXP 'ie')
+        exempt = set()
+        for i in range(len(lits)):
+            probe = list(lits)
+            probe[i] = marked(lits[i])
+            try:
+                skel, outl = _canon(
+                    compat.transpile(compat._unmask_literals(masked, probe)))
+            except Exception:
+                exempt.add(i)
+                continue
+            if skel != base_skel or outl == base_lits:
+                exempt.add(i)
+
+        mut_lits = [
+            lit if i in exempt else marked(lit) for i, lit in enumerate(lits)
+        ]
+        mutant = compat._unmask_literals(masked, mut_lits)
+        skel, out_lits = _canon(compat.transpile(mutant))
+        assert skel == base_skel, name
+        assert len(out_lits) == len(base_lits), name
+        changed = 0
+        for b, m in zip(base_lits, out_lits):
+            if m == b:
+                continue
+            assert m == marked(b) or m == compat._escape_regex_braces(
+                marked(b)
+            ), (name, b, m)
+            changed += 1
+        if len(exempt) < len(lits):
+            assert changed > 0, name
