@@ -46,11 +46,33 @@ def _ts_normalize_cols(path: str) -> tuple[tuple[str, ...], tuple[str, ...]]:
 
     One driver-side footer read per path (cached) — no data scan, and at
     cluster scale the per-column cast is a pure projection (no shuffle).
+    Handles both the driver's single-file layout and a directory of
+    part files (the real cluster table layout): one part's footer
+    speaks for the table.
     """
-    schema = pq.read_schema(path)
+    import os
+
+    if os.path.isdir(path):
+        part = next(
+            p for p in sorted(os.listdir(path)) if p.endswith(".parquet")
+        )
+        path = os.path.join(path, part)
+    pf = pq.ParquetFile(path)
+    schema = pf.schema_arrow
+    # physical INT96 (Spark's default timestamp encoding) also surfaces
+    # as timestamp[ns] in arrow — but Spark reads its own INT96 as
+    # TIMESTAMP natively, so it must NOT take the nanos-as-long path
+    int96 = {
+        c.path_in_schema
+        for c in (pf.metadata.row_group(0).column(i)
+                  for i in range(pf.metadata.num_columns))
+        if c.physical_type == "INT96"
+    } if pf.metadata.num_row_groups else set()
     nanos, ntz = [], []
     for f in schema:
         t = str(f.type)
+        if f.name in int96:
+            continue
         if t in ("timestamp[ns]", "timestamp[ns, tz=UTC]"):
             nanos.append(f.name)
         elif t in ("timestamp[us]", "timestamp[ms]", "timestamp[s]"):

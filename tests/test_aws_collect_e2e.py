@@ -318,3 +318,51 @@ def test_crawl_landed_every_pack_table(landed):
         "data_aws_collect_config_describe_configuration_recorders",
     ):
         assert t in views, t
+
+
+def test_distributed_collect_matches_bfs_on_real_spec(spark):
+    """The 100 TB path: the same real-spec crawl through
+    collect_distributed (mapInPandas levels) lands the same rows as
+    the driver BFS walk. World is nested so cloudpickle ships it by
+    value to executor workers."""
+
+    def fetch(task):
+        m, args = task.method, task.args_dict
+        if m == "kms.list_keys":
+            return {"Keys": [{"KeyId": "id1", "KeyArn": "arn1"},
+                             {"KeyId": "id2", "KeyArn": "arn2"}]}
+        if m == "kms.get_key_rotation_status":
+            return {"KeyRotationEnabled": args["KeyId"] == "arn1"}
+        if m == "s3.list_buckets":
+            return {"Owner": {"DisplayName": "dn", "ID": "o1"},
+                    "Buckets": [{"Name": "b1", "CreationDate": "d1"}]}
+        if m == "s3.get_bucket_acl":
+            return {"Owner": {"DisplayName": "dn", "ID": "o1"}, "Grants": []}
+        if m == "s3.get_bucket_policy":
+            return {"Policy": '{"Statement": []}'}
+        if m == "s3.get_bucket_logging":
+            return {}
+        raise AssertionError(m)
+
+    from snowalert_spark.sources.collect import collect_distributed
+
+    seeds = [CollectTask("1", "kms.list_keys", ()),
+             CollectTask("1", "s3.list_buckets", ())]
+    rows_json, levels = collect_distributed(spark, AWS_API_SPEC, fetch, seeds)
+    assert levels == 2  # parents, then rotation-status + bucket children
+
+    bfs = collect(AWS_API_SPEC, fetch, seeds, rate_per_second=100000)
+
+    def normalize(table, entity):
+        e = {k: v for k, v in entity.items() if k != "recorded_at"}
+        return (table, tuple(sorted((k, json.dumps(v, default=str))
+                                    for k, v in e.items())))
+
+    dist = sorted(normalize(d["table"], d["entity"])
+                  for d in map(json.loads, rows_json))
+    ref = sorted(normalize(r.table, r.entity) for r in bfs)
+    assert dist == ref
+    # the policy ParsedCol parsed on the worker too
+    pol = [d for d in map(json.loads, rows_json)
+           if d["table"] == "s3_get_bucket_policy"]
+    assert pol[0]["entity"]["policy_json_parsed"] == {"Statement": []}

@@ -1,0 +1,116 @@
+"""Scale the driver's sf0.1 testdata 10x to an sf1-equivalent dir.
+
+Bench-only data (correctness runs against the driver's own sf0.01 +
+DuckDB oracle): each fact/dim replica shifts its primary keys by
+replica*stride so foreign keys stay consistent (orders.o_custkey ->
+customer, lineitem.l_orderkey/l_partkey/l_suppkey -> their parents),
+giving ~6M lineitem rows with realistic key cardinality growth.
+region/nation stay fixed (real dimension tables don't scale with
+volume). Document text is per-replica character-permuted and
+embeddings per-replica perturbed so the dedup/similarity benchmarks
+don't degenerate into 10x exact duplicates.
+
+Usage: python tools/make_sf1.py [dst_dir]   (default /tmp/sf1)
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from snowalert_spark.session import get_session
+from snowalert_spark.tables import TABLES, table
+
+SRC = "/root/testdata/sf0.1"
+REPLICAS = 10
+
+# per-replica consonant permutation targets: replica 0 is identity, so
+# the original corpus is a subset; others rotate a 10-letter alphabet
+_ALPHA = "bcdfghjklm"
+_PERMS = [_ALPHA[i:] + _ALPHA[:i] for i in range(REPLICAS)]
+
+
+def _stride(df, key):
+    return df.agg(F.max(key)).collect()[0][0] + 1
+
+
+def main(dst: str = "/tmp/sf1") -> None:
+    # micros output keeps footers identical in type to the driver's
+    # own parquet (no INT96 ambiguity in the normalization probe)
+    spark = get_session(
+        app_name="make_sf1",
+        extra_conf={"spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS"},
+    )
+    os.makedirs(dst, exist_ok=True)
+
+    src = {name: table(spark, SRC, name) for name in TABLES}
+    strides = {
+        "customer": _stride(src["customer"], "c_custkey"),
+        "supplier": _stride(src["supplier"], "s_suppkey"),
+        "part": _stride(src["part"], "p_partkey"),
+        "orders": _stride(src["orders"], "o_orderkey"),
+        "events": _stride(src["events"], "event_id"),
+        "documents": _stride(src["documents"], "doc_id"),
+        "embeddings": _stride(src["embeddings"], "vec_id"),
+    }
+
+    def replicate(name, shift_cols, extra=None):
+        parts = []
+        for i in range(REPLICAS):
+            df = src[name]
+            for col, stride in shift_cols:
+                df = df.withColumn(col, F.col(col) + F.lit(i * stride))
+            if extra is not None:
+                df = extra(df, i)
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.coalesce(8).write.mode("overwrite").parquet(f"{dst}/_{name}")
+        # single-file layout like the driver's (dir-of-parts also reads
+        # fine through tables.table, but keep paths uniform)
+        os.replace(f"{dst}/_{name}", f"{dst}/{name}.parquet")
+
+    for name in ("region", "nation"):
+        src[name].write.mode("overwrite").parquet(f"{dst}/_{name}")
+        os.replace(f"{dst}/_{name}", f"{dst}/{name}.parquet")
+
+    replicate("customer", [("c_custkey", strides["customer"])])
+    replicate("supplier", [("s_suppkey", strides["supplier"])])
+    replicate("part", [("p_partkey", strides["part"])])
+    replicate("orders", [("o_orderkey", strides["orders"]),
+                         ("o_custkey", strides["customer"])])
+    replicate("lineitem", [("l_orderkey", strides["orders"]),
+                           ("l_partkey", strides["part"]),
+                           ("l_suppkey", strides["supplier"])])
+    replicate("events", [("event_id", strides["events"])])
+    replicate(
+        "documents",
+        [("doc_id", strides["documents"])],
+        extra=lambda df, i: df.withColumn(
+            "text", F.translate("text", _ALPHA, _PERMS[i])
+        ),
+    )
+    replicate(
+        "embeddings",
+        [("vec_id", strides["embeddings"])],
+        extra=lambda df, i: df.withColumn(
+            "embedding",
+            F.expr(
+                f"transform(embedding, (x, j) -> CASE WHEN j = 0 "
+                f"THEN CAST(x + {i} * 0.013 AS FLOAT) ELSE x END)"
+            ),
+        ),
+    )
+
+    for name in TABLES:
+        n = spark.read.parquet(f"{dst}/{name}.parquet").count()
+        print(f"{name}: {n}")
+
+
+if __name__ == "__main__":
+    main(*(sys.argv[1:] or []))
