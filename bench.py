@@ -28,6 +28,7 @@ HEADLINE = [
     "join_revenue_by_nation",
     "range_join_hourly_counts",
     "range_join_90min_slices",
+    "skew_salted_join",
     "latest_event_per_user",
     "user_profile_rollup",
     # rule-engine pipeline shapes
@@ -45,41 +46,6 @@ HEADLINE = [
     "ann_ivf_topk",
     "multimodal_features",
 ]
-
-
-def _bench_skew(spark, sf_dir: str):
-    """Deliberately skewed-key join through operators/skew.salted_join:
-    ~90% of fact rows share one hot key (the noisy-actor shape), the
-    dim side is small but above trivial broadcast dismissal. Times the
-    mitigated plan — the salt spreads the hot key over 16 buckets so
-    no single task owns 90% of the shuffle."""
-    from pyspark.sql import functions as F
-
-    from snowalert_spark.operators.skew import salted_join
-    from snowalert_spark.tables import table
-
-    e = table(spark, sf_dir, "events")
-    fact = e.withColumn(
-        "k",
-        F.when(F.col("event_id") % 10 < 9, F.lit("hot-actor"))
-        .otherwise(F.concat(F.lit("actor-"), (F.col("event_id") % 997).cast("string"))),
-    )
-    dim = (
-        fact.select("k").distinct()
-        .withColumn("actor_tier", F.when(F.col("k") == "hot-actor", "T0")
-                    .otherwise("T1"))
-    )
-
-    def once() -> float:
-        t0 = time.perf_counter()
-        joined = salted_join(fact, dim, on="k")
-        joined.groupBy("actor_tier").agg(
-            F.count("*").alias("n"), F.sum("value").alias("total")
-        ).write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
-
-    once()  # warm
-    return [once() for _ in range(3)]
 
 
 def _bench_pipeline(spark, sf_dir: str) -> float:
@@ -234,9 +200,6 @@ def main() -> None:
             return [one() for _ in range(3)]
 
         record(name, triple)
-
-    # skewed-key join through the salted-join mitigation
-    record("skew_salted_join", lambda: _bench_skew(spark, sf_dir))
 
     # end-to-end rule-engine pipeline over the events table (project →
     # dedupe → partition-pruned merge → suppress), timed as one unit

@@ -48,6 +48,10 @@ LOCAL_ONLY = {
     # queries now consume cached centroids, so the trainer needs its
     # own coverage; their declared oracles still replay it in full
     "kmeans_centroids",
+    # the skew-mitigated join (round 6): bench.py headline query
+    # whose oracle is the plain unsalted join — salting must be
+    # result-invariant; declared siblings cover the join semantics
+    "skew_salted_join",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -643,3 +643,59 @@ def user_profile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("event_type") == "error").alias("has_error"),
         F.count("*").alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew-mitigated join (SURVEY §4 scale design; operators/skew.py):
+# ~90% of fact rows share one hot key — the noisy-actor shape — and the
+# join runs through salted_join (big side salted, small side
+# replicated), restoring a uniform shuffle. The oracle is the plain
+# unsalted join: the mitigation must be result-invariant. LOCAL_ONLY
+# (driver cap); also a bench.py headline query.
+# ---------------------------------------------------------------------------
+@_q(
+    "skew_salted_join",
+    f"""
+    WITH fact AS (
+        SELECT *,
+               CASE WHEN event_id % 10 < 9 THEN 'hot-actor'
+                    ELSE 'actor-' || CAST(event_id % 997 AS VARCHAR) END AS k
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT k,
+               CASE WHEN k = 'hot-actor' THEN 'T0' ELSE 'T1' END AS actor_tier
+        FROM fact
+    )
+    SELECT actor_tier, COUNT(*) AS n,
+           {DSUM_SQL.format(x='value')} AS total_value
+    FROM fact JOIN dim USING (k)
+    GROUP BY actor_tier
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from snowalert_spark.operators.skew import salted_join
+
+    e = table(spark, sf_dir, "events")
+    fact = e.withColumn(
+        "k",
+        F.when(F.col("event_id") % 10 < 9, F.lit("hot-actor")).otherwise(
+            F.concat(F.lit("actor-"), (F.col("event_id") % 997).cast("string"))
+        ),
+    )
+    dim = (
+        fact.select("k")
+        .distinct()
+        .withColumn(
+            "actor_tier",
+            F.when(F.col("k") == "hot-actor", "T0").otherwise("T1"),
+        )
+    )
+    return (
+        salted_join(fact, dim, on="k")
+        .groupBy("actor_tier")
+        .agg(
+            F.count("*").alias("n"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+    )
