@@ -100,3 +100,13 @@ def test_kmeans_centroid_cache_matches_fresh_training(spark):
     }
     cached = {r["cell"]: r["cent"] for r in _centroids(spark, SF, emb).collect()}
     assert cached == fresh
+
+
+def test_skew_salted_join_plan_actually_salts(spark):
+    """The mitigation must be in the executed plan: the equi-join keys
+    include the __salt column (hot key spread over n_salts buckets),
+    and no cartesian/broadcast-nested-loop appears."""
+    plan = _plan(spark, "skew_salted_join")
+    assert "__salt" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
