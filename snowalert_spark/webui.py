@@ -52,6 +52,7 @@ class WebApi:
         connectors: dict | None = None,
         baselines: dict | None = None,
         encrypt=None,
+        oauth: "OAuthBroker | None" = None,
     ):
         self.registry = registry if registry is not None else RuleRegistry()
         self.secret = secret
@@ -59,6 +60,7 @@ class WebApi:
         self.connectors = connectors or {}
         self.baselines = baselines or {}
         self.encrypt = encrypt
+        self.oauth = oauth
 
     # ---- WSGI plumbing ---------------------------------------------------
     def __call__(self, environ, start_response):
@@ -96,6 +98,14 @@ class WebApi:
             return "200 OK", self.rename_rule(environ, self._json(environ))
         if path in ("/api/sa/data", "/api/sa/data/") and method == "GET":
             return "200 OK", self.get_data(environ)
+        if path == "/api/oauth/redirect" and method == "POST":
+            if self.oauth is None:
+                raise RuntimeError("oauth is not configured")
+            return "200 OK", self.oauth.redirect(self._json(environ))
+        if path == "/api/oauth/return" and method == "POST":
+            if self.oauth is None:
+                raise RuntimeError("oauth is not configured")
+            return "200 OK", self.oauth.exchange(self._json(environ))
         m = re.match(
             r"^/api/sa/data/connectors/(\w+)/(\w+)(/finalize|/test)?$", path
         )
@@ -235,3 +245,70 @@ class WebApi:
         if not hasattr(mod, "test"):
             raise RuntimeError(f"connector {connector!r} has no test hook")
         return {"success": True, "results": list(mod.test(name))}
+
+
+class OAuthBroker:
+    """Generic OAuth2 authorization-code broker (reference:
+    src/webui/backend/webui/api/oauth.py — the same two-step flow,
+    warehouse-specific URLs generalized to injectable templates).
+
+    ``clients`` maps an account slug to ``(client_id, client_secret)``
+    (the reference reads OAUTH_CLIENT_<ACCOUNT>/OAUTH_SECRET_<ACCOUNT>
+    env pairs); ``authorize_url``/``token_url`` are ``{account}``
+    templates; ``post`` is the injectable token-request transport
+    ``(url, basic_auth_tuple, form_dict) -> dict``.
+    """
+
+    def __init__(
+        self,
+        clients: dict[str, tuple[str, str]],
+        authorize_url: str,
+        token_url: str,
+        post,
+        default_role: str | None = None,
+    ):
+        self.clients = clients
+        self.authorize_url = authorize_url
+        self.token_url = token_url
+        self.post = post
+        self.default_role = default_role
+
+    def _client(self, account: str) -> tuple[str, str]:
+        # oauth.py:30-32: the account slug is the part before the first dot
+        return self.clients.get(account.partition(".")[0].upper(), ("", ""))
+
+    def redirect(self, data: dict) -> dict:
+        """oauth.py:22-48: build the authorize URL the frontend sends
+        the user to; a role adds a session:role scope."""
+        from urllib.parse import urlencode
+
+        account = data["account"]
+        role = data.get("role") or self.default_role
+        scope = "refresh_token" + (f" session:role:{role.upper()}" if role else "")
+        client_id, _ = self._client(account)
+        return {
+            "url": self.authorize_url.format(account=account)
+            + "?"
+            + urlencode({
+                "client_id": client_id,
+                "response_type": "code",
+                "scope": scope,
+                "redirect_uri": data.get("returnHref"),
+            })
+        }
+
+    def exchange(self, data: dict) -> dict:
+        """oauth.py:51-76: trade the authorization code for tokens via
+        basic-authed form POST to the token endpoint."""
+        account = data["account"]
+        client_id, secret = self._client(account)
+        tokens = self.post(
+            self.token_url.format(account=account),
+            (client_id, secret),
+            {
+                "grant_type": "authorization_code",
+                "redirect_uri": data.get("redirectUri"),
+                "code": data.get("code"),
+            },
+        )
+        return {"tokens": tokens}

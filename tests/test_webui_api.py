@@ -209,3 +209,40 @@ def test_serves_over_real_http(spark):
         out = json.loads(resp.read())
     t.join(timeout=10)
     assert out["rules"][0]["title"] == "HTTPCHECK"
+
+def test_oauth_broker_flow():
+    from snowalert_spark.webui import OAuthBroker
+
+    posts = []
+
+    def post(url, auth, form):
+        posts.append((url, auth, form))
+        return {"access_token": "at1", "refresh_token": "rt1"}
+
+    broker = OAuthBroker(
+        clients={"ACME": ("cid1", "sec1")},
+        authorize_url="https://auth.example/{account}/authorize",
+        token_url="https://auth.example/{account}/token",
+        post=post,
+    )
+    app = _app(oauth=broker)
+
+    _, out = call(app, "POST", "/api/oauth/redirect",
+                  {"account": "acme.eu-west-1", "role": "sec_ops",
+                   "returnHref": "https://ui.example/return"})
+    url = out["url"]
+    assert url.startswith("https://auth.example/acme.eu-west-1/authorize?")
+    assert "client_id=cid1" in url and "response_type=code" in url
+    assert "session%3Arole%3ASEC_OPS" in url
+
+    _, out = call(app, "POST", "/api/oauth/return",
+                  {"account": "acme.eu-west-1", "code": "authcode9",
+                   "redirectUri": "https://ui.example/return"})
+    assert out["tokens"]["access_token"] == "at1"
+    (url, auth, form), = posts
+    assert auth == ("cid1", "sec1") and form["code"] == "authcode9"
+    assert form["grant_type"] == "authorization_code"
+
+    # unconfigured oauth → jsonified error, not a 500
+    status, out = call(_app(), "POST", "/api/oauth/redirect", {"account": "x"})
+    assert status == "200 OK" and out["success"] is False
