@@ -26,6 +26,7 @@ from __future__ import annotations
 import datetime as dt
 from collections.abc import Callable, Iterator
 from dataclasses import dataclass
+import re
 from urllib.parse import urlencode
 
 MGMT_HOSTS = {"azure": "management.azure.com", "usgov": "management.usgovcloudapi.net"}
@@ -33,501 +34,435 @@ GRAPH_HOSTS = {"azure": "graph.microsoft.com", "usgov": "graph.microsoft.us"}
 
 _SUB = "/subscriptions/{subscriptionId}"
 
-# shared shorthand for the standard mgmt-resource response head
-def _mgmt(**extra):
-    return {
-        "headerDate": "recorded_at",
-        "tenantId": "tenant_id",
-        "subscriptionId": "subscription_id",
-        "error": "error",
-        **extra,
-    }
+
+# ---------------------------------------------------------------------------
+# Response maps are DERIVED, not transcribed: the reference's landing
+# column naming (azure_collect.py:753-1790) is mechanical — per-
+# uppercase snake_case with a trailing 'DateTime' strip — plus the
+# structural head (headerDate→recorded_at, tenantId, error) and
+# '*'→raw. Each kind lists its API field names once; tests pin the
+# derived maps byte-for-byte against the reference's dialect
+# (test_azure_collect strict-map + pack-corpus fixtures).
+# ---------------------------------------------------------------------------
+def _snake(field: str) -> str:
+    if field == "@odata.type":
+        return "odata_type"
+    if field == "rgName":  # the one reference-abbreviated echo name
+        return "resource_group_name"
+    if field.endswith("DateTime"):
+        field = field[: -len("DateTime")]
+    return re.sub(r"([A-Z])", r"_\1", field).lower().lstrip("_")
 
 
-API_SPECS: dict[str, dict] = {
-    # azure_collect.py:754-810 — full 19-child fan-out
+def _response(fields: tuple, star: bool = False) -> dict:
+    out = {"headerDate": "recorded_at", "tenantId": "tenant_id",
+           "error": "error"}
+    for f in fields:
+        out[f] = _snake(f)
+    if star:
+        out["*"] = "raw"
+    return out
+
+
+_KINDS: dict[str, dict] = {
     "subscriptions": {
-        "request": {"path": "/subscriptions", "api-version": "2019-06-01"},
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "error": "error",
-            "id": "id",
-            "subscriptionId": "subscription_id",
-            "displayName": "display_name",
-            "state": "state",
-            "subscriptionPolicies": "subscription_policies",
-            "authorizationSource": "authorization_source",
-            "managedByTenants": "managed_by_tenants",
-        },
-        "children": [
-            {"kind": k, "args": {"subscriptionId": "subscription_id"}}
-            for k in (
-                "virtual_machines", "disks", "sql_servers", "role_definitions",
-                "role_assignments", "pricings", "auto_provisioning_settings",
-                "policy_assignments", "security_contacts",
-                "activity_log_alerts", "vaults", "network_watchers",
-                "network_security_groups", "log_profiles",
-                "hosting_environments", "resource_groups",
-                "subscriptions_locations", "managed_clusters",
-                "storage_accounts",
-            )
-        ],
+        "request": {'path': '/subscriptions', 'api-version': '2019-06-01'},
+        "fields": ('id',
+        'subscriptionId',
+        'displayName',
+        'state',
+        'subscriptionPolicies',
+        'authorizationSource',
+        'managedByTenants'),
+        "children": [{'kind': 'virtual_machines',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'disks', 'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'sql_servers',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'role_definitions',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'role_assignments',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'pricings', 'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'auto_provisioning_settings',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'policy_assignments',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'security_contacts',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'activity_log_alerts',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'vaults', 'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'network_watchers',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'network_security_groups',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'log_profiles',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'hosting_environments',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'resource_groups',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'subscriptions_locations',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'managed_clusters',
+        'args': {'subscriptionId': 'subscription_id'}},
+        {'kind': 'storage_accounts',
+        'args': {'subscriptionId': 'subscription_id'}}],
     },
-    # azure_collect.py:812-830
     "reports_credential_user_registration_details": {
-        "request": {
-            "path": "/beta/reports/credentialUserRegistrationDetails",
-            "host": GRAPH_HOSTS,
-        },
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "error": "error",
-            "id": "id",
-            "userPrincipalName": "user_principal_name",
-            "userDisplayName": "user_display_name",
-            "authMethods": "auth_methods",
-            "isRegistered": "is_registered",
-            "isEnabled": "is_enabled",
-            "isCapable": "is_capable",
-            "isMfaRegistered": "is_mfa_registered",
-            "*": "raw",
-        },
+        "request": {'path': '/beta/reports/credentialUserRegistrationDetails',
+        'host': {'azure': 'graph.microsoft.com',
+                'usgov': 'graph.microsoft.us'}},
+        "fields": ('id',
+        'userPrincipalName',
+        'userDisplayName',
+        'authMethods',
+        'isRegistered',
+        'isEnabled',
+        'isCapable',
+        'isMfaRegistered'),
+        "star": True,
     },
-    # azure_collect.py:831-882
     "service_principals": {
-        "request": {"path": "/beta/servicePrincipals", "host": GRAPH_HOSTS},
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "error": "error",
-            "id": "id",
-            "api": "api",
-            "accountEnabled": "account_enabled",
-            "alternativeNames": "alternative_names",
-            "appDescription": "app_description",
-            "appDisplayName": "app_display_name",
-            "appId": "app_id",
-            "appRoleAssignmentRequired": "app_role_assignment_required",
-            "appRoles": "app_roles",
-            "applicationTemplateId": "application_template_id",
-            "appOwnerOrganizationId": "app_owner_organization_id",
-            "deletedDateTime": "deleted",
-            "description": "description",
-            "displayName": "display_name",
-            "errorUrl": "error_url",
-            "homepage": "homepage",
-            "loginUrl": "login_url",
-            "notes": "notes",
-            "notificationEmailAddresses": "notification_email_addresses",
-            "publishedPermissionScopes": "published_permission_scopes",
-            "preferredSingleSignOnMode": "preferred_single_sign_on_mode",
-            "preferredTokenSigningKeyEndDateTime": "preferred_token_signing_key_end",
-            "samlSingleSignOnSettings": "saml_single_sign_on_settings",
-            "servicePrincipalType": "service_principal_type",
-            "signInAudience": "sign_in_audience",
-            "tokenEncryptionKeyId": "token_encryption_key_id",
-            "addIns": "add_ins",
-            "info": "info",
-            "keyCredentials": "key_credentials",
-            "logoutUrl": "logout_url",
-            "oauth2Permissions": "oauth2_permissions",
-            "passwordCredentials": "password_credentials",
-            "preferredTokenSigningKeyThumbprint":
-                "preferred_token_signing_key_thumbprint",
-            "publisherName": "publisher_name",
-            "replyUrls": "reply_urls",
-            "samlMetadataUrl": "saml_metadata_url",
-            "servicePrincipalNames": "service_principal_names",
-            "tags": "tags",
-            "verifiedPublisher": "verified_publisher",
-            "isAuthorizationServiceEnabled": "is_authorization_service_enabled",
-            "*": "raw",
-        },
+        "request": {'path': '/beta/servicePrincipals',
+        'host': {'azure': 'graph.microsoft.com',
+                'usgov': 'graph.microsoft.us'}},
+        "fields": ('id',
+        'api',
+        'accountEnabled',
+        'alternativeNames',
+        'appDescription',
+        'appDisplayName',
+        'appId',
+        'appRoleAssignmentRequired',
+        'appRoles',
+        'applicationTemplateId',
+        'appOwnerOrganizationId',
+        'deletedDateTime',
+        'description',
+        'displayName',
+        'errorUrl',
+        'homepage',
+        'loginUrl',
+        'notes',
+        'notificationEmailAddresses',
+        'publishedPermissionScopes',
+        'preferredSingleSignOnMode',
+        'preferredTokenSigningKeyEndDateTime',
+        'samlSingleSignOnSettings',
+        'servicePrincipalType',
+        'signInAudience',
+        'tokenEncryptionKeyId',
+        'addIns',
+        'info',
+        'keyCredentials',
+        'logoutUrl',
+        'oauth2Permissions',
+        'passwordCredentials',
+        'preferredTokenSigningKeyThumbprint',
+        'publisherName',
+        'replyUrls',
+        'samlMetadataUrl',
+        'servicePrincipalNames',
+        'tags',
+        'verifiedPublisher',
+        'isAuthorizationServiceEnabled'),
+        "star": True,
     },
-    # azure_collect.py:883-934
     "groups": {
-        "request": {"path": "/v1.0/groups", "host": GRAPH_HOSTS},
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "error": "error",
-            "allowExternalSenders": "allow_external_senders",
-            "assignedLicenses": "assigned_licenses",
-            "autoSubscribeNewMembers": "auto_subscribe_new_members",
-            "classification": "classification",
-            "createdDateTime": "created",
-            "creationOptions": "creation_options",
-            "deletedDateTime": "deleted",
-            "description": "description",
-            "displayName": "display_name",
-            "expirationDateTime": "expiration",
-            "groupTypes": "group_types",
-            "hasMembersWithLicenseErrors": "has_members_with_license_errors",
-            "id": "id",
-            "isAssignableToRole": "is_assignable_to_role",
-            "isSubscribedByMail": "is_subscribed_by_mail",
-            "licenseProcessingState": "license_processing_state",
-            "mail": "mail",
-            "mailEnabled": "mail_enabled",
-            "mailNickname": "mail_nickname",
-            "membershipRule": "membership_rule",
-            "membershipRuleProcessingState": "membership_rule_processing_state",
-            "onPremisesDomainName": "on_premises_domain_name",
-            "onPremisesNetBiosName": "on_premises_net_bios_name",
-            "onPremisesSamAccountName": "on_premises_sam_account_name",
-            "resourceBehaviorOptions": "resource_behavior_options",
-            "resourceProvisioningOptions": "resource_provisioning_options",
-            "onPremisesLastSyncDateTime": "on_premises_last_sync",
-            "onPremisesProvisioningErrors": "on_premises_provisioning_errors",
-            "onPremisesSecurityIdentifier": "on_premises_security_identifier",
-            "onPremisesSyncEnabled": "on_premises_sync_enabled",
-            "preferredDataLocation": "preferred_data_location",
-            "preferredLanguage": "preferred_language",
-            "proxyAddresses": "proxy_addresses",
-            "renewedDateTime": "renewed",
-            "securityEnabled": "security_enabled",
-            "securityIdentifier": "security_identifier",
-            "theme": "theme",
-            "unseenCount": "unseen_count",
-            "visibility": "visibility",
-            "*": "raw",
-        },
-        "children": [{"kind": "groups_members", "args": {"groupId": "id"}}],
+        "request": {'path': '/v1.0/groups',
+        'host': {'azure': 'graph.microsoft.com',
+                'usgov': 'graph.microsoft.us'}},
+        "fields": ('allowExternalSenders',
+        'assignedLicenses',
+        'autoSubscribeNewMembers',
+        'classification',
+        'createdDateTime',
+        'creationOptions',
+        'deletedDateTime',
+        'description',
+        'displayName',
+        'expirationDateTime',
+        'groupTypes',
+        'hasMembersWithLicenseErrors',
+        'id',
+        'isAssignableToRole',
+        'isSubscribedByMail',
+        'licenseProcessingState',
+        'mail',
+        'mailEnabled',
+        'mailNickname',
+        'membershipRule',
+        'membershipRuleProcessingState',
+        'onPremisesDomainName',
+        'onPremisesNetBiosName',
+        'onPremisesSamAccountName',
+        'resourceBehaviorOptions',
+        'resourceProvisioningOptions',
+        'onPremisesLastSyncDateTime',
+        'onPremisesProvisioningErrors',
+        'onPremisesSecurityIdentifier',
+        'onPremisesSyncEnabled',
+        'preferredDataLocation',
+        'preferredLanguage',
+        'proxyAddresses',
+        'renewedDateTime',
+        'securityEnabled',
+        'securityIdentifier',
+        'theme',
+        'unseenCount',
+        'visibility'),
+        "star": True,
+        "children": [{'kind': 'groups_members', 'args': {'groupId': 'id'}}],
     },
-    # azure_collect.py:935-949
     "groups_members": {
-        "request": {"path": "/v1.0/groups/{groupId}/members", "host": GRAPH_HOSTS},
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "groupId": "group_id",
-            "error": "error",
-            "id": "id",
-            "@odata.type": "odata_type",
-            "*": "raw",
-        },
+        "request": {'path': '/v1.0/groups/{groupId}/members',
+        'host': {'azure': 'graph.microsoft.com',
+                'usgov': 'graph.microsoft.us'}},
+        "fields": ('groupId', 'id', '@odata.type'),
+        "star": True,
     },
-    # azure_collect.py:950-1049 — full field map; the request $select
-    # restricts what Graph returns, the map covers every mappable field
     "users": {
-        "request": {
-            "path": "/v1.0/users",
-            "host": GRAPH_HOSTS,
-            "params": {
-                "$select": (
-                    "accountEnabled,businessPhones,city,country,"
-                    "createdDateTime,department,displayName,employeeId,"
-                    "faxNumber,givenName,jobTitle,mail,id,"
-                    "lastPasswordChangeDateTime,mobilePhone,officeLocation,"
-                    "preferredLanguage,surname,passwordPolicies,"
-                    "passwordProfile,userPrincipalName,userType"
-                )
-            },
-        },
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "error": "error",
-            "aboutMe": "about_me",
-            "accountEnabled": "account_enabled",
-            "ageGroup": "age_group",
-            "assignedLicenses": "assigned_licenses",
-            "assignedPlans": "assigned_plans",
-            "birthday": "birthday",
-            "businessPhones": "business_phones",
-            "city": "city",
-            "companyName": "company_name",
-            "consentProvidedForMinor": "consent_provided_for_minor",
-            "country": "country",
-            "createdDateTime": "created",
-            "department": "department",
-            "displayName": "display_name",
-            "employeeId": "employee_id",
-            "faxNumber": "fax_number",
-            "givenName": "given_name",
-            "hireDate": "hire_date",
-            "id": "id",
-            "imAddresses": "im_addresses",
-            "interests": "interests",
-            "isResourceAccount": "is_resource_account",
-            "jobTitle": "job_title",
-            "lastPasswordChangeDateTime": "last_password_change",
-            "legalAgeGroupClassification": "legal_age_group_classification",
-            "licenseAssignmentStates": "license_assignment_states",
-            "mail": "mail",
-            "mailboxSettings": "mailbox_settings",
-            "mailNickname": "mail_nickname",
-            "mobilePhone": "mobile_phone",
-            "mySite": "my_site",
-            "officeLocation": "office_location",
-            "onPremisesDistinguishedName": "on_premises_distinguished_name",
-            "onPremisesDomainName": "on_premises_domain_name",
-            "onPremisesExtensionAttributes": "on_premises_extension_attributes",
-            "onPremisesImmutableId": "on_premises_immutable_id",
-            "onPremisesLastSyncDateTime": "on_premises_last_sync",
-            "onPremisesProvisioningErrors": "on_premises_provisioning_errors",
-            "onPremisesSamAccountName": "on_premises_sam_account_name",
-            "onPremisesSecurityIdentifier": "on_premises_security_identifier",
-            "onPremisesSyncEnabled": "on_premises_sync_enabled",
-            "onPremisesUserPrincipalName": "on_premises_user_principal_name",
-            "otherMails": "other_mails",
-            "passwordPolicies": "password_policies",
-            "passwordProfile": "password_profile",
-            "pastProjects": "past_projects",
-            "postalCode": "postal_code",
-            "preferredDataLocation": "preferred_data_location",
-            "preferredLanguage": "preferred_language",
-            "preferredName": "preferred_name",
-            "provisionedPlans": "provisioned_plans",
-            "proxyAddresses": "proxy_addresses",
-            "responsibilities": "responsibilities",
-            "schools": "schools",
-            "showInAddressList": "show_in_address_list",
-            "skills": "skills",
-            "signInSessionsValidFromDateTime": "sign_in_sessions_valid_from",
-            "state": "state",
-            "streetAddress": "street_address",
-            "surname": "surname",
-            "usageLocation": "usage_location",
-            "userPrincipalName": "user_principal_name",
-            "userType": "user_type",
-        },
+        "request": {'path': '/v1.0/users',
+        'host': {'azure': 'graph.microsoft.com',
+                'usgov': 'graph.microsoft.us'},
+        'params': {'$select': 'accountEnabled,businessPhones,city,country,createdDateTime,department,displayName,employeeId,faxNumber,givenName,jobTitle,mail,id,lastPasswordChangeDateTime,mobilePhone,officeLocation,preferredLanguage,surname,passwordPolicies,passwordProfile,userPrincipalName,userType'}},
+        "fields": ('aboutMe',
+        'accountEnabled',
+        'ageGroup',
+        'assignedLicenses',
+        'assignedPlans',
+        'birthday',
+        'businessPhones',
+        'city',
+        'companyName',
+        'consentProvidedForMinor',
+        'country',
+        'createdDateTime',
+        'department',
+        'displayName',
+        'employeeId',
+        'faxNumber',
+        'givenName',
+        'hireDate',
+        'id',
+        'imAddresses',
+        'interests',
+        'isResourceAccount',
+        'jobTitle',
+        'lastPasswordChangeDateTime',
+        'legalAgeGroupClassification',
+        'licenseAssignmentStates',
+        'mail',
+        'mailboxSettings',
+        'mailNickname',
+        'mobilePhone',
+        'mySite',
+        'officeLocation',
+        'onPremisesDistinguishedName',
+        'onPremisesDomainName',
+        'onPremisesExtensionAttributes',
+        'onPremisesImmutableId',
+        'onPremisesLastSyncDateTime',
+        'onPremisesProvisioningErrors',
+        'onPremisesSamAccountName',
+        'onPremisesSecurityIdentifier',
+        'onPremisesSyncEnabled',
+        'onPremisesUserPrincipalName',
+        'otherMails',
+        'passwordPolicies',
+        'passwordProfile',
+        'pastProjects',
+        'postalCode',
+        'preferredDataLocation',
+        'preferredLanguage',
+        'preferredName',
+        'provisionedPlans',
+        'proxyAddresses',
+        'responsibilities',
+        'schools',
+        'showInAddressList',
+        'skills',
+        'signInSessionsValidFromDateTime',
+        'state',
+        'streetAddress',
+        'surname',
+        'usageLocation',
+        'userPrincipalName',
+        'userType'),
     },
-    # azure_collect.py:1050-1108
     "managed_devices": {
-        "request": {
-            "path": "/v1.0/deviceManagement/managedDevices",
-            "host": GRAPH_HOSTS,
-        },
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "error": "error",
-            "id": "id",
-            "userId": "user_id",
-            "deviceName": "device_name",
-            "managedDeviceOwnerType": "managed_device_owner_type",
-            "deviceActionResults": "device_action_results",
-            "enrolledDateTime": "enrolled",
-            "lastSyncDateTime": "last_sync",
-            "operatingSystem": "operating_system",
-            "complianceState": "compliance_state",
-            "jailBroken": "jail_broken",
-            "managementAgent": "management_agent",
-            "osVersion": "os_version",
-            "easActivated": "eas_activated",
-            "easDeviceId": "eas_device_id",
-            "easActivationDateTime": "eas_activation",
-            "azureADRegistered": "azure_a_d_registered",
-            "deviceEnrollmentType": "device_enrollment_type",
-            "activationLockBypassCode": "activation_lock_bypass_code",
-            "emailAddress": "email_address",
-            "azureADDeviceId": "azure_a_d_device_id",
-            "deviceRegistrationState": "device_registration_state",
-            "deviceCategoryDisplayName": "device_category_display_name",
-            "isSupervised": "is_supervised",
-            "exchangeLastSuccessfulSyncDateTime": "exchange_last_successful_sync",
-            "exchangeAccessState": "exchange_access_state",
-            "exchangeAccessStateReason": "exchange_access_state_reason",
-            "remoteAssistanceSessionUrl": "remote_assistance_session_url",
-            "remoteAssistanceSessionErrorDetails":
-                "remote_assistance_session_error_details",
-            "isEncrypted": "is_encrypted",
-            "userPrincipalName": "user_principal_name",
-            "model": "model",
-            "manufacturer": "manufacturer",
-            "imei": "imei",
-            "complianceGracePeriodExpirationDateTime":
-                "compliance_grace_period_expiration",
-            "serialNumber": "serial_number",
-            "phoneNumber": "phone_number",
-            "androidSecurityPatchLevel": "android_security_patch_level",
-            "userDisplayName": "user_display_name",
-            "configurationManagerClientEnabledFeatures":
-                "configuration_manager_client_enabled_features",
-            "wiFiMacAddress": "wi_fi_mac_address",
-            "deviceHealthAttestationState": "device_health_attestation_state",
-            "subscriberCarrier": "subscriber_carrier",
-            "meid": "meid",
-            "totalStorageSpaceInBytes": "total_storage_space_in_bytes",
-            "freeStorageSpaceInBytes": "free_storage_space_in_bytes",
-            "managedDeviceName": "managed_device_name",
-            "partnerReportedThreatState": "partner_reported_threat_state",
-            "*": "raw",
-        },
+        "request": {'path': '/v1.0/deviceManagement/managedDevices',
+        'host': {'azure': 'graph.microsoft.com',
+                'usgov': 'graph.microsoft.us'}},
+        "fields": ('id',
+        'userId',
+        'deviceName',
+        'managedDeviceOwnerType',
+        'deviceActionResults',
+        'enrolledDateTime',
+        'lastSyncDateTime',
+        'operatingSystem',
+        'complianceState',
+        'jailBroken',
+        'managementAgent',
+        'osVersion',
+        'easActivated',
+        'easDeviceId',
+        'easActivationDateTime',
+        'azureADRegistered',
+        'deviceEnrollmentType',
+        'activationLockBypassCode',
+        'emailAddress',
+        'azureADDeviceId',
+        'deviceRegistrationState',
+        'deviceCategoryDisplayName',
+        'isSupervised',
+        'exchangeLastSuccessfulSyncDateTime',
+        'exchangeAccessState',
+        'exchangeAccessStateReason',
+        'remoteAssistanceSessionUrl',
+        'remoteAssistanceSessionErrorDetails',
+        'isEncrypted',
+        'userPrincipalName',
+        'model',
+        'manufacturer',
+        'imei',
+        'complianceGracePeriodExpirationDateTime',
+        'serialNumber',
+        'phoneNumber',
+        'androidSecurityPatchLevel',
+        'userDisplayName',
+        'configurationManagerClientEnabledFeatures',
+        'wiFiMacAddress',
+        'deviceHealthAttestationState',
+        'subscriberCarrier',
+        'meid',
+        'totalStorageSpaceInBytes',
+        'freeStorageSpaceInBytes',
+        'managedDeviceName',
+        'partnerReportedThreatState'),
+        "star": True,
     },
-    # azure_collect.py:1109-1125
     "subscriptions_locations": {
-        "request": {"path": _SUB + "/locations", "api-version": "2019-06-01"},
-        "response": _mgmt(
-            displayName="display_name", id="id", latitude="latitude",
-            longitude="longitude", name="name",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/locations',
+        'api-version': '2019-06-01'},
+        "fields": ('subscriptionId',
+        'displayName',
+        'id',
+        'latitude',
+        'longitude',
+        'name'),
     },
-    # azure_collect.py:1126-1151
     "virtual_machines": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Compute/virtualMachines",
-            "api-version": "2019-03-01",
-        },
-        "response": _mgmt(
-            id="id", identity="identity", location="location", name="name",
-            plan="plan", properties="properties", resources="resources",
-            tags="tags", type="type", zones="zones",
-        ),
-        "children": [
-            {"kind": "virtual_machines_instance_view", "args": {"vmId": "id"}},
-            {"kind": "virtual_machines_extensions", "args": {"vmId": "id"}},
-        ],
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Compute/virtualMachines',
+        'api-version': '2019-03-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'identity',
+        'location',
+        'name',
+        'plan',
+        'properties',
+        'resources',
+        'tags',
+        'type',
+        'zones'),
+        "children": [{'kind': 'virtual_machines_instance_view', 'args': {'vmId': 'id'}},
+        {'kind': 'virtual_machines_extensions', 'args': {'vmId': 'id'}}],
     },
-    # azure_collect.py:1152-1173
     "virtual_machines_instance_view": {
-        "request": {"path": "{vmId}/instanceView", "api-version": "2019-07-01"},
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "vmId": "vm_id",
-            "error": "error",
-            "bootDiagnostics": "boot_diagnostics",
-            "computerName": "computer_name",
-            "disks": "disks",
-            "extensions": "extensions",
-            "hyperVGeneration": "hyper_v_generation",
-            "maintenanceRedeployStatus": "maintenance_redeploy_status",
-            "osName": "os_name",
-            "osVersion": "os_version",
-            "platformFaultDomain": "platform_fault_domain",
-            "platformUpdateDomain": "platform_update_domain",
-            "rdpThumbPrint": "rdp_thumb_print",
-            "statuses": "statuses",
-            "vmAgent": "vm_agent",
-        },
+        "request": {'path': '{vmId}/instanceView', 'api-version': '2019-07-01'},
+        "fields": ('vmId',
+        'bootDiagnostics',
+        'computerName',
+        'disks',
+        'extensions',
+        'hyperVGeneration',
+        'maintenanceRedeployStatus',
+        'osName',
+        'osVersion',
+        'platformFaultDomain',
+        'platformUpdateDomain',
+        'rdpThumbPrint',
+        'statuses',
+        'vmAgent'),
     },
-    # azure_collect.py:1174-1188
     "virtual_machines_extensions": {
-        "request": {"path": "{vmId}/extensions", "api-version": "2019-07-01"},
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "vmId": "vm_id",
-            "error": "error",
-            "id": "id",
-            "location": "location",
-            "name": "name",
-            "properties": "properties",
-            "tags": "tags",
-            "type": "type",
-        },
+        "request": {'path': '{vmId}/extensions', 'api-version': '2019-07-01'},
+        "fields": ('vmId', 'id', 'location', 'name', 'properties', 'tags', 'type'),
     },
-    # azure_collect.py:1189-1207
     "managed_clusters": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.ContainerService/managedClusters",
-            "api-version": "2019-08-01",
-        },
-        "response": _mgmt(
-            id="id", identity="identity", location="location", name="name",
-            properties="properties", tags="tags", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.ContainerService/managedClusters',
+        'api-version': '2019-08-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'identity',
+        'location',
+        'name',
+        'properties',
+        'tags',
+        'type'),
     },
-    # azure_collect.py:1208-1230
     "vaults": {
-        "request": {
-            "path": _SUB + "/resources",
-            "params": {"$filter": "resourceType eq 'Microsoft.KeyVault/vaults'"},
-            "api-version": "2019-11-01",
-        },
-        "response": _mgmt(
-            id="id", location="location", name="name", tags="tags", type="type",
-        ),
-        "children": [
-            {"kind": "vaults_keys", "args": {"vaultName": "name"}},
-            {"kind": "vaults_secrets", "args": {"vaultName": "name"}},
-            {"kind": "diagnostic_settings", "args": {"resourceUri": "id"}},
-        ],
+        "request": {'path': '/subscriptions/{subscriptionId}/resources',
+        'params': {'$filter': "resourceType eq 'Microsoft.KeyVault/vaults'"},
+        'api-version': '2019-11-01'},
+        "fields": ('subscriptionId', 'id', 'location', 'name', 'tags', 'type'),
+        "children": [{'kind': 'vaults_keys', 'args': {'vaultName': 'name'}},
+        {'kind': 'vaults_secrets', 'args': {'vaultName': 'name'}},
+        {'kind': 'diagnostic_settings', 'args': {'resourceUri': 'id'}}],
     },
-    # azure_collect.py:1231-1255
     "vaults_keys": {
-        "request": {
-            "host": {
-                "azure": "{vaultName}.vault.azure.net",
-                "usgov": "{vaultName}.vault.usgovcloudapi.net",
-            },
-            "auth_audience": {
-                "azure": "vault.azure.net",
-                "usgov": "vault.usgovcloudapi.net",
-            },
-            "path": "/keys",
-            "params": {"maxresults": "25"},
-            "api-version": "7.0",
-        },
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "vaultName": "vault_name",
-            "error": "error",
-            "attributes": "attributes",
-            "kid": "kid",
-            "managed": "managed",
-            "tags": "tags",
-        },
+        "request": {'host': {'azure': '{vaultName}.vault.azure.net',
+                'usgov': '{vaultName}.vault.usgovcloudapi.net'},
+        'auth_audience': {'azure': 'vault.azure.net',
+                         'usgov': 'vault.usgovcloudapi.net'},
+        'path': '/keys',
+        'params': {'maxresults': '25'},
+        'api-version': '7.0'},
+        "fields": ('vaultName', 'attributes', 'kid', 'managed', 'tags'),
     },
-    # azure_collect.py:1256-1281
     "vaults_secrets": {
-        "request": {
-            "host": {
-                "azure": "{vaultName}.vault.azure.net",
-                "usgov": "{vaultName}.vault.usgovcloudapi.net",
-            },
-            "auth_audience": {
-                "azure": "vault.azure.net",
-                "usgov": "vault.usgovcloudapi.net",
-            },
-            "path": "/secrets",
-            "params": {"maxresults": "25"},
-            "api-version": "7.0",
-        },
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "vaultName": "vault_name",
-            "error": "error",
-            "attributes": "attributes",
-            "contentType": "content_type",
-            "id": "id",
-            "managed": "managed",
-            "tags": "tags",
-        },
+        "request": {'host': {'azure': '{vaultName}.vault.azure.net',
+                'usgov': '{vaultName}.vault.usgovcloudapi.net'},
+        'auth_audience': {'azure': 'vault.azure.net',
+                         'usgov': 'vault.usgovcloudapi.net'},
+        'path': '/secrets',
+        'params': {'maxresults': '25'},
+        'api-version': '7.0'},
+        "fields": ('vaultName', 'attributes', 'contentType', 'id', 'managed', 'tags'),
     },
-    # azure_collect.py:1282-1300
     "resource_groups": {
-        "request": {
-            "path": _SUB + "/resourcegroups",
-            "api-version": "2019-08-01",
-        },
-        "response": _mgmt(
-            id="id", location="location", managedBy="managed_by", name="name",
-            properties="properties", tags="tags", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/resourcegroups',
+        'api-version': '2019-08-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'location',
+        'managedBy',
+        'name',
+        'properties',
+        'tags',
+        'type'),
     },
-    # azure_collect.py:1301-1331 — note the callable arg binding:
-    # resourceGroupName comes from properties.resourceGroup
     "hosting_environments": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Web/hostingEnvironments",
-            "api-version": "2019-08-01",
-        },
-        "response": _mgmt(
-            id="id", kind="kind", location="location", name="name",
-            properties="properties", tags="tags", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Web/hostingEnvironments',
+        'api-version': '2019-08-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'kind',
+        'location',
+        'name',
+        'properties',
+        'tags',
+        'type'),
         "children": [
             {
                 "kind": "webapps",
                 "args": {
                     "subscriptionId": "subscription_id",
+                    # azure_collect.py:1325-1328's lambda binding
                     "resourceGroupName": lambda row: (
                         (row.get("properties") or {}).get("resourceGroup")
                     ),
@@ -536,323 +471,236 @@ API_SPECS: dict[str, dict] = {
             }
         ],
     },
-    # azure_collect.py:1332-1355
     "webapps": {
-        "request": {
-            "path": (
-                _SUB + "/resourceGroups/{resourceGroupName}"
-                "/providers/Microsoft.Web/hostingEnvironments/{name}/sites"
-            ),
-            "api-version": "2019-08-01",
-        },
-        "response": _mgmt(
-            id="id", kind="kind", location="location", name="name",
-            properties="properties", tags="tags", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/resourceGroups/{resourceGroupName}/providers/Microsoft.Web/hostingEnvironments/{name}/sites',
+        'api-version': '2019-08-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'kind',
+        'location',
+        'name',
+        'properties',
+        'tags',
+        'type'),
     },
-    # azure_collect.py:1356-1401
     "storage_accounts": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Storage/storageAccounts",
-            "api-version": "2019-06-01",
-        },
-        "response": _mgmt(
-            id="id", identity="identity", kind="kind", location="location",
-            name="name", properties="properties", sku="sku", tags="tags",
-            type="type",
-        ),
-        "children": [
-            {
-                "kind": "storage_accounts_containers",
-                "args": {"subscriptionId": "subscription_id",
-                         "accountName": "name"},
-            },
-            {
-                "kind": "queue_services",
-                "args": {"subscriptionId": "subscription_id",
-                         "accountFullId": "id", "accountName": "name"},
-            },
-            {
-                "kind": "queue_services_properties",
-                "args": {"subscriptionId": "subscription_id",
-                         "accountFullId": "id", "accountName": "name"},
-            },
-        ],
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Storage/storageAccounts',
+        'api-version': '2019-06-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'identity',
+        'kind',
+        'location',
+        'name',
+        'properties',
+        'sku',
+        'tags',
+        'type'),
+        "children": [{'kind': 'storage_accounts_containers',
+        'args': {'subscriptionId': 'subscription_id', 'accountName': 'name'}},
+        {'kind': 'queue_services',
+        'args': {'subscriptionId': 'subscription_id',
+                'accountFullId': 'id',
+                'accountName': 'name'}},
+        {'kind': 'queue_services_properties',
+        'args': {'subscriptionId': 'subscription_id',
+                'accountFullId': 'id',
+                'accountName': 'name'}}],
     },
-    # azure_collect.py:1402-1424 — XML-shaped listing (upper-case keys)
     "storage_accounts_containers": {
-        "request": {
-            "path": "/",
-            "params": {"comp": "list"},
-            "host": {
-                "azure": "{accountName}.blob.core.windows.net",
-                "usgov": "{accountName}.blob.core.usgovcloudapi.net",
-            },
-            "auth_audience": "storage.azure.com",
-            "api-version": "2019-02-02",
-        },
-        "response_value_key": "EnumerationResults.Containers.Container",
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "subscriptionId": "subscription_id",
-            "accountName": "account_name",
-            "error": "error",
-            "Error": "error",
-            "Name": "name",
-            "Properties": "properties",
-        },
+        "request": {'path': '/',
+        'params': {'comp': 'list'},
+        'host': {'azure': '{accountName}.blob.core.windows.net',
+                'usgov': '{accountName}.blob.core.usgovcloudapi.net'},
+        'auth_audience': 'storage.azure.com',
+        'api-version': '2019-02-02'},
+        "response_value_key": 'EnumerationResults.Containers.Container',
+        "fields": ('subscriptionId', 'accountName', 'Error', 'Name', 'Properties'),
     },
-    # azure_collect.py:1425-1447
     "log_profiles": {
-        "request": {
-            "path": _SUB + "/providers/microsoft.insights/logprofiles",
-            "api-version": "2016-03-01",
-        },
-        "response": _mgmt(
-            id="id", identity="identity", kind="kind", location="location",
-            name="name", properties="properties", tags="tags", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/microsoft.insights/logprofiles',
+        'api-version': '2016-03-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'identity',
+        'kind',
+        'location',
+        'name',
+        'properties',
+        'tags',
+        'type'),
     },
-    # azure_collect.py:1448-1470
     "disks": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Compute/disks",
-            "api-version": "2019-07-01",
-        },
-        "response": _mgmt(
-            id="id", location="location", managedBy="managed_by", name="name",
-            properties="properties", sku="sku", tags="tags", type="type",
-            zones="zones",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Compute/disks',
+        'api-version': '2019-07-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'location',
+        'managedBy',
+        'name',
+        'properties',
+        'sku',
+        'tags',
+        'type',
+        'zones'),
     },
-    # azure_collect.py:1471-1490
     "role_definitions": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Authorization/roleDefinitions",
-            "api-version": "2015-07-01",
-        },
-        "response": _mgmt(
-            displayName="display_name", id="id", name="name",
-            properties="properties", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Authorization/roleDefinitions',
+        'api-version': '2015-07-01'},
+        "fields": ('subscriptionId', 'displayName', 'id', 'name', 'properties', 'type'),
     },
-    # azure_collect.py:1491-1509
     "role_assignments": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Authorization/roleAssignments",
-            "api-version": "2015-07-01",
-        },
-        "response": _mgmt(
-            id="id", name="name", properties="properties", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Authorization/roleAssignments',
+        'api-version': '2015-07-01'},
+        "fields": ('subscriptionId', 'id', 'name', 'properties', 'type'),
     },
-    # azure_collect.py:1510-1531
     "network_security_groups": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Network/networkSecurityGroups",
-            "api-version": "2019-09-01",
-        },
-        "response": _mgmt(
-            etag="etag", id="id", location="location", name="name",
-            properties="properties", tags="tags", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Network/networkSecurityGroups',
+        'api-version': '2019-09-01'},
+        "fields": ('subscriptionId',
+        'etag',
+        'id',
+        'location',
+        'name',
+        'properties',
+        'tags',
+        'type'),
     },
-    # azure_collect.py:1532-1553
     "network_watchers": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Network/networkWatchers",
-            "api-version": "2019-09-01",
-        },
-        "response": _mgmt(
-            etag="etag", id="id", location="location", name="name",
-            properties="properties", tags="tags", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Network/networkWatchers',
+        'api-version': '2019-09-01'},
+        "fields": ('subscriptionId',
+        'etag',
+        'id',
+        'location',
+        'name',
+        'properties',
+        'tags',
+        'type'),
     },
-    # azure_collect.py:1554-1572
     "pricings": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Security/pricings",
-            "api-version": "2018-06-01",
-        },
-        "response": _mgmt(
-            id="id", name="name", properties="properties", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Security/pricings',
+        'api-version': '2018-06-01'},
+        "fields": ('subscriptionId', 'id', 'name', 'properties', 'type'),
     },
-    # azure_collect.py:1573-1592
     "auto_provisioning_settings": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Security/autoProvisioningSettings",
-            "api-version": "2017-08-01-preview",
-        },
-        "response": {
-            **_mgmt(id="id", name="name", properties="properties", type="type"),
-            "*": "raw",
-        },
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Security/autoProvisioningSettings',
+        'api-version': '2017-08-01-preview'},
+        "fields": ('subscriptionId', 'id', 'name', 'properties', 'type'),
+        "star": True,
     },
-    # azure_collect.py:1593-1614
     "policy_assignments": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Authorization/policyAssignments",
-            "api-version": "2019-09-01",
-        },
-        "response": _mgmt(
-            id="id", identity="identity", location="location", name="name",
-            properties="properties", sku="sku", type="type",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Authorization/policyAssignments',
+        'api-version': '2019-09-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'identity',
+        'location',
+        'name',
+        'properties',
+        'sku',
+        'type'),
     },
-    # azure_collect.py:1615-1635
     "security_contacts": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Security/securityContacts",
-            "api-version": "2017-08-01-preview",
-        },
-        "response": {
-            **_mgmt(id="id", name="name", type="type", properties="properties",
-                    etag="etag"),
-            "*": "raw",
-        },
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Security/securityContacts',
+        'api-version': '2017-08-01-preview'},
+        "fields": ('subscriptionId', 'id', 'name', 'type', 'properties', 'etag'),
+        "star": True,
     },
-    # azure_collect.py:1636-1656
     "diagnostic_settings": {
-        "request": {
-            "path": "{resourceUri}/providers/microsoft.insights/diagnosticSettings",
-            "api-version": "2017-05-01-preview",
-        },
-        "response": {
-            "headerDate": "recorded_at",
-            "resourceUri": "resource_uri",
-            "tenantId": "tenant_id",
-            "error": "error",
-            "id": "id",
-            "location": "location",
-            "kind": "kind",
-            "name": "name",
-            "type": "type",
-            "tags": "tags",
-            "identity": "identity",
-            "properties": "properties",
-            "*": "raw",
-        },
+        "request": {'path': '{resourceUri}/providers/microsoft.insights/diagnosticSettings',
+        'api-version': '2017-05-01-preview'},
+        "fields": ('resourceUri',
+        'id',
+        'location',
+        'kind',
+        'name',
+        'type',
+        'tags',
+        'identity',
+        'properties'),
+        "star": True,
     },
-    # azure_collect.py:1657-1678
     "workflows": {
-        "request": {
-            "path": (
-                _SUB + "/resourcegroups/{rgName}/providers/microsoft.logic"
-                "/workflows"
-            ),
-            "api-version": "2016-06-01",
-        },
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "subscriptionId": "subscription_id",
-            "rgName": "resource_group_name",
-            "error": "error",
-            "id": "id",
-            "name": "name",
-            "type": "type",
-            "properties": "properties",
-        },
+        "request": {'path': '/subscriptions/{subscriptionId}/resourcegroups/{rgName}/providers/microsoft.logic/workflows',
+        'api-version': '2016-06-01'},
+        "fields": ('subscriptionId', 'rgName', 'id', 'name', 'type', 'properties'),
     },
-    # azure_collect.py:1679-1702
     "activity_log_alerts": {
-        "request": {
-            "path": _SUB + "/providers/microsoft.insights/activityLogAlerts",
-            "api-version": "2017-04-01",
-        },
-        "response": _mgmt(
-            id="id", location="location", name="name", properties="properties",
-            tags="tags", type="type", kind="kind", identity="identity",
-        ),
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/microsoft.insights/activityLogAlerts',
+        'api-version': '2017-04-01'},
+        "fields": ('subscriptionId',
+        'id',
+        'location',
+        'name',
+        'properties',
+        'tags',
+        'type',
+        'kind',
+        'identity'),
     },
-    # azure_collect.py:1703-1722 — reference paces this at 0.1/s per
-    # subscription (rate_limit/rate_by carried for parity)
     "queue_services": {
-        "request": {
-            "path": "{accountFullId}/queueServices",
-            "api-version": "2019-06-01",
-        },
-        "rate_limit": "0.1/s",
-        "rate_by": "subscriptionId",
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "subscriptionId": "subscription_id",
-            "accountFullId": "account_full_id",
-            "accountName": "account_name",
-            "error": "error",
-            "id": "id",
-            "name": "name",
-            "type": "type",
-            "properties": "properties",
-        },
+        "request": {'path': '{accountFullId}/queueServices', 'api-version': '2019-06-01'},
+        "rate_limit": '0.1/s',
+        "rate_by": 'subscriptionId',
+        "fields": ('subscriptionId',
+        'accountFullId',
+        'accountName',
+        'id',
+        'name',
+        'type',
+        'properties'),
     },
-    # azure_collect.py:1723-1748 — XML storage-service properties; the
-    # api-version rides a header (x-ms-version), not the query string
     "queue_services_properties": {
-        "request": {
-            "path": "/",
-            "params": {"restype": "service", "comp": "properties"},
-            "host": {
-                "azure": "{accountName}.queue.core.windows.net",
-                "usgov": "{accountName}.queue.core.usgovcloudapi.net",
-            },
-            "auth_audience": "storage.azure.com",
-            "api-version-header": "2019-12-12",
-        },
-        "response_value_key": "StorageServiceProperties",
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "subscriptionId": "subscription_id",
-            "accountFullId": "account_full_id",
-            "accountName": "account_name",
-            "Error": "error",
-            "Cors": "cors",
-            "Logging": "logging",
-            "MinuteMetrics": "minute_metrics",
-            "HourMetrics": "hour_metrics",
-            "*": "raw",
-        },
+        "request": {'path': '/',
+        'params': {'restype': 'service', 'comp': 'properties'},
+        'host': {'azure': '{accountName}.queue.core.windows.net',
+                'usgov': '{accountName}.queue.core.usgovcloudapi.net'},
+        'auth_audience': 'storage.azure.com',
+        'api-version-header': '2019-12-12'},
+        "response_value_key": 'StorageServiceProperties',
+        "fields": ('subscriptionId',
+        'accountFullId',
+        'accountName',
+        'Error',
+        'Cors',
+        'Logging',
+        'MinuteMetrics',
+        'HourMetrics'),
+        "star": True,
     },
-    # azure_collect.py:1749-1772
     "sql_servers": {
-        "request": {
-            "path": _SUB + "/providers/Microsoft.Sql/servers",
-            "api-version": "2019-06-01-preview",
-        },
-        "response": {
-            **_mgmt(id="id", identity="identity", kind="kind",
-                    location="location", name="name", properties="properties",
-                    tags="tags", type="type"),
-            "*": "raw",
-        },
-        "children": [
-            {"kind": "sql_servers_auditing_settings",
-             "args": {"serverFullId": "id"}}
-        ],
+        "request": {'path': '/subscriptions/{subscriptionId}/providers/Microsoft.Sql/servers',
+        'api-version': '2019-06-01-preview'},
+        "fields": ('subscriptionId',
+        'id',
+        'identity',
+        'kind',
+        'location',
+        'name',
+        'properties',
+        'tags',
+        'type'),
+        "star": True,
+        "children": [{'kind': 'sql_servers_auditing_settings',
+        'args': {'serverFullId': 'id'}}],
     },
-    # azure_collect.py:1773-1790
     "sql_servers_auditing_settings": {
-        "request": {
-            "path": "{serverFullId}/auditingSettings/default",
-            "api-version": "2017-03-01-preview",
-        },
-        "response": {
-            "headerDate": "recorded_at",
-            "tenantId": "tenant_id",
-            "serverFullId": "server_full_id",
-            "error": "error",
-            "id": "id",
-            "name": "name",
-            "type": "type",
-            "properties": "properties",
-            "*": "raw",
-        },
+        "request": {'path': '{serverFullId}/auditingSettings/default',
+        'api-version': '2017-03-01-preview'},
+        "fields": ('serverFullId', 'id', 'name', 'type', 'properties'),
+        "star": True,
     },
 }
+
+API_SPECS: dict[str, dict] = {
+    kind: {
+        **{k: v for k, v in spec.items() if k not in ("fields", "star")},
+        "response": _response(spec["fields"], spec.get("star", False)),
+    }
+    for kind, spec in _KINDS.items()
+}
+
 
 # the reference seeds these kinds per credential (azure_collect.py:1922-1931)
 SEED_KINDS = (
