@@ -3,7 +3,7 @@
 A fake one-tenant Azure world is crawled through the full collection
 DAG (``ingest`` from the reference's six seed kinds, every child task
 spawned by the spec itself), the batches are landed via
-``land_batches``, and 13 cis_azure_pack.sql views (verbatim reference
+``land_batches``, and 25 cis_azure_pack.sql views (verbatim reference
 SQL through the transpiler) run over those collector-landed rows —
 not planted fixtures. Complements test_pack_corpus_azure.py, which
 golden-pins all 45 views on hand-planted landings.
@@ -36,11 +36,12 @@ pytestmark = pytest.mark.skipif(
 
 T1 = "t1"
 SUB1, SUB2 = "sub1", "sub2"
-VM1 = "/subscriptions/sub1/providers/Microsoft.Compute/virtualMachines/vm1"
-VM2 = "/subscriptions/sub1/providers/Microsoft.Compute/virtualMachines/vm2"
-SRV1 = "/subscriptions/sub1/providers/Microsoft.Sql/servers/sqlsrv1"
-V1_ID = "/subscriptions/sub1/providers/Microsoft.KeyVault/vaults/v1"
-BADSA_ID = "/subscriptions/sub1/providers/Microsoft.Storage/storageAccounts/badsa"
+VM1 = "/subscriptions/sub1/resourceGroups/rg/providers/Microsoft.Compute/virtualMachines/vm1"
+VM2 = "/subscriptions/sub1/resourceGroups/rg/providers/Microsoft.Compute/virtualMachines/vm2"
+SRV1 = "/subscriptions/sub1/resourceGroups/rg/providers/Microsoft.Sql/servers/sqlsrv1"
+V1_ID = "/subscriptions/sub1/resourceGroups/rg/providers/Microsoft.KeyVault/vaults/v1"
+BADSA_ID = "/subscriptions/sub1/resourceGroups/rg/providers/Microsoft.Storage/storageAccounts/badsa"
+LOGSA_ID = "/subscriptions/sub1/resourceGroups/rg/providers/Microsoft.Storage/storageAccounts/logsa1"
 
 
 def _mk_routes():
@@ -52,11 +53,17 @@ def _mk_routes():
         {"id": "r1", "userPrincipalName": "admin@x.io",
          "userDisplayName": "Admin A", "isMfaRegistered": False,
          "isRegistered": False, "isEnabled": True, "isCapable": True,
-         "authMethods": []},
+         "authMethods": []},   # privileged (Owner role below) → CIS 1.1
+        {"id": "r2", "userPrincipalName": "user@x.io",
+         "userDisplayName": "User B", "isMfaRegistered": False,
+         "isRegistered": False, "isEnabled": True, "isCapable": True,
+         "authMethods": []},   # non-privileged → CIS 1.2
     ]}
     routes[u("users", {})] = {"value": [
         {"id": "uid-a", "userPrincipalName": "admin@x.io",
          "displayName": "Admin A", "userType": "Member"},
+        {"id": "uid-u", "userPrincipalName": "user@x.io",
+         "displayName": "User B", "userType": "Member"},
         {"id": "uid-guest", "userPrincipalName": "guest@x.io",
          "displayName": "Guest G", "userType": "Guest"},  # CIS 1.3
     ]}
@@ -87,10 +94,12 @@ def _mk_routes():
     routes[u("virtual_machines", sub1)] = {"value": [
         {"id": VM1, "name": "vm1", "location": "eastus", "type": "t",
          "properties": {"storageProfile": {
-             "osDisk": {"managedDisk": {"id": "d1"}}, "dataDisks": []}}},
+             "osDisk": {"managedDisk": {"id": "d1"}},        # platform key → 7.1
+             "dataDisks": [{"managedDisk": {"id": "d3"}}]}}},  # → 7.2
         {"id": VM2, "name": "vm2", "location": "eastus", "type": "t",
          "properties": {"storageProfile": {
-             "osDisk": {"managedDisk": {"id": "d2"}}, "dataDisks": []}}},
+             "osDisk": {"managedDisk": {"id": "d2"}},
+             "dataDisks": [{"managedDisk": {"id": "d4"}}]}}},
     ]}
     for vm in (VM1, VM2):
         routes[u("virtual_machines_instance_view", {"vmId": vm})] = {"value": []}
@@ -107,6 +116,10 @@ def _mk_routes():
          "properties": {"encryption": {"type": "EncryptionAtRestWithPlatformKey"}}},
         {"id": "d2", "name": "d2", "managedBy": VM2, "location": "eastus",
          "properties": {"encryption": {"type": "EncryptionAtRestWithCustomerKey"}}},
+        {"id": "d3", "name": "d3", "managedBy": VM1, "location": "eastus",
+         "properties": {"encryption": {"type": "EncryptionAtRestWithPlatformKey"}}},
+        {"id": "d4", "name": "d4", "managedBy": VM2, "location": "eastus",
+         "properties": {"encryption": {"type": "EncryptionAtRestWithCustomerKey"}}},
         {"id": "d5", "name": "d5", "location": "eastus",  # unattached → 7.3
          "properties": {"encryption": {"type": "EncryptionAtRestWithPlatformKey"}}},
     ]}
@@ -120,10 +133,18 @@ def _mk_routes():
     routes[u("role_definitions", sub1)] = {"value": [
         {"id": "rd-owner", "name": "Owner",
          "properties": {"roleName": "Owner", "type": "BuiltInRole"}},
+        {"id": "rd-reader", "name": "Reader",
+         "properties": {"roleName": "Reader", "type": "BuiltInRole"}},
+        {"id": "rd-custom", "name": "SuperCustom",  # CIS 1.23
+         "properties": {"roleName": "SuperCustom", "type": "CustomRole",
+                        "assignableScopes": ["/"],
+                        "permissions": [{"actions": ["*"]}]}},
     ]}
     routes[u("role_assignments", sub1)] = {"value": [
         {"id": "ra1", "properties": {"principalId": "uid-a",
                                      "roleDefinitionId": "rd-owner"}},
+        {"id": "ra2", "properties": {"principalId": "uid-u",
+                                     "roleDefinitionId": "rd-reader"}},
     ]}
     routes[u("pricings", sub1)] = {"value": [
         {"id": "p1", "name": "SecurityCenterFree", "type": "t",
@@ -172,14 +193,17 @@ def _mk_routes():
     routes[u("log_profiles", sub1)] = {"value": [
         {"id": f"/subscriptions/{SUB1}/logprofiles/default", "name": "default",
          "type": "Microsoft.Insights/logProfiles",
-         "properties": {"retentionPolicy": {"days": 400, "enabled": True},
+         "properties": {"retentionPolicy": {"days": 90, "enabled": True},
                         "categories": ["Write", "Delete", "Action"],
-                        "locations": ["eastus"]}},
+                        "locations": ["eastus"],
+                        "storageAccountId": LOGSA_ID}},
     ]}
     routes[u("hosting_environments", sub1)] = {"value": []}
     routes[u("resource_groups", sub1)] = {"value": []}
     routes[u("subscriptions_locations", sub1)] = {"value": [
         {"id": "loc-eastus", "name": "eastus", "displayName": "East US"},
+        {"id": "loc-westus2", "name": "westus2",  # uncovered → 5.1.4, 6.5
+         "displayName": "West US 2"},
     ]}
     routes[u("managed_clusters", sub1)] = {"value": []}
     routes[u("storage_accounts", sub1)] = {"value": [
@@ -189,6 +213,12 @@ def _mk_routes():
                         "networkAcls": {"defaultAction": "Allow",
                                         "bypass": "None"},
                         "encryption": {"keySource": "Microsoft.Storage"}}},
+        {"id": LOGSA_ID, "name": "logsa1", "kind": "StorageV2",
+         "location": "eastus", "type": "t",
+         "properties": {"supportsHttpsTrafficOnly": True,
+                        "networkAcls": {"defaultAction": "Deny",
+                                        "bypass": "AzureServices"},
+                        "encryption": {"keySource": "Microsoft.Storage"}}},
     ]}
     routes[u("storage_accounts_containers",
              {"subscriptionId": SUB1, "accountName": "badsa"})] = {
@@ -196,6 +226,22 @@ def _mk_routes():
             {"Name": "webassets",
              "Properties": {"PublicAccess": "Blob"}},  # CIS 3.6
         ]}}
+    }
+    routes[u("storage_accounts_containers",
+             {"subscriptionId": SUB1, "accountName": "logsa1"})] = {
+        "EnumerationResults": {"Containers": {"Container": [
+            {"Name": "insight-operational-logs",          # CIS 5.1.5
+             "Properties": {"PublicAccess": "Container"}},
+        ]}}
+    }
+    routes[u("queue_services",
+             {"subscriptionId": SUB1, "accountFullId": LOGSA_ID,
+              "accountName": "logsa1"})] = {"value": []}
+    routes[u("queue_services_properties",
+             {"subscriptionId": SUB1, "accountFullId": LOGSA_ID,
+              "accountName": "logsa1"})] = {
+        "StorageServiceProperties": {
+            "Logging": {"Read": "true", "Write": "true", "Delete": "true"}}
     }
     routes[u("queue_services",
              {"subscriptionId": SUB1, "accountFullId": BADSA_ID,
@@ -240,14 +286,30 @@ def _idents(spark, landed, cis, *fields):
 
 
 CIS_EXPECTED = {
+    "1_1": (("user_principal_name",), {"admin@x.io"}),
+    "1_2": (("user_principal_name",), {"user@x.io"}),
     "1_3": (("user_principal_name",), {"guest@x.io"}),
+    "1_23": (("role_definition_id",), {"rd-custom"}),
     "2_1": (("subscription_id",), {SUB1}),
     "2_2": (("subscription_id",), {SUB1}),
     "2_16": (("subscription_id",), {SUB1}),
     "3_1": (("storage_account_name",), {"badsa"}),
-    "3_6": (("account_name", "container_name"), {("badsa", "webassets")}),
+    "3_3": (("account_name",), {"badsa"}),
+    "3_6": (("account_name", "container_name"),
+            {("badsa", "webassets"), ("logsa1", "insight-operational-logs")}),
+    "3_7": (("storage_account_id",), {BADSA_ID}),
+    "3_8": (("storage_account_id",), {BADSA_ID}),
     "4_1": (("server_full_id",), {SRV1}),
     "5_1_1": (("subscription_id",), {SUB2}),
+    "5_1_2": (("subscription_id",), {SUB1}),
+    "5_1_4": (("subscription_id", "location_name"),
+              {(SUB1, "westus2"), (SUB2, None)}),
+    "5_1_5": (("subscription_id",), {SUB1}),
+    "5_1_6": (("subscription_id",), {SUB1}),
+    "6_5": (("subscription_id", "location_name"),
+            {(SUB1, "westus2"), (SUB2, None)}),
+    "7_1": (("vm_id",), {VM1}),
+    "7_2": (("vm_id",), {VM1}),
     "7_3": (("disk_id",), {"d5"}),
     "8_1": (("key_id",), {"https://v1/keys/k2"}),
     "8_2": (("secret_id",), {"https://v1/secrets/s2"}),
