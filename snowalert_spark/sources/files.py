@@ -13,8 +13,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-# aws_cloudtrail.py:50-92 — representative subset of the 41-column
-# landing projection (paths per :204-250); raw preserved as JSON.
+# aws_cloudtrail.py:50-92 — the full landing projection (paths per
+# :204-250); raw preserved as JSON. VARIANT-typed landing columns
+# (request_parameters, user_identity, …) serialize to JSON text so
+# pack SQL's col:path access works over them.
 CLOUDTRAIL_LANDING_COLS: dict[str, str] = {
     "event_time": "r.eventTime",
     "aws_region": "r.awsRegion",
@@ -23,30 +25,71 @@ CLOUDTRAIL_LANDING_COLS: dict[str, str] = {
     "event_source": "r.eventSource",
     "event_type": "r.eventType",
     "event_version": "r.eventVersion",
-    "error_code": "r.errorCode",
-    "error_message": "r.errorMessage",
     "recipient_account_id": "r.recipientAccountId",
-    "request_id": "r.requestId",
+    "request_id": "r.requestID",
+    "request_parameters": "r.requestParameters",
+    "response_elements": "r.responseElements",
     "source_ip_address": "r.sourceIPAddress",
     "user_agent": "r.userAgent",
+    "user_identity": "r.userIdentity",
     "user_identity_type": "r.userIdentity.type",
+    "user_identity_principal_id": "r.userIdentity.principalId",
     "user_identity_arn": "r.userIdentity.arn",
-    "user_identity_username": "r.userIdentity.userName",
     "user_identity_accountid": "r.userIdentity.accountId",
+    "user_identity_invokedby": "r.userIdentity.invokedBy",
+    "user_identity_access_key_id": "r.userIdentity.accessKeyId",
+    "user_identity_username": "r.userIdentity.userName",
+    "user_identity_session_context_attributes_mfa_authenticated":
+        "r.userIdentity.sessionContext.attributes.mfaAuthenticated",
+    "user_identity_session_context_attributes_creation_date":
+        "r.userIdentity.sessionContext.attributes.creationDate",
+    "user_identity_session_context_session_issuer_type":
+        "r.userIdentity.sessionContext.sessionIssuer.type",
+    "user_identity_session_context_session_issuer_principal_id":
+        "r.userIdentity.sessionContext.sessionIssuer.principalId",
+    "user_identity_session_context_session_issuer_arn":
+        "r.userIdentity.sessionContext.sessionIssuer.arn",
+    "user_identity_session_context_session_issuer_account_id":
+        "r.userIdentity.sessionContext.sessionIssuer.accountId",
+    "user_identity_session_context_session_issuer_user_name":
+        "r.userIdentity.sessionContext.sessionIssuer.userName",
+    "error_code": "r.errorCode",
+    "error_message": "r.errorMessage",
+    "additional_event_data": "r.additionalEventData",
+    "api_version": "r.apiVersion",
     "read_only": "r.readOnly",
+    "resources": "r.resources",
+    "service_event_details": "r.serviceEventDetails",
+    "shared_event_id": "r.sharedEventId",
+    "vpc_endpoint_id": "r.vpcEndpointId",
 }
+
+# VARIANT in the reference DDL (aws_cloudtrail.py:53-92): JSON-text here
+_CLOUDTRAIL_VARIANT_COLS = {
+    "request_parameters", "response_elements", "user_identity",
+    "additional_event_data", "resources",
+}
+_CLOUDTRAIL_BOOL_COLS = {
+    "read_only", "user_identity_session_context_attributes_mfa_authenticated",
+}
+
+
+def _path_type(schema: T.StructType, dotted: str) -> T.DataType | None:
+    """Resolved DataType of ``a.b.c`` against a struct schema, or None
+    when any segment is absent."""
+    cur: T.DataType = schema
+    for part in dotted.split("."):
+        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
+            return None
+        cur = cur[part].dataType
+    return cur
 
 
 def _safe_path(schema: T.StructType, dotted: str):
     """Resolve ``a.b.c`` against a struct schema; absent fields project
     as NULL (CloudTrail records are schema-on-read — files routinely
     omit error/identity fields)."""
-    cur: T.DataType = schema
-    for part in dotted.split("."):
-        if not isinstance(cur, T.StructType) or part not in cur.fieldNames():
-            return F.lit(None)
-        cur = cur[part].dataType
-    return F.expr(dotted)
+    return F.lit(None) if _path_type(schema, dotted) is None else F.expr(dotted)
 
 
 def read_cloudtrail_json(spark: SparkSession, path: str) -> DataFrame:
@@ -55,12 +98,20 @@ def read_cloudtrail_json(spark: SparkSession, path: str) -> DataFrame:
     multiLine handles outer-array/pretty files; explode = FLATTEN."""
     raw = spark.read.option("multiLine", "true").json(path)
     rec = raw.select(F.explode("Records").alias("r"))
-    cols = [
-        _safe_path(rec.schema, src).cast(
-            "boolean" if name == "read_only" else "string"
+
+    def land(name, src):
+        col, dtype = _safe_path(rec.schema, src), _path_type(rec.schema, src)
+        if name in _CLOUDTRAIL_VARIANT_COLS and isinstance(
+            dtype, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            # VARIANT in the reference DDL → JSON text here, so pack
+            # SQL's col:path access works over the landed column
+            return F.to_json(col).alias(name)
+        return col.cast(
+            "boolean" if name in _CLOUDTRAIL_BOOL_COLS else "string"
         ).alias(name)
-        for name, src in CLOUDTRAIL_LANDING_COLS.items()
-    ]
+
+    cols = [land(name, src) for name, src in CLOUDTRAIL_LANDING_COLS.items()]
     return rec.select(
         F.current_timestamp().alias("insert_time"),
         F.to_json("r").alias("raw"),

@@ -3,14 +3,16 @@
 A fake two-account AWS world is crawled through the full spec DAG
 (``collect`` with every child task spawned by the spec itself), the
 resulting DBEntry rows are landed as ``data_aws_collect_*`` views via
-``land_entries``, and 18 cis_aws_pack.sql views (verbatim reference
+``land_entries``, and all 22 cis_aws_pack.sql views (verbatim reference
 SQL through the transpiler) run over those collector-landed rows —
 not planted fixtures. Complements test_pack_corpus.py, which
 golden-pins all 22 views on hand-planted landings.
 
 Planted violations (account 111 "acme" dirty, 222 "beta" clean except
-a missing Config recorder):
-CIS 1.4 old active access key; 1.5-1.11 weak password policy; 1.12
+a missing Config recorder; CloudTrail lands through the FILE connector
+while the aws_collect tables land through the API collector):
+CIS 1.1 root activity; 1.3 stale console credentials;
+1.4 old active access key; 1.5-1.11 weak password policy; 1.12
 root access key in the credential report; 1.13 root MFA disabled;
 1.14 root virtual MFA device; 1.16 user-attached policy; 1.20
 unattached support policy; 1.22 star-action star-resource policy;
@@ -248,13 +250,54 @@ PER_ACCOUNT_SEEDS = [
 ]
 
 
+def _iso(d: dt.datetime) -> str:
+    return d.strftime("%Y-%m-%dT%H:%M:%SZ")
+
+
+CLOUDTRAIL_RECORDS = {"Records": [
+    # CIS 1.1: root activity not via the support endpoint
+    {"eventTime": _iso(days_ago(1)), "eventName": "ConsoleLogin",
+     "awsRegion": "us-east-1", "eventID": "e1",
+     "recipientAccountId": "111", "sourceIPAddress": "1.2.3.4",
+     "userIdentity": {"type": "Root", "userName": "root"}},
+    # excluded: root via support
+    {"eventTime": _iso(days_ago(2)), "eventName": "ConsoleLogin",
+     "awsRegion": "us-east-1", "eventID": "e2",
+     "recipientAccountId": "111",
+     "sourceIPAddress": "support.amazonaws.com",
+     "userIdentity": {"type": "Root", "userName": "root"}},
+    # CIS 1.3: dan and eve have recent console signins, carol does not
+    {"eventTime": _iso(days_ago(5)), "eventName": "ConsoleLogin",
+     "awsRegion": "us-east-1", "eventID": "e3",
+     "recipientAccountId": "111", "sourceIPAddress": "9.9.9.9",
+     "userIdentity": {"type": "IAMUser", "userName": "dan",
+                      "invokedBy": "signin.amazonaws.com"}},
+    {"eventTime": _iso(days_ago(6)), "eventName": "ConsoleLogin",
+     "awsRegion": "us-east-1", "eventID": "e4",
+     "recipientAccountId": "111", "sourceIPAddress": "9.9.9.8",
+     "userIdentity": {"type": "IAMUser", "userName": "eve",
+                      "invokedBy": "signin.amazonaws.com"}},
+]}
+
+
 @pytest.fixture(scope="module")
-def landed(spark):
+def landed(spark, tmp_path_factory):
     seeds = [CollectTask("111", "organizations.list_accounts", ())] + [
         CollectTask(a, m, ()) for a in ("111", "222") for m in PER_ACCOUNT_SEEDS
     ]
     rows = collect(AWS_API_SPEC, fake_aws, seeds, rate_per_second=100000)
     views = land_entries(spark, rows, spec=AWS_API_SPEC)
+
+    # the CloudTrail landing comes from the FILE connector, not the API
+    # collector: a dump file through read_cloudtrail_json feeds the two
+    # activity views (1.1/1.3) — the full ingest surface in one e2e
+    from snowalert_spark.sources.files import read_cloudtrail_json
+
+    trail = tmp_path_factory.mktemp("trail") / "dump.json"
+    trail.write_text(json.dumps(CLOUDTRAIL_RECORDS))
+    ct = read_cloudtrail_json(spark, str(trail))
+    ct.createOrReplaceTempView("data_cloudtrail")
+    views["data_cloudtrail"] = ct
 
     reg = RuleRegistry()
     packs.register_pack_rules(reg, f"{packs.PACKS_DIR}/cis_aws_pack.sql")
@@ -267,6 +310,8 @@ def _objects(spark, landed, name):
 
 
 CIS_EXPECTED = {
+    "VQ_QBYAC8Z2RBF_VIOLATION_QUERY": {"root in account acme"},          # 1.1
+    "VQ_GVR3N9WQLGG_VIOLATION_QUERY": {"carol at acme"},                 # 1.3
     "VQ_WM00E51BLCE_VIOLATION_QUERY": {"carol at acme"},                 # 1.4
     "VQ_F85S78KK42_VIOLATION_QUERY": {"acme"},                           # 1.5
     "VQ_NUNJCFNQ13_VIOLATION_QUERY": {"acme"},                           # 1.6
