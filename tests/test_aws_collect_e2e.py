@@ -411,3 +411,32 @@ def test_distributed_collect_matches_bfs_on_real_spec(spark):
     pol = [d for d in map(json.loads, rows_json)
            if d["table"] == "s3_get_bucket_policy"]
     assert pol[0]["entity"]["policy_json_parsed"] == {"Statement": []}
+
+
+def test_collector_rows_through_partitioned_landing(spark, landed, tmp_path):
+    """Scale-true landing for collector output: the crawled
+    password-policy rows append into a date-partitioned landing root,
+    the freshness view carries the partition bound into the FileScan,
+    and the verbatim CIS 1.5 view over it still flags acme."""
+    from snowalert_spark.sources.landing import (
+        register_landing_view,
+        write_landing,
+    )
+
+    views, reg = landed
+    path = str(tmp_path / "aws_collect_iam_get_account_password_policy")
+    write_landing(views["data_aws_collect_iam_get_account_password_policy"], path)
+    fresh = register_landing_view(
+        spark, "data_aws_collect_iam_get_account_password_policy", path,
+        retention_days=2,
+    )
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "p_date" in plan
+    try:
+        rows = reg.rules["VQ_F85S78KK42_VIOLATION_QUERY"].df(spark).collect()
+        assert {r.object for r in rows} == {"acme"}
+    finally:
+        # restore the in-memory view for other tests in this module
+        views["data_aws_collect_iam_get_account_password_policy"
+              ].createOrReplaceTempView(
+            "data_aws_collect_iam_get_account_password_policy")
