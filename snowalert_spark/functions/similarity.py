@@ -137,6 +137,91 @@ def cosine_pairs(
     )
 
 
+#: Knuth multiplicative-hash constant — the deterministic pseudo-random
+#: source for hyperplane components (replayable in any SQL engine)
+RP_MULT = 2654435761
+
+
+def _rp_dot_expr(vec_col: str, j: int, dim: int) -> str:
+    """Left-fold dot of the vector with deterministic hyperplane j:
+    component (j, k) = hash(j*dim+k)/2^32 - 0.5 — uniform in
+    [-0.5, 0.5), exactly reproducible in DuckDB (workload/vector.py
+    builds the identical arithmetic), so signature bits agree
+    bit-for-bit across engines."""
+    return (
+        f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}), "
+        f"k -> CAST(({j} * {dim} + k) * {RP_MULT} % 4294967296 AS DOUBLE) "
+        f"/ 4294967296.0 - 0.5), "
+        f"(x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE), "
+        f"(acc, v) -> acc + v)"
+    )
+
+
+def cosine_pairs_rplsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    bands: int = 4,
+    dim: int | None = None,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH — the
+    second scale path next to IVF (``cosine_pairs_ivf``): sign bits of
+    ``n_planes`` deterministic hyperplane projections form a
+    signature, banded into ``bands`` groups; candidate pairs share a
+    band value (equi-join, no all-pairs product anywhere), then exact
+    quantized cosine verifies. Collision probability per bit is
+    1 - angle/pi, so near-identical vectors (the production near-dup
+    case) collide in some band with probability ≈ 1, while
+    low-similarity pairs are pruned before the expensive verify.
+
+    Candidates are a subset of the exact ``cosine_pairs`` result by
+    construction (verification is exact); recall at a given threshold
+    is tunable via n_planes/bands."""
+    if n_planes % bands:
+        raise ValueError("n_planes must divide evenly into bands")
+    if dim is None:
+        dim = len(corpus.select(vec_col).head()[0])
+    bits_per = n_planes // bands
+
+    band_cols = []
+    for b in range(bands):
+        val = " + ".join(
+            f"(CASE WHEN {_rp_dot_expr(vec_col, b * bits_per + i, dim)} > 0 "
+            f"THEN {1 << i} ELSE 0 END)"
+            for i in range(bits_per)
+        )
+        band_cols.append(F.expr(val).alias(f"band{b}"))
+    sig = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *band_cols
+    )
+    slots = F.array(*[
+        F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h"))
+        for b in range(bands)
+    ])
+    long = sig.select("vid", "v", F.explode(slots).alias("bh")).select(
+        "vid", "v", F.col("bh.b").alias("b"), F.col("bh.h").alias("h")
+    )
+    cand = (
+        long.alias("l")
+        .join(long.alias("r"), ["b", "h"])
+        .where(F.col("l.vid") < F.col("r.vid"))
+        .select(
+            F.col("l.vid").alias("vec_a"),
+            F.col("r.vid").alias("vec_b"),
+            F.col("l.v").alias("va"),
+            F.col("r.v").alias("vb"),
+        )
+        .dropDuplicates(["vec_a", "vec_b"])
+    )
+    sim = quantize(dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb"))), 6)
+    return (
+        cand.select("vec_a", "vec_b", sim.alias("sim"))
+        .filter(F.col("sim") >= threshold)
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -52,6 +52,10 @@ LOCAL_ONLY = {
     # whose oracle is the plain unsalted join — salting must be
     # result-invariant; declared siblings cover the join semantics
     "skew_salted_join",
+    # LSH near-dup tier (round 6): second scale path next to IVF;
+    # declared sibling dedup_embedding_ivf covers the candidate/verify
+    # contract, dedup_embedding_cosine the exact result
+    "dedup_embedding_rplsh",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -288,3 +288,71 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(norm.cast("decimal(25,12)")).cast("double") / F.count("*")
         ).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Random-hyperplane LSH near-dup tier (the second scale path next to
+# IVF): deterministic hyperplanes from a multiplicative hash, sign-bit
+# signatures banded into equi-join buckets, exact verify of candidates.
+# The oracle rebuilds the identical plane arithmetic in DuckDB, so
+# signature bits — and therefore candidates — agree bit-for-bit.
+# ---------------------------------------------------------------------------
+RP_DIM = 64        # embeddings.embedding dimensionality (testdata)
+RP_PLANES = 16
+RP_BANDS = 4
+
+
+def _rp_dot_sql(j: int, dim: int = RP_DIM) -> str:
+    """DuckDB replica of similarity._rp_dot_expr's left fold."""
+    return (
+        f"list_reduce(list_transform(range(1, {dim} + 1), "
+        f"k -> CAST(embedding[k] AS DOUBLE) * "
+        f"(CAST(({j} * {dim} + (k - 1)) * {S.RP_MULT} % 4294967296 AS DOUBLE) "
+        f"/ 4294967296.0 - 0.5)), (x, y) -> x + y)"
+    )
+
+
+def _rp_band_sql(b: int, bits_per: int = RP_PLANES // RP_BANDS) -> str:
+    return " + ".join(
+        f"(CASE WHEN {_rp_dot_sql(b * bits_per + i)} > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(bits_per)
+    )
+
+
+@_q(
+    "dedup_embedding_rplsh",
+    f"""
+    WITH sig AS (
+        SELECT vec_id, embedding,
+               {", ".join(f"{_rp_band_sql(b)} AS band{b}" for b in range(RP_BANDS))}
+        FROM embeddings
+    ),
+    long AS (
+        {" UNION ALL ".join(
+            f"SELECT vec_id, {b} AS b, band{b} AS h FROM sig"
+            for b in range(RP_BANDS))}
+    ),
+    cand AS (
+        SELECT DISTINCT l.vec_id AS vec_a, r.vec_id AS vec_b
+        FROM long l JOIN long r ON l.b = r.b AND l.h = r.h
+                               AND l.vec_id < r.vec_id
+    )
+    SELECT vec_a, vec_b, sim FROM (
+        SELECT vec_a, vec_b,
+               {quantize_sql(_cos_sql('a.embedding', 'b.embedding'), 6)} AS sim
+        FROM cand
+        JOIN embeddings a ON a.vec_id = vec_a
+        JOIN embeddings b ON b.vec_id = vec_b
+    ) WHERE sim >= {SIM_THRESHOLD}
+    """,
+)
+def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-tier embedding near-dup: banded sign-bit signatures over
+    deterministic hyperplanes → bucket equi-join candidates → exact
+    cosine verify. No all-pairs product (plan-pinned); candidates ⊆
+    the exact cosine_pairs result by construction."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs_rplsh(
+        emb, SIM_THRESHOLD, n_planes=RP_PLANES, bands=RP_BANDS, dim=RP_DIM
+    )

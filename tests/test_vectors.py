@@ -123,3 +123,38 @@ def test_driver_registry_is_exactly_capped(spark):
     for n in ("ann_ivf_topk", "dedup_embedding_cosine", "dedup_embedding_ivf",
               "embedding_label_stats"):
         assert names.index(n) < workload.DRIVER_QUERY_CAP
+
+
+def test_rplsh_pairs_subset_and_planted_recall(spark):
+    """LSH tier contract: candidates verify exactly (⊆ exact pairs),
+    and near-identical vectors (cos ≈ 0.999 → per-bit collision
+    ≈ 0.99) are recovered through band co-occurrence."""
+    qs = workload.queries(include_local=True)
+    exact = {(r.vec_a, r.vec_b)
+             for r in qs["dedup_embedding_cosine"](spark, SF).collect()}
+    lsh = {(r.vec_a, r.vec_b)
+           for r in qs["dedup_embedding_rplsh"](spark, SF).collect()}
+    assert lsh <= exact, "LSH tier must never invent pairs"
+
+    emb = _emb(spark)
+    clones = emb.filter(F.col("vec_id") < 30).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+            "THEN CAST(x * 1.05 + 0.01 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+        "label",
+    )
+    pairs = S.cosine_pairs_rplsh(emb.unionByName(clones), threshold=0.9)
+    found = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    planted = {(i, i + 100000) for i in range(30)}
+    missed = planted - found
+    assert len(missed) <= 1, f"missed {sorted(missed)}"  # ≥ 29/30 recovered
+
+
+def test_rplsh_plan_is_cartesian_free(spark):
+    qs = workload.queries(include_local=True)
+    plan = (qs["dedup_embedding_rplsh"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
