@@ -38,6 +38,7 @@ HEADLINE = [
     # training-data ops
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_embedding_rplsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "doc_fingerprint_rolling",
