@@ -142,19 +142,12 @@ def cosine_pairs(
 RP_MULT = 2654435761
 
 
-def _rp_dot_expr(vec_col: str, j: int, dim: int) -> str:
-    """Left-fold dot of the vector with deterministic hyperplane j:
-    component (j, k) = hash(j*dim+k)/2^32 - 0.5 — uniform in
-    [-0.5, 0.5), exactly reproducible in DuckDB (workload/vector.py
-    builds the identical arithmetic), so signature bits agree
-    bit-for-bit across engines."""
-    return (
-        f"aggregate(zip_with({vec_col}, transform(sequence(0, {dim - 1}), "
-        f"k -> CAST(({j} * {dim} + k) * {RP_MULT} % 4294967296 AS DOUBLE) "
-        f"/ 4294967296.0 - 0.5), "
-        f"(x, p) -> CAST(x AS DOUBLE) * p), CAST(0.0 AS DOUBLE), "
-        f"(acc, v) -> acc + v)"
-    )
+def rp_plane(j: int, k: int, dim: int) -> float:
+    """Deterministic hyperplane component (j, k): hash(j*dim+k)/2^32 -
+    0.5 — uniform in [-0.5, 0.5), pure integer arithmetic on exactly
+    representable doubles, so DuckDB (workload/vector.py) rebuilds the
+    identical value."""
+    return ((j * dim + k) * RP_MULT % 4294967296) / 4294967296.0 - 0.5
 
 
 def cosine_pairs_rplsh(
@@ -162,7 +155,7 @@ def cosine_pairs_rplsh(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    n_planes: int = 16,
+    n_planes: int = 48,
     bands: int = 4,
     dim: int | None = None,
 ) -> DataFrame:
@@ -178,31 +171,55 @@ def cosine_pairs_rplsh(
 
     Candidates are a subset of the exact ``cosine_pairs`` result by
     construction (verification is exact); recall at a given threshold
-    is tunable via n_planes/bands."""
+    is tunable via n_planes/bands. The default 12-bit bands keep
+    bucket occupancy — and therefore candidate volume — low on random
+    corpora while genuine near-dups (per-bit collision ≈ 0.99) still
+    co-occur in some band with probability ≈ 0.999."""
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     if dim is None:
         dim = len(corpus.select(vec_col).head()[0])
     bits_per = n_planes // bands
+    planes = [[rp_plane(j, k, dim) for k in range(dim)] for j in range(n_planes)]
 
-    band_cols = []
-    for b in range(bands):
-        val = " + ".join(
-            f"(CASE WHEN {_rp_dot_expr(vec_col, b * bits_per + i, dim)} > 0 "
-            f"THEN {1 << i} ELSE 0 END)"
-            for i in range(bits_per)
-        )
-        band_cols.append(F.expr(val).alias(f"band{b}"))
-    sig = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).alias("v"), *band_cols
+    from pyspark.sql import types as T
+
+    id_type = corpus.schema[id_col].dataType
+    vec_type = corpus.schema[vec_col].dataType
+    sig_schema = T.StructType(
+        [T.StructField("vid", id_type), T.StructField("v", vec_type)]
+        + [T.StructField(f"band{b}", T.IntegerType()) for b in range(bands)]
     )
-    slots = F.array(*[
-        F.struct(F.lit(b).alias("b"), F.col(f"band{b}").alias("h"))
-        for b in range(bands)
-    ])
-    long = sig.select("vid", "v", F.explode(slots).alias("bh")).select(
-        "vid", "v", F.col("bh.b").alias("b"), F.col("bh.h").alias("h")
-    )
+
+    def sig_batches(it):
+        # Arrow-vectorized signatures: per plane, an explicit k-loop of
+        # acc += v[k]*p[k] — the same left fold, in the same order, as
+        # the SQL oracle's list_reduce, so sign bits agree bit-for-bit
+        # (numpy pairwise summation would not). ~n_planes*dim fused
+        # vector ops per batch instead of per-row lambda interpretation.
+        import numpy as np
+        import pandas as pd
+
+        for pdf in it:
+            if not len(pdf):
+                continue
+            V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            bits = np.zeros((len(pdf), n_planes), dtype=np.int64)
+            for j in range(n_planes):
+                acc = np.zeros(len(pdf))
+                for k in range(dim):
+                    acc = acc + V[:, k] * planes[j][k]
+                bits[:, j] = acc > 0
+            out = {"vid": pdf[id_col], "v": pdf[vec_col]}
+            for b in range(bands):
+                out[f"band{b}"] = sum(
+                    bits[:, b * bits_per + i] << i for i in range(bits_per)
+                ).astype("int32")
+            yield pd.DataFrame(out)
+
+    sig = corpus.mapInPandas(sig_batches, sig_schema)
+    slots = F.array(*[F.col(f"band{b}") for b in range(bands)])
+    long = sig.select("vid", "v", F.posexplode(slots).alias("b", "h"))
     cand = (
         long.alias("l")
         .join(long.alias("r"), ["b", "h"])

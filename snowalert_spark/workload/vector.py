@@ -298,24 +298,25 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signature bits — and therefore candidates — agree bit-for-bit.
 # ---------------------------------------------------------------------------
 RP_DIM = 64        # embeddings.embedding dimensionality (testdata)
-RP_PLANES = 16
+RP_PLANES = 48
 RP_BANDS = 4
 
 
-def _rp_dot_sql(j: int, dim: int = RP_DIM) -> str:
-    """DuckDB replica of similarity._rp_dot_expr's left fold."""
-    return (
-        f"list_reduce(list_transform(range(1, {dim} + 1), "
-        f"k -> CAST(embedding[k] AS DOUBLE) * "
-        f"(CAST(({j} * {dim} + (k - 1)) * {S.RP_MULT} % 4294967296 AS DOUBLE) "
-        f"/ 4294967296.0 - 0.5)), (x, y) -> x + y)"
-    )
+def _rp_band_sql(b: int, bits_per: int = RP_PLANES // RP_BANDS,
+                 dim: int = RP_DIM) -> str:
+    """DuckDB replica of similarity._rp_bands_expr for band ``b``:
+    identical hyperplane arithmetic and left folds, so signature bits
+    agree bit-for-bit."""
+    def dot_sql(i: int) -> str:
+        return (
+            f"list_reduce(list_transform(range(1, {dim} + 1), "
+            f"k -> CAST(embedding[k] AS DOUBLE) * "
+            f"(CAST((({b} * {bits_per} + {i}) * {dim} + (k - 1)) * {S.RP_MULT} "
+            f"% 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)), (x, y) -> x + y)"
+        )
 
-
-def _rp_band_sql(b: int, bits_per: int = RP_PLANES // RP_BANDS) -> str:
     return " + ".join(
-        f"(CASE WHEN {_rp_dot_sql(b * bits_per + i)} > 0 "
-        f"THEN {1 << i} ELSE 0 END)"
+        f"(CASE WHEN {dot_sql(i)} > 0 THEN {1 << i} ELSE 0 END)"
         for i in range(bits_per)
     )
 
