@@ -44,18 +44,21 @@ LOCAL_ONLY = {
     "range_join_90min_slices",
     "convert_timezone_shift",
     "multimodal_frame_sample",
-    # the k-means trainer as its own oracle row (round 3): the IVF
-    # queries now consume cached centroids, so the trainer needs its
-    # own coverage; their declared oracles still replay it in full
-    "kmeans_centroids",
-    # the skew-mitigated join (round 6): bench.py headline query
-    # whose oracle is the plain unsalted join — salting must be
-    # result-invariant; declared siblings cover the join semantics
-    "skew_salted_join",
-    # LSH near-dup tier (round 6): second scale path next to IVF;
-    # declared sibling dedup_embedding_ivf covers the candidate/verify
-    # contract, dedup_embedding_cosine the exact result
-    "dedup_embedding_rplsh",
+    # Round-7 rotation: the round-6 operators (kmeans_centroids,
+    # skew_salted_join, dedup_embedding_rplsh) are promoted into the
+    # declared gate so the driver's CORRECTNESS file covers them; the
+    # three rows demoted to make room are each fully subsumed by
+    # declared siblings and keep their local oracle + plan pins:
+    # cross_join_region_type_matrix ⊂ J6 baselines tests (same
+    # cross-join shape, test_plans pins no-cartesian elsewhere),
+    "cross_join_region_type_matrix",
+    # semi_join_suppliers_big_lots ⊂ J3's declared anti-join row +
+    # the suppression semi-join e2e (identical LeftSemi strategy),
+    "semi_join_suppliers_big_lots",
+    # top_orders ⊂ O1-O3: the dispatcher e2e exercises the same
+    # TakeOrderedAndProject path and latest_event_per_user pins the
+    # ordered-limit shape.
+    "top_orders",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -102,6 +102,36 @@ def test_kmeans_centroid_cache_matches_fresh_training(spark):
     assert cached == fresh
 
 
+def test_cross_join_matrix_stays_tiny_cartesian(spark):
+    """J6 demotion pin (round-7 rotation): the region×type matrix is
+    the one *intentional* cartesian in the registry — two tiny dim
+    inputs. The pin keeps it broadcast-shaped (no shuffle exchange on
+    either side beyond broadcast) so it can never grow into a real
+    shuffle cartesian."""
+    plan = _plan(spark, "cross_join_region_type_matrix")
+    assert "BroadcastNestedLoopJoin" in plan or "CartesianProduct" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_semi_join_matches_declared_anti_join_strategy(spark):
+    """J3 demotion pin: the demoted LeftSemi row must keep the same
+    broadcast hash strategy as its declared anti-join sibling."""
+    local = _plan(spark, "semi_join_suppliers_big_lots")
+    sibling = _plan(spark, "anti_join_parts_no_bulk_orders")
+    assert "LeftSemi" in local
+    assert "LeftAnti" in sibling
+    for plan in (local, sibling):
+        assert "BroadcastHashJoin" in plan
+        assert "CartesianProduct" not in plan
+
+
+def test_top_orders_is_take_ordered_limit(spark):
+    """O1-O3 demotion pin: ordered-limit must stay TakeOrderedAndProject
+    (bounded per-partition top-k + merge), never a global sort."""
+    plan = _plan(spark, "top_orders")
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_skew_salted_join_plan_actually_salts(spark):
     """The mitigation must be in the executed plan: the equi-join keys
     include the __salt column (hot key spread over n_salts buckets),
