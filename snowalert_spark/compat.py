@@ -787,7 +787,10 @@ def transpile(sql: str) -> str:
     # comment. The pack loader pre-strips too; this covers ad-hoc rule
     # bodies (WebUI create, user SQL) with commentary inside.
     out = re.sub(r"--[^\n]*", "", out)
-    out = re.sub(r"/\*.*?\*/", "", out, flags=re.S)
+    # block comments become a single space, not the empty string — an
+    # inline /*hint*/ between two tokens ('a/*c*/b') must not fuse
+    # them into one ('ab')
+    out = re.sub(r"/\*.*?\*/", " ", out, flags=re.S)
     # patch RLIKE pattern literals for Java-regex brace semantics
     for m in re.finditer(r"\bRLIKE\s*__STRLIT(\d+)X__", out, re.I):
         i = int(m.group(1))

@@ -157,7 +157,7 @@ def cosine_pairs_rplsh(
     vec_col: str = "embedding",
     n_planes: int = 48,
     bands: int = 4,
-    dim: int | None = None,
+    dim: int = 64,
 ) -> DataFrame:
     """Embedding near-duplicate pairs via random-hyperplane LSH — the
     second scale path next to IVF (``cosine_pairs_ivf``): sign bits of
@@ -177,8 +177,9 @@ def cosine_pairs_rplsh(
     co-occur in some band with probability ≈ 0.999."""
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
-    if dim is None:
-        dim = len(corpus.select(vec_col).head()[0])
+    # dim is an explicit parameter (default: the testdata embedding
+    # width) rather than inferred via head() — no driver-side action in
+    # the function body, and no TypeError on an empty corpus
     bits_per = n_planes // bands
     planes = [[rp_plane(j, k, dim) for k in range(dim)] for j in range(n_planes)]
 
@@ -204,6 +205,11 @@ def cosine_pairs_rplsh(
             if not len(pdf):
                 continue
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if V.shape[1] != dim:
+                raise ValueError(
+                    f"cosine_pairs_rplsh: dim={dim} but vectors have "
+                    f"width {V.shape[1]}"
+                )
             bits = np.zeros((len(pdf), n_planes), dtype=np.int64)
             for j in range(n_planes):
                 acc = np.zeros(len(pdf))

@@ -38,7 +38,12 @@ class CollectTask:
 
     @property
     def args_dict(self) -> dict:
-        return dict(self.args)
+        # list-valued bindings are stored as tuples for hashability
+        # (BFS seen-set); hand transports back the original JSON shape
+        # (inspector.describe_findings findingArns expects a list)
+        return {
+            k: list(v) if isinstance(v, tuple) else v for k, v in self.args
+        }
 
 
 @dataclass

@@ -129,6 +129,11 @@ class WebApi:
         return json.loads(raw or b"{}")
 
     def _sid_ok(self, environ) -> bool:
+        # fail closed: an unset secret must not mean "empty sid
+        # authenticates" — mutation endpoints stay locked until the
+        # operator configures one
+        if not self.secret:
+            return False
         cookies = environ.get("HTTP_COOKIE", "")
         sid = ""
         for part in cookies.split(";"):

@@ -304,9 +304,10 @@ RP_BANDS = 4
 
 def _rp_band_sql(b: int, bits_per: int = RP_PLANES // RP_BANDS,
                  dim: int = RP_DIM) -> str:
-    """DuckDB replica of similarity._rp_bands_expr for band ``b``:
-    identical hyperplane arithmetic and left folds, so signature bits
-    agree bit-for-bit."""
+    """DuckDB replica of the Spark-side signature arithmetic in
+    ``similarity.rp_plane`` / ``similarity.cosine_pairs_rplsh`` (the
+    sig_batches k-loop) for band ``b``: identical hyperplane values
+    and left folds, so signature bits agree bit-for-bit."""
     def dot_sql(i: int) -> str:
         return (
             f"list_reduce(list_transform(range(1, {dim} + 1), "

@@ -141,3 +141,16 @@ def test_collect_distributed(spark):
     )
     assert levels == 2  # users level, then access-keys level
     assert len(rows) == 4  # 2 users + 1 key row + 1 error row
+
+
+def test_args_dict_restores_list_shape():
+    """Round-6 advice: list-valued child bindings are tuple-ized for
+    the BFS seen-set, but transports must see the original JSON shape
+    (inspector.describe_findings findingArns expects a list)."""
+    t = CollectTask(
+        "123",
+        "inspector.describe_findings",
+        (("findingArns", ("arn:f1", "arn:f2")), ("maxResults", 10)),
+    )
+    assert t.args_dict == {"findingArns": ["arn:f1", "arn:f2"], "maxResults": 10}
+    assert hash(t)  # still hashable for the seen-set

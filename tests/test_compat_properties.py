@@ -181,6 +181,26 @@ def test_pack_comment_mutation(fname):
 
 @packs_available
 @pytest.mark.parametrize("fname", packs.PACK_FILES)
+def test_pack_block_comment_mutation(fname):
+    """Replacing every inter-token space with an inline /*c*/ block
+    comment must not change any transpile: the stripper substitutes a
+    space, so adjacent tokens ('a/*c*/b') never fuse ('ab') — the
+    round-6 advice finding."""
+    for name, body in _statements(fname):
+        base = _canon(compat.transpile(body))
+        masked, lits = compat._mask_literals(body)
+        mutant = compat._unmask_literals(masked.replace(" ", "/*c*/"), lits)
+        assert _canon(compat.transpile(mutant)) == base, name
+
+
+def test_block_comment_strip_does_not_fuse_tokens():
+    out = compat.transpile("SELECT a/*hint*/FROM t")
+    assert re.search(r"\ba\s+FROM\b", out), out
+    assert "aFROM" not in out
+
+
+@packs_available
+@pytest.mark.parametrize("fname", packs.PACK_FILES)
 def test_pack_literal_mutation(fname):
     """Appending a marker to every non-dispatch literal must leave the
     skeleton identical and change output literals only by that marker

@@ -45,6 +45,17 @@ def _app(spark=None, **kw):
     return WebApi(RuleRegistry(), secret=SECRET, spark=spark, **kw)
 
 
+def test_auth_fails_closed_with_empty_secret():
+    """Round-6 advice: an unconfigured (empty) secret must NOT mean an
+    absent/empty sid cookie authenticates mutation endpoints."""
+    app = WebApi(RuleRegistry(), secret="")
+    for sid in (None, ""):
+        _, out = call(app, "POST", "/api/sa/rules",
+                      {"title": "X", "target": "ALERT", "type": "QUERY",
+                       "body": "SELECT 1"}, sid=sid)
+        assert out["success"] is False
+
+
 def test_auth_gate():
     app = _app()
     _, out = call(app, "GET", "/api/sa/rules", sid="wrong")
