@@ -158,7 +158,9 @@ class SmtpHandler:
 
 @dataclass
 class ServiceNowHandler:
-    transport: object  # post(url, auth=None, data=None, json=None) -> (status, body)
+    # post(url, auth=None, data=None, json=None) -> (status, body);
+    # defaults to the stdlib HTTPS PostTransport when not injected
+    transport: object = None
     host: str = ""
     endpoint: str = "/now/table/incident"
     field_prefix: str = ""
@@ -171,6 +173,10 @@ class ServiceNowHandler:
     def handle(self, alert, assignee="", payload=None):
         if not self.host:
             return None
+        if self.transport is None:
+            from snowalert_spark.sources.transport import PostTransport
+
+            self.transport = PostTransport()
         access_token = None
         if self.oauth_client_id:
             status, result = self.transport.post(

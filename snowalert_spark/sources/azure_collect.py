@@ -887,12 +887,19 @@ def land_batches(spark, batches: Iterator[tuple[str, list[dict]]]):
 
 def ingest(
     options: dict,
-    transport: Transport,
+    transport: Transport | None = None,
     kinds: tuple[str, ...] = SEED_KINDS,
 ) -> Iterator[tuple[str, list[dict]]]:
     """Walk the collection DAG from the seed kinds, yielding
     ``(kind, rows)`` batches for the ``data.azure_collect_{kind}``
-    landing tables (azure_collect.py:1912-2040 shape)."""
+    landing tables (azure_collect.py:1912-2040 shape).
+
+    With no transport injected, the stdlib HTTPS default
+    (``sources.transport.azure_transport``) is used."""
+    if transport is None:
+        from snowalert_spark.sources.transport import azure_transport
+
+        transport = azure_transport()
     tenant = options["tenant"]
     cloud = options.get("cloud", "azure")
     queue: list[tuple[str, dict]] = [(k, {}) for k in kinds]

@@ -109,12 +109,21 @@ def ingest(
     table_name: str,
     options: dict,
     *,
-    transport: Transport,
+    transport: Transport | None = None,
     latest_event_time: dt.datetime | None = None,
     now: dt.datetime | None = None,
 ) -> Iterator[list[tuple[dict, dt.datetime]]]:
     """Yield pages of ``(raw_row, event_time)`` pairs for the landing
-    table chosen by the table-name suffix (okta.py:114-121)."""
+    table chosen by the table-name suffix (okta.py:114-121).
+
+    When no transport is injected, the stdlib HTTPS default
+    (``sources.transport.okta_transport``) is used — paced, retrying
+    urllib, the production analog of the reference's ``requests``
+    session (okta.py:113-215)."""
+    if transport is None:
+        from snowalert_spark.sources.transport import okta_transport
+
+        transport = okta_transport()
     now = now or dt.datetime.utcnow()
     ingest_type = (
         "users"
