@@ -105,8 +105,8 @@ def png_decode(data: bytes) -> list[float]:
     the public PNG spec): returns [width, height, *per-channel means]
     normalized to 0..1. Supports 8-bit greyscale/RGB/palette-less
     color types, non-interlaced — the mainstream training-corpus
-    shape. Retires the PNG stub in the decoder registry; JPEG/MP3
-    remain honest NotImplementedError stubs."""
+    shape. Retires the PNG stub in the decoder registry; see
+    ``jpeg_decode`` for baseline JPEG; MP3 remains an honest stub."""
     import struct
     import zlib
 
@@ -168,6 +168,262 @@ def png_decode(data: bytes) -> list[float]:
         prev = line
     n = max(w * h, 1)
     return [float(w), float(h), *(s / n / 255.0 for s in sums)]
+
+
+# JPEG natural order: zigzag index → (row-major) coefficient index,
+# derived from the public spec's diagonal walk rather than transcribed
+def _zigzag_order() -> list[int]:
+    out = []
+    r = c = 0
+    for _ in range(64):
+        out.append(r * 8 + c)
+        if (r + c) % 2 == 0:  # moving up-right
+            if c == 7:
+                r += 1
+            elif r == 0:
+                c += 1
+            else:
+                r, c = r - 1, c + 1
+        else:  # moving down-left
+            if r == 7:
+                c += 1
+            elif c == 0:
+                r += 1
+            else:
+                r, c = r + 1, c - 1
+    return out
+
+
+_ZIGZAG = _zigzag_order()
+
+
+class _BitReader:
+    """MSB-first entropy-segment bit reader with JPEG byte unstuffing
+    (FF 00 → FF) and restart-marker awareness."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self.buf = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1  # stuffed byte
+            else:
+                # marker (EOI / RSTn reached mid-fill): feed zero bits,
+                # the MCU loop handles the marker at the byte boundary
+                self.pos -= 1
+                b = 0
+        self.buf = (self.buf << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.buf >> self.nbits) & ((1 << n) - 1)
+        return v
+
+    def align_restart(self) -> None:
+        """Drop partial byte, consume an RSTn marker (FFD0-FFD7)."""
+        self.buf = 0
+        self.nbits = 0
+        if (
+            self.data[self.pos] == 0xFF
+            and 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            self.pos += 2
+
+
+def _huff_decode(reader: _BitReader, table: dict) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | reader.read(1)
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("bad huffman code")
+
+
+def _extend(v: int, t: int) -> int:
+    return v - (1 << t) + 1 if t and v < (1 << (t - 1)) else v
+
+
+def jpeg_decode(data: bytes) -> list[float]:
+    """Baseline sequential JPEG (SOF0) decode, pure stdlib + numpy:
+    marker parse → per-table huffman decode → dequantize → dezigzag →
+    vectorized 8x8 IDCT → per-component means over the valid (unpadded)
+    region. Returns ``[width, height, *channel means]`` in 0..1 — RGB
+    means for 3-component YCbCr files (the mean is affine-converted,
+    exact because YCbCr→RGB is affine and commutes with averaging;
+    chroma-subsampled files contribute box-replicated chroma), one
+    grey mean for single-component files. Supports interleaved
+    baseline scans incl. 4:2:0/4:2:2 sampling and restart intervals;
+    progressive (SOF2) and arithmetic coding raise NotImplementedError.
+
+    Retires the JPEG stub in the decoder registry; MP3 remains an
+    honest stub (the reference decodes no media at all — this surface
+    is the LLM-pipeline brief's)."""
+    import struct
+
+    import numpy as np
+
+    if data[:2] != b"\xff\xd8":
+        raise ValueError("not a jpeg")
+    qt: dict[int, list[int]] = {}
+    huff: dict[tuple[int, int], dict] = {}  # (class, id) -> code table
+    sof = None
+    dri = 0
+    pos = 2
+    while pos < len(data):
+        if data[pos] != 0xFF:
+            raise ValueError("bad marker")
+        marker = data[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seglen,) = struct.unpack(">H", data[pos + 2:pos + 4])
+        seg = data[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT
+            i = 0
+            while i < len(seg):
+                prec, tid = seg[i] >> 4, seg[i] & 0xF
+                i += 1
+                if prec:
+                    qt[tid] = list(
+                        struct.unpack(f">{64}H", seg[i:i + 128])
+                    )
+                    i += 128
+                else:
+                    qt[tid] = list(seg[i:i + 64])
+                    i += 64
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(seg):
+                cls, tid = seg[i] >> 4, seg[i] & 0xF
+                counts = seg[i + 1:i + 17]
+                i += 17
+                table: dict[tuple[int, int], int] = {}
+                code = 0
+                for length in range(1, 17):
+                    for _ in range(counts[length - 1]):
+                        table[(length, code)] = seg[i]
+                        code += 1
+                        i += 1
+                    code <<= 1
+                huff[(cls, tid)] = table
+        elif marker == 0xC0:  # SOF0 baseline
+            depth, h, w, ncomp = struct.unpack(">BHHB", seg[:6])
+            if depth != 8:
+                raise NotImplementedError("jpeg depth != 8")
+            comps = []
+            for c in range(ncomp):
+                cid, samp, qtid = seg[6 + c * 3:9 + c * 3]
+                comps.append(
+                    {"id": cid, "h": samp >> 4, "v": samp & 0xF, "q": qtid}
+                )
+            sof = (w, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"jpeg SOF{marker - 0xC0} (non-baseline) unsupported"
+            )
+        elif marker == 0xDD:  # DRI
+            (dri,) = struct.unpack(">H", seg[:2])
+        elif marker == 0xDA:  # SOS — entropy data follows
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + c * 2:3 + c * 2]
+                scan[cid] = (tabs >> 4, tabs & 0xF)
+            pos = pos + 2 + seglen
+            break
+        pos += 2 + seglen
+    else:
+        raise ValueError("jpeg missing SOS")
+    if sof is None:
+        raise ValueError("jpeg missing SOF0")
+
+    w, h, comps = sof
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    # orthonormal DCT-III basis: block = M.T @ coeff @ M
+    k = np.arange(8)
+    M = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * np.sqrt(0.25)
+    M[0] *= np.sqrt(0.5)
+
+    planes = {
+        c["id"]: np.zeros((mcuy * c["v"] * 8, mcux * c["h"] * 8))
+        for c in comps
+    }
+    quant = {
+        c["id"]: np.array(
+            [qt[c["q"]][i] for i in range(64)], dtype=float
+        )
+        for c in comps
+    }
+    reader = _BitReader(data, pos)
+    pred = {c["id"]: 0 for c in comps}
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            reader.align_restart()
+            pred = {c["id"]: 0 for c in comps}
+        my, mx = divmod(m, mcux)
+        for c in comps:
+            dc_tab = huff[(0, scan[c["id"]][0])]
+            ac_tab = huff[(1, scan[c["id"]][1])]
+            for by in range(c["v"]):
+                for bx in range(c["h"]):
+                    zz = [0] * 64
+                    t = _huff_decode(reader, dc_tab)
+                    diff = _extend(reader.read(t), t) if t else 0
+                    pred[c["id"]] += diff
+                    zz[0] = pred[c["id"]]
+                    i = 1
+                    while i < 64:
+                        sym = _huff_decode(reader, ac_tab)
+                        if sym == 0x00:  # EOB
+                            break
+                        run, size = sym >> 4, sym & 0xF
+                        if size == 0:
+                            if run != 15:
+                                raise ValueError("bad AC symbol")
+                            i += 16  # ZRL
+                            continue
+                        i += run
+                        if i > 63:
+                            raise ValueError("AC overflow")
+                        zz[i] = _extend(reader.read(size), size)
+                        i += 1
+                    coeff = np.zeros(64)
+                    coeff[_ZIGZAG] = np.array(zz, dtype=float) * quant[c["id"]]
+                    block = M.T @ coeff.reshape(8, 8) @ M + 128.0
+                    y0 = (my * c["v"] + by) * 8
+                    x0 = (mx * c["h"] + bx) * 8
+                    planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
+
+    means = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        valid = np.clip(planes[c["id"]][:ch_, :cw], 0, 255)
+        means.append(float(valid.mean()))
+    if len(comps) == 3:
+        y, cb, cr = means
+        means = [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ]
+        means = [min(max(v, 0.0), 255.0) for v in means]
+    return [float(w), float(h), *(v / 255.0 for v in means)]
 
 
 def wav_decode(data: bytes) -> list[float]:
