@@ -36,6 +36,13 @@ from pyspark.sql import types as T
 from snowalert_spark.schema import RESULT_TABLES
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer published a version this writer's merge did not
+    see. The losing writer's output is discarded; the table on disk is
+    the winner's complete version — never a mix. Re-run the merge to
+    retry on top of the new current version."""
+
+
 class ResultsStore:
     def __init__(self, spark: SparkSession, base: str):
         self.spark = spark
@@ -85,12 +92,41 @@ class ResultsStore:
             return
         self._align(table, df).write.mode("append").parquet(cur)
 
-    def overwrite(self, table: str, df: DataFrame) -> None:
+    def overwrite(
+        self, table: str, df: DataFrame, expect_version: int | None = None
+    ) -> None:
+        """Publish the next version via CAS-rename: the new content is
+        written to a hidden temp dir, then atomically renamed to
+        ``v=N+1``. Two concurrent writers race the rename — posix
+        refuses to rename onto a non-empty directory, so exactly one
+        wins and the loser raises :class:`ConcurrentWriteError` with
+        its temp output removed (no corrupt or merged state).
+
+        ``expect_version`` (read-merge-write callers: the version the
+        merge was computed FROM; -1 for an empty table) additionally
+        fails the publish if any newer version appeared since the
+        read — the lost-update guard for ``upsert``."""
         df = self._align(table, df)
         vs = self._versions(table)
-        nxt = (vs[-1] + 1) if vs else 0
+        cur = vs[-1] if vs else -1
+        if expect_version is not None and cur != expect_version:
+            raise ConcurrentWriteError(
+                f"{table}: merge read v={expect_version} but v={cur} is "
+                "now current; re-run the merge"
+            )
+        nxt = cur + 1
+        import uuid
+
+        tmp = os.path.join(self._tdir(table), f".inflight-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(tmp)
         out = os.path.join(self._tdir(table), f"v={nxt}")
-        df.write.mode("overwrite").parquet(out)
+        try:
+            os.rename(tmp, out)
+        except OSError as e:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{table}: another writer published v={nxt} first"
+            ) from e
         # retire superseded versions (best-effort; readers of the old
         # version already hold its file handles on posix)
         for v in vs[:-1]:
@@ -121,7 +157,14 @@ class ResultsStore:
           partition-pruned rewrite path at scale.
 
         Returns {"updated": n, "inserted": n}.
+
+        Concurrency: the merge is computed from the version current at
+        read time; publish CAS-fails (:class:`ConcurrentWriteError`)
+        if another writer got there first — one writer wins, the other
+        discards cleanly and can re-run.
         """
+        vs0 = self._versions(table)
+        base_version = vs0[-1] if vs0 else -1
         target = self.read(table).cache()
         cols = [f.name for f in self.schema(table)]
 
@@ -175,7 +218,7 @@ class ResultsStore:
         result = out.select(*merged_cols)
         if cold is not None:
             result = result.unionByName(cold)
-        self.overwrite(table, result)
+        self.overwrite(table, result, expect_version=base_version)
         joined.unpersist()
         target.unpersist()
         return {

@@ -101,17 +101,50 @@ class PartitionedResultsStore:
         return self.spark.read.schema(self.schema(table)).parquet(*paths)
 
     # -- write -----------------------------------------------------------
-    def _publish(self, table: str, date: str, df: DataFrame) -> None:
+    def _publish(
+        self,
+        table: str,
+        date: str,
+        df: DataFrame,
+        expect_version: int | None = None,
+    ) -> None:
+        """CAS-rename publication per partition (same contract as
+        ``ResultsStore.overwrite``): write to a hidden temp dir, rename
+        atomically to ``v=N+1``; a concurrent writer racing the same
+        partition loses the rename and raises
+        :class:`~snowalert_spark.store.ConcurrentWriteError` with its
+        temp output removed. ``expect_version`` guards read-merge-write
+        callers against lost updates (-1 = partition did not exist at
+        read time)."""
+        from snowalert_spark.store import ConcurrentWriteError
+
         vs = self._versions(table, date)
-        nxt = (vs[-1] + 1) if vs else 0
-        out = os.path.join(self._tdir(table), f"date={date}", f"v={nxt}")
+        cur = vs[-1] if vs else -1
+        if expect_version is not None and cur != expect_version:
+            raise ConcurrentWriteError(
+                f"{table} date={date}: merge read v={expect_version} "
+                f"but v={cur} is now current; re-run the merge"
+            )
+        nxt = cur + 1
         aligned = df.select(
             *[F.col(f.name).cast(f.dataType).alias(f.name) for f in self.schema(table)]
         )
-        aligned.write.mode("overwrite").parquet(out)
+        import uuid
+
+        pdir = os.path.join(self._tdir(table), f"date={date}")
+        tmp = os.path.join(pdir, f".inflight-{uuid.uuid4().hex}")
+        aligned.write.mode("overwrite").parquet(tmp)
+        out = os.path.join(pdir, f"v={nxt}")
+        try:
+            os.rename(tmp, out)
+        except OSError as e:
+            shutil.rmtree(tmp, ignore_errors=True)
+            raise ConcurrentWriteError(
+                f"{table} date={date}: another writer published v={nxt} first"
+            ) from e
         for v in vs[:-1]:
             shutil.rmtree(
-                os.path.join(self._tdir(table), f"date={date}", f"v={v}"),
+                os.path.join(pdir, f"v={v}"),
                 ignore_errors=True,
             )
 
@@ -188,6 +221,15 @@ class PartitionedResultsStore:
                     hot.add(d.isoformat())
                 d += dt.timedelta(days=1)
         hot = sorted(hot)
+        # lost-update guard: remember each hot partition's version as
+        # read; publish CAS-fails if a concurrent writer moved it.
+        # Partition publication stays per-date atomic — a conflict
+        # aborts the remaining dates and the (idempotent) merge can be
+        # re-run on top of the winner's state.
+        base = {
+            d: (self._versions(table, d)[-1] if self._versions(table, d) else -1)
+            for d in hot
+        }
 
         target = self.read(table, dates=hot).cache()
         src = incoming
@@ -227,7 +269,10 @@ class PartitionedResultsStore:
             hot
         ):
             self._publish(
-                table, date, merged.filter(F.col("__date") == date).drop("__date")
+                table,
+                date,
+                merged.filter(F.col("__date") == date).drop("__date"),
+                expect_version=base.get(date, -1),
             )
         merged.unpersist()
         joined.unpersist()
@@ -249,6 +294,8 @@ class PartitionedResultsStore:
         n = hits.count()
         hits.unpersist()
         for date in sorted(hot):
+            vs = self._versions(table, date)
+            bv = vs[-1] if vs else -1
             part = self.read(table, dates=[date])
             cols = []
             for f in self.schema(table):
@@ -256,7 +303,7 @@ class PartitionedResultsStore:
                 if f.name in updates:
                     c = F.when(condition, updates[f.name]).otherwise(c)
                 cols.append(c.cast(f.dataType).alias(f.name))
-            self._publish(table, date, part.select(*cols))
+            self._publish(table, date, part.select(*cols), expect_version=bv)
         return n
 
     def touched_partitions(self, table: str) -> dict[str, int]:
