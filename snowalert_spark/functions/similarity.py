@@ -150,6 +150,62 @@ def rp_plane(j: int, k: int, dim: int) -> float:
     return ((j * dim + k) * RP_MULT % 4294967296) / 4294967296.0 - 0.5
 
 
+def rp_collision_prob(sim: float) -> float:
+    """Per-hyperplane sign-bit collision probability for two vectors
+    at cosine similarity ``sim``: ``1 - angle/pi`` (the random-
+    hyperplane LSH guarantee from the public SimHash/LSH literature)."""
+    import math
+
+    return 1.0 - math.acos(max(-1.0, min(1.0, sim))) / math.pi
+
+
+def rplsh_recall(sim: float, bits_per_band: int, bands: int) -> float:
+    """Probability a pair at similarity ``sim`` shares at least one
+    band value: ``1 - (1 - p^r)^b`` with ``p = rp_collision_prob``."""
+    p = rp_collision_prob(sim)
+    return 1.0 - (1.0 - p**bits_per_band) ** bands
+
+
+def rplsh_params(
+    threshold: float,
+    target_recall: float = 0.95,
+    max_planes: int = 48,
+    max_bands: int = 8,
+) -> tuple[int, int]:
+    """Derive ``(n_planes, bands)`` for ``cosine_pairs_rplsh`` from a
+    target (similarity threshold, recall) via the collision-probability
+    formula, minimizing expected background candidate volume.
+
+    Among all (bits_per_band r, bands b) with ``r*b <= max_planes``
+    whose recall at ``threshold`` meets ``target_recall``, picks the
+    one minimizing the random-pair band-collision mass ``b * 0.5**r``
+    (orthogonal vectors collide per bit with probability 1/2, so this
+    is the expected bucket-join blowup on an uncorrelated corpus),
+    tie-broken toward fewer total planes (cheaper signatures).
+
+    The verified defaults (48 planes, 4 bands = 12-bit bands) are
+    exactly ``rplsh_params(0.99, 0.95, max_planes=48)`` — the planted
+    near-dup case the oracle-backed tests pin."""
+    if not 0.0 < target_recall < 1.0:
+        raise ValueError("target_recall must be in (0, 1)")
+    best = None  # (cost, n_planes, r, b)
+    for r in range(1, max_planes + 1):
+        for b in range(1, min(max_bands, max_planes // r) + 1):
+            if rplsh_recall(threshold, r, b) < target_recall:
+                continue
+            cost = b * 0.5**r
+            key = (cost, r * b)
+            if best is None or key < best[0]:
+                best = (key, r * b, b)
+    if best is None:
+        raise ValueError(
+            f"no (planes<=max_planes={max_planes}, bands<=max_bands="
+            f"{max_bands}) reaches recall {target_recall} at "
+            f"similarity {threshold}; raise max_planes"
+        )
+    return best[1], best[2]
+
+
 def cosine_pairs_rplsh(
     corpus: DataFrame,
     threshold: float,
@@ -171,7 +227,8 @@ def cosine_pairs_rplsh(
 
     Candidates are a subset of the exact ``cosine_pairs`` result by
     construction (verification is exact); recall at a given threshold
-    is tunable via n_planes/bands. The default 12-bit bands keep
+    is tunable via n_planes/bands — derive them with ``rplsh_params``
+    for a target (similarity, recall). The default 12-bit bands keep
     bucket occupancy — and therefore candidate volume — low on random
     corpora while genuine near-dups (per-bit collision ≈ 0.99) still
     co-occur in some band with probability ≈ 0.999."""

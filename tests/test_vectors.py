@@ -158,3 +158,57 @@ def test_rplsh_plan_is_cartesian_free(spark):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---- auto-tuned LSH parameters (round-7 verdict item 8) -------------------
+
+
+def test_rplsh_params_reproduce_verified_default():
+    """The shipped default (48 planes / 4 bands = 12-bit bands) must be
+    exactly what the selector derives for the planted near-dup case."""
+    assert S.rplsh_params(0.99, 0.95, max_planes=48) == (48, 4)
+    assert S.rplsh_recall(0.99, 12, 4) >= 0.95
+
+
+def test_rplsh_params_monotone_and_bounded():
+    # harder target => no cheaper (less selective) band config
+    n1, b1 = S.rplsh_params(0.9, 0.9)
+    n2, b2 = S.rplsh_params(0.9, 0.99)
+    assert S.rplsh_recall(0.9, n2 // b2, b2) >= 0.99
+    assert n1 <= 48 and n2 <= 48
+    # infeasible combos raise with guidance, not silently under-recall
+    with pytest.raises(ValueError):
+        S.rplsh_params(0.5, 0.999, max_planes=8, max_bands=2)
+    with pytest.raises(ValueError):
+        S.rplsh_params(0.9, 1.5)
+
+
+def test_rplsh_collision_prob_anchors():
+    assert S.rp_collision_prob(1.0) == pytest.approx(1.0)
+    assert S.rp_collision_prob(0.0) == pytest.approx(0.5)
+    assert S.rp_collision_prob(-1.0) == pytest.approx(0.0)
+
+
+def test_rplsh_chosen_params_hit_planted_recall(spark):
+    """Property: parameters derived for (sim=0.99, recall>=0.9) must
+    recover >= 90% of planted near-identical clones at sf0.01 — the
+    selector's promise measured on real data, not just the formula."""
+    n_planes, bands = S.rplsh_params(0.99, 0.9, max_planes=48)
+    emb = table(spark, "/root/testdata/sf0.01", "embeddings")
+    n_plant = 40
+    clones = emb.filter(F.col("vec_id") < n_plant).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.expr(
+            "transform(embedding, (x, i) -> CASE WHEN i = 0 "
+            "THEN CAST(x * 1.05 + 0.01 AS FLOAT) ELSE x END)"
+        ).alias("embedding"),
+        "label",
+    )
+    pairs = S.cosine_pairs_rplsh(
+        emb.unionByName(clones), threshold=0.9,
+        n_planes=n_planes, bands=bands,
+    )
+    found = {(r.vec_a, r.vec_b) for r in pairs.collect()}
+    planted = {(i, i + 1000000) for i in range(n_plant)}
+    recall = len(planted & found) / n_plant
+    assert recall >= 0.9, f"planted recall {recall}"
