@@ -163,6 +163,73 @@ def _bench_packs(spark, sf_dir: str):
     return [once() for _ in range(3)]
 
 
+PACK_DETAIL: dict[str, float] = {}
+
+
+def _bench_pack_full(spark, sf_dir: str):
+    """The full 92-statement pack corpus — all 81 views (incl.
+    cis_azure's 45, the transpiler's real stress) + 11 monitoring
+    queries — planned AND executed over generic spec-derived landings
+    (sources/synth.py; ~75 landing views; the golden-pinned row
+    semantics live in tests). Per-pack medians land in PACK_DETAIL.
+    Returns three timed full sweeps, or None without the packs dir."""
+    import os
+
+    from snowalert_spark import compat, packs
+    from snowalert_spark.rules import RuleRegistry
+    from snowalert_spark.sources import synth
+
+    if not os.path.isdir(packs.PACKS_DIR):
+        return None
+
+    synth.synth_all_pack_landings(spark, misc_n=300, collect_n=30)
+
+    # pre-split by statement kind; registration/transpile is timed
+    # inside the sweep (it's half the work for 45-view cis_azure)
+    view_files = []
+    query_files = []
+    for f in packs.PACK_FILES:
+        kinds = {s.kind for s in packs.load_pack(f"{packs.PACKS_DIR}/{f}")}
+        (query_files if kinds == {"query"} else view_files).append(f)
+
+    per_file_runs: dict[str, list[float]] = {}
+
+    def once() -> float:
+        total = 0.0
+        for f in view_files:
+            t0 = time.perf_counter()
+            if f == "okta.sql":
+                for v in packs.create_pack_data_views(
+                    spark, f"{packs.PACKS_DIR}/{f}"
+                ):
+                    spark.table(v).write.format("noop").mode("overwrite").save()
+            else:
+                reg = RuleRegistry()
+                packs.register_pack_rules(reg, f"{packs.PACKS_DIR}/{f}")
+                for r in reg.rules.values():
+                    r.df(spark).write.format("noop").mode("overwrite").save()
+            per_file_runs.setdefault(f, []).append(time.perf_counter() - t0)
+            total += per_file_runs[f][-1]
+        for f in query_files:
+            t0 = time.perf_counter()
+            for q in packs.monitoring_queries(
+                f"{packs.PACKS_DIR}/{f}"
+            ).values():
+                spark.sql(compat.transpile(q)).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+            per_file_runs.setdefault(f, []).append(time.perf_counter() - t0)
+            total += per_file_runs[f][-1]
+        return total
+
+    once()  # warm
+    per_file_runs.clear()
+    out = [once() for _ in range(3)]
+    for f, rs in per_file_runs.items():
+        PACK_DETAIL[f] = round(sorted(rs)[1], 4)
+    return out
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -213,6 +280,9 @@ def main() -> None:
 
     if os.path.isdir(packs.PACKS_DIR):
         record("pack_aws_query_sweep", lambda: _bench_packs(spark, sf_dir))
+        # all 92 statements (81 views + 11 monitoring queries) over
+        # generic spec-derived landings; per-pack medians in pack_detail
+        record("pack_full_sweep", lambda: _bench_pack_full(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
     out = {
@@ -223,6 +293,8 @@ def main() -> None:
         "runs": runs,
         "sf": sf,
     }
+    if PACK_DETAIL:
+        out["pack_detail"] = dict(sorted(PACK_DETAIL.items()))
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
