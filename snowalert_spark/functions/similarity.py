@@ -92,6 +92,7 @@ def cosine_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     max_rows: int | None = COSINE_PAIRS_MAX_ROWS,
+    known_rows: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs: all (a < b) with quantized
     cosine ≥ threshold. Exact all-pairs baseline (the corpus side is
@@ -104,13 +105,14 @@ def cosine_pairs(
     scale killer. If the corpus exceeds ``max_rows`` we raise instead
     of launching the quadratic join — use ``cosine_pairs_ivf`` for
     anything bigger, or pass ``max_rows=None`` to insist. The guard
-    count is one cheap column-pruned scan of the id column.
+    count is one cheap column-pruned scan of the id column; callers
+    that already know the corpus size pass ``known_rows`` to skip it.
 
     Self-norms are precomputed per vector (N folds) instead of per
     pair (2·N² folds) — sqrt(dot(v,v)) yields the identical double
     either way, so oracle equality is unaffected."""
     if max_rows is not None:
-        n = corpus.select(id_col).count()
+        n = known_rows if known_rows is not None else corpus.select(id_col).count()
         if n > max_rows:
             raise ValueError(
                 f"cosine_pairs is an exact all-pairs (O(N²)) baseline; "

@@ -10,12 +10,15 @@ volume). Document text is per-replica character-permuted and
 embeddings per-replica perturbed so the dedup/similarity benchmarks
 don't degenerate into 10x exact duplicates.
 
-Usage: python tools/make_sf1.py [dst_dir]   (default /tmp/sf1)
+Usage: python tools/make_sf1.py [dst_dir] [replicas]
+       (defaults: /tmp/sf1 10; e.g. `tools/make_sf1.py /tmp/sf10 100`
+       builds the sf10-equivalent: 60M lineitem, 10M events)
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,17 +31,27 @@ from snowalert_spark.tables import TABLES, table
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
-# per-replica consonant permutation targets: replica 0 is identity, so
-# the original corpus is a subset; others rotate a 10-letter alphabet
+# per-replica consonant permutation: two independent 10-letter
+# rotations compose to 100 distinct permutations, so document text
+# stays distinct per replica up to 100x (replica 0 is the identity —
+# the original corpus is a subset; i < 10 matches the original sf1
+# permutation exactly)
 _ALPHA = "bcdfghjklm"
-_PERMS = [_ALPHA[i:] + _ALPHA[:i] for i in range(REPLICAS)]
+_ALPHA2 = "npqrstvwxz"
+
+
+def _perm_cols(i: int) -> tuple[str, str, str, str]:
+    a1 = _ALPHA[i % 10:] + _ALPHA[: i % 10]
+    a2 = _ALPHA2[(i // 10) % 10:] + _ALPHA2[: (i // 10) % 10]
+    return _ALPHA, a1, _ALPHA2, a2
 
 
 def _stride(df, key):
     return df.agg(F.max(key)).collect()[0][0] + 1
 
 
-def main(dst: str = "/tmp/sf1") -> None:
+def main(dst: str = "/tmp/sf1", replicas: int | str = REPLICAS) -> None:
+    replicas = int(replicas)
     # micros output keeps footers identical in type to the driver's
     # own parquet (no INT96 ambiguity in the normalization probe)
     spark = get_session(
@@ -60,7 +73,7 @@ def main(dst: str = "/tmp/sf1") -> None:
 
     def replicate(name, shift_cols, extra=None):
         parts = []
-        for i in range(REPLICAS):
+        for i in range(replicas):
             df = src[name]
             for col, stride in shift_cols:
                 df = df.withColumn(col, F.col(col) + F.lit(i * stride))
@@ -70,13 +83,19 @@ def main(dst: str = "/tmp/sf1") -> None:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
-        out.coalesce(8).write.mode("overwrite").parquet(f"{dst}/_{name}")
+        out.coalesce(max(8, replicas // 4)).write.mode("overwrite").parquet(
+            f"{dst}/_{name}"
+        )
         # single-file layout like the driver's (dir-of-parts also reads
-        # fine through tables.table, but keep paths uniform)
+        # fine through tables.table, but keep paths uniform); clear a
+        # previous run's output first (os.replace can't rename onto a
+        # non-empty dir)
+        shutil.rmtree(f"{dst}/{name}.parquet", ignore_errors=True)
         os.replace(f"{dst}/_{name}", f"{dst}/{name}.parquet")
 
     for name in ("region", "nation"):
         src[name].write.mode("overwrite").parquet(f"{dst}/_{name}")
+        shutil.rmtree(f"{dst}/{name}.parquet", ignore_errors=True)
         os.replace(f"{dst}/_{name}", f"{dst}/{name}.parquet")
 
     replicate("customer", [("c_custkey", strides["customer"])])
@@ -88,12 +107,16 @@ def main(dst: str = "/tmp/sf1") -> None:
                            ("l_partkey", strides["part"]),
                            ("l_suppkey", strides["supplier"])])
     replicate("events", [("event_id", strides["events"])])
+    def permute_text(df, i):
+        s1, a1, s2, a2 = _perm_cols(i)
+        return df.withColumn(
+            "text", F.translate(F.translate("text", s1, a1), s2, a2)
+        )
+
     replicate(
         "documents",
         [("doc_id", strides["documents"])],
-        extra=lambda df, i: df.withColumn(
-            "text", F.translate("text", _ALPHA, _PERMS[i])
-        ),
+        extra=permute_text,
     )
     replicate(
         "embeddings",
