@@ -13,7 +13,7 @@ SF = "/root/testdata/sf0.001"
 
 def _plan(spark, name):
     return (
-        workload.queries()[name](spark, SF)
+        workload.queries(include_local=True)[name](spark, SF)
         ._jdf.queryExecution()
         .executedPlan()
         .toString()

@@ -118,16 +118,31 @@ def main(dst: str = "/tmp/sf1", replicas: int | str = REPLICAS) -> None:
         [("doc_id", strides["documents"])],
         extra=permute_text,
     )
-    replicate(
-        "embeddings",
-        [("vec_id", strides["embeddings"])],
-        extra=lambda df, i: df.withColumn(
+    def perturb_embedding(df, i):
+        # Within a group of 10 replicas: tiny dim-0 shift (near-dup
+        # cluster, like sf1). Across groups: cyclic coordinate rotation
+        # by i//10 — a rotated random unit vector is ~orthogonal to the
+        # original, so near-dup cluster size stays ≤ 10 replicas and
+        # the number of genuine near-dup pairs grows LINEARLY with
+        # corpus size (real 10x data has 10x the dup clusters, not
+        # 100 mutually-similar copies of everything). i < 10 → identity
+        # rotation, so sf1 output is unchanged.
+        k, g = i % 10, i // 10
+        return df.withColumn(
             "embedding",
             F.expr(
                 f"transform(embedding, (x, j) -> CASE WHEN j = 0 "
-                f"THEN CAST(x + {i} * 0.013 AS FLOAT) ELSE x END)"
+                f"THEN CAST(element_at(embedding, "
+                f"(int(j) + {g}) % size(embedding) + 1) + {k} * 0.013 "
+                f"AS FLOAT) ELSE CAST(element_at(embedding, "
+                f"(int(j) + {g}) % size(embedding) + 1) AS FLOAT) END)"
             ),
-        ),
+        )
+
+    replicate(
+        "embeddings",
+        [("vec_id", strides["embeddings"])],
+        extra=perturb_embedding,
     )
 
     for name in TABLES:
