@@ -50,39 +50,118 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def ngram_jaccard_pairs(
-    docs: DataFrame, threshold: float = 0.8, k: int = 3
+    docs: DataFrame,
+    threshold: float = 0.8,
+    k: int = 3,
+    prefilter: bool | None = None,
+    n_docs: int | None = None,
+    prefilter_cutoff: int = 100_000,
 ) -> DataFrame:
     """Exact Jaccard near-dup pairs over k-token shingles.
 
-    Inverted-index join: pairs are generated only for docs sharing at
-    least one shingle, then |∩| is aggregated and |∪| derived from
-    per-doc set sizes. A length-ratio prefilter prunes the join:
-    J(A,B) ≤ min(|A|,|B|)/max(|A|,|B|), so pairs whose set sizes
-    differ by more than the threshold ratio can never qualify —
-    provably result-preserving, and it cuts the quadratic pair blowup
-    before aggregation. Returns (doc_a, doc_b, jaccard)."""
+    Two result-identical physical strategies, chosen cost-based (the
+    same idea as Catalyst's broadcast-vs-shuffle join threshold):
+
+    - **direct** (small corpora): inverted-index self-join on shingle
+      with the symmetric length-ratio filter, |∩| aggregated per pair.
+      Fewest stages; wins while posting lists are short.
+    - **prefix-filtered** (large corpora): AllPairs/PPJoin-style
+      candidate generation (public literature). Order each doc's
+      shingle set by ascending global document frequency (ties by
+      shingle) and index only the first ``n - ceil(T*n) + 1``
+      shingles. With the length-ratio filter (qualifying pairs have
+      overlap ≥ ceil(T*|A|) and ≥ ceil(T*|B|)), the FIRST shared
+      shingle in the global order provably lies in both prefixes, so
+      the filter is lossless for J ≥ T. Hot shingles sort LAST and
+      fall outside almost every prefix: candidate volume stays linear
+      in genuine near-dup mass instead of quadratic in posting-list
+      length (at the 500k-doc sf10 bench the direct join was
+      47x-of-sf1 wall; prefix filtering restores ~linear scaling).
+      Verification is exact on candidates only:
+      ``size(array_intersect(...))`` over per-doc sorted shingle
+      arrays — JVM-side, no UDF.
+
+    ``prefilter=None`` auto-selects by corpus row count
+    (``> prefilter_cutoff`` docs → prefix path); pass ``n_docs`` to
+    skip the count scan, or ``prefilter=True/False`` to force a
+    strategy. Returns (doc_a, doc_b, jaccard) — identical for both
+    paths (epsilon-relaxed bounds only ever ADD candidates, and
+    verification is exact)."""
+    if prefilter is None:
+        prefilter = (n_docs if n_docs is not None else docs.count()) > prefilter_cutoff
     sh = doc_shingles(docs, k).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
-    szd = sh.join(sizes, "doc_id")
-    a = szd.alias("a")
-    b = szd.alias("b")
-    common = (
+    if not prefilter:
+        szd = sh.join(sizes, "doc_id")
+        a = szd.alias("a")
+        b = szd.alias("b")
+        common = (
+            a.join(
+                b,
+                (F.col("a.s") == F.col("b.s"))
+                & (F.col("a.doc_id") < F.col("b.doc_id"))
+                & (F.col("a.n") >= threshold * F.col("b.n"))
+                & (F.col("b.n") >= threshold * F.col("a.n")),
+            )
+            .groupBy(
+                F.col("a.doc_id").alias("doc_a"),
+                F.col("b.doc_id").alias("doc_b"),
+            )
+            .agg(F.count("*").alias("c"))
+        )
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+        j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+        return (
+            common.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
+            .filter(F.col("jaccard") >= threshold)
+        )
+    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
+    w = W.partitionBy("doc_id").orderBy("df", "s")
+    # prefix length n - ceil(T*n) + 1; the 1e-9 slack makes float
+    # boundary noise lengthen the prefix (extra candidates) rather
+    # than shorten it (lost pairs). df = 1 shingles occupy prefix
+    # positions (computed first) but can never collide — drop them
+    # from the join input after the rank filter.
+    pref = (
+        sh.join(dfreq, "s")
+        .join(sizes, "doc_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("n") - F.ceil(threshold * F.col("n") - 1e-9) + 1
+        )
+        .filter(F.col("df") > 1)
+        .select("doc_id", "s", "n")
+    )
+    a = pref.alias("a")
+    b = pref.alias("b")
+    cand = (
         a.join(
             b,
             (F.col("a.s") == F.col("b.s"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.col("a.n") >= threshold * F.col("b.n"))
-            & (F.col("b.n") >= threshold * F.col("a.n")),
+            & (F.col("a.n") >= threshold * F.col("b.n") - 1e-9)
+            & (F.col("b.n") >= threshold * F.col("a.n") - 1e-9),
         )
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("c"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    sets = sh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("s")).alias("ss")
+    )
+    c = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
+    na = F.size(F.col("sa.ss"))
+    nb = F.size(F.col("sb.ss"))
+    j = c / (na + nb - c)
     return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        cand.join(sets.alias("sa"), F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sets.alias("sb"), F.col("doc_b") == F.col("sb.doc_id"))
         .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )

@@ -139,17 +139,24 @@ def cosine_pairs(
     )
 
 
-#: Knuth multiplicative-hash constant — the deterministic pseudo-random
-#: source for hyperplane components (replayable in any SQL engine)
-RP_MULT = 2654435761
-
-
 def rp_plane(j: int, k: int, dim: int) -> float:
-    """Deterministic hyperplane component (j, k): hash(j*dim+k)/2^32 -
-    0.5 — uniform in [-0.5, 0.5), pure integer arithmetic on exactly
-    representable doubles, so DuckDB (workload/vector.py) rebuilds the
-    identical value."""
-    return ((j * dim + k) * RP_MULT % 4294967296) / 4294967296.0 - 0.5
+    """Deterministic hyperplane component (j, k): the top 32 bits of
+    ``md5(str(j*dim + k))`` scaled to [-0.5, 0.5). md5 gives genuinely
+    independent pseudo-random components; the multiplicative-hash Weyl
+    sequence used before round 7 made the planes near-shifted copies
+    of each other (consecutive-index arithmetic progressions mod 1),
+    which correlated sign bits across ALL vectors and concentrated
+    ~200k-vector corpora into a few giant buckets (hundreds of
+    millions of spurious candidate pairs at the sf10 bench).
+
+    The value is an integer < 2^32 divided by 2^32 minus 0.5 — every
+    step exact in binary doubles — and DuckDB rebuilds the identical
+    value from its own md5 (workload/vector.py:_rp_band_sql), so
+    signature bits agree bit-for-bit across engines."""
+    import hashlib
+
+    h = int(hashlib.md5(str(j * dim + k).encode()).hexdigest()[:8], 16)
+    return h / 4294967296.0 - 0.5
 
 
 def rp_collision_prob(sim: float) -> float:
@@ -185,9 +192,12 @@ def rplsh_params(
     is the expected bucket-join blowup on an uncorrelated corpus),
     tie-broken toward fewer total planes (cheaper signatures).
 
-    The verified defaults (48 planes, 4 bands = 12-bit bands) are
-    exactly ``rplsh_params(0.99, 0.95, max_planes=48)`` — the planted
-    near-dup case the oracle-backed tests pin."""
+    ``rplsh_params(0.99, 0.95, max_planes=48)`` yields (48, 4) — the
+    planted near-dup case the oracle-backed tests pin. Note the cost
+    model here is per-band collision MASS, not corpus-size-aware: for
+    large corpora, also require enough bits per band that expected
+    bucket occupancy stays O(1) (bits >= ~log2(n)); the workload's
+    declared query uses 16-bit bands for exactly that reason."""
     if not 0.0 < target_recall < 1.0:
         raise ValueError("target_recall must be in (0, 1)")
     best = None  # (cost, n_planes, r, b)
@@ -245,9 +255,8 @@ def cosine_pairs_rplsh(
     from pyspark.sql import types as T
 
     id_type = corpus.schema[id_col].dataType
-    vec_type = corpus.schema[vec_col].dataType
     sig_schema = T.StructType(
-        [T.StructField("vid", id_type), T.StructField("v", vec_type)]
+        [T.StructField("vid", id_type)]
         + [T.StructField(f"band{b}", T.IntegerType()) for b in range(bands)]
     )
 
@@ -275,27 +284,43 @@ def cosine_pairs_rplsh(
                 for k in range(dim):
                     acc = acc + V[:, k] * planes[j][k]
                 bits[:, j] = acc > 0
-            out = {"vid": pdf[id_col], "v": pdf[vec_col]}
+            out = {"vid": pdf[id_col]}
             for b in range(bands):
                 out[f"band{b}"] = sum(
                     bits[:, b * bits_per + i] << i for i in range(bits_per)
                 ).astype("int32")
             yield pd.DataFrame(out)
 
+    # Candidates shuffle IDS ONLY: the band self-join and the pair
+    # dedupe move (band, hash, vid) rows — ~16 bytes each — and the
+    # full vectors are joined back exactly once per DISTINCT candidate
+    # pair. Carrying the embeddings through the band join (the
+    # pre-round-7 shape) duplicated every vector once per colliding
+    # band per candidate, which at sf10 (200k x 64-float vectors)
+    # spilled tens of GB of shuffle to disk.
     sig = corpus.mapInPandas(sig_batches, sig_schema)
     slots = F.array(*[F.col(f"band{b}") for b in range(bands)])
-    long = sig.select("vid", "v", F.posexplode(slots).alias("b", "h"))
-    cand = (
+    long = sig.select("vid", F.posexplode(slots).alias("b", "h"))
+    cand_ids = (
         long.alias("l")
         .join(long.alias("r"), ["b", "h"])
         .where(F.col("l.vid") < F.col("r.vid"))
         .select(
             F.col("l.vid").alias("vec_a"),
             F.col("r.vid").alias("vec_b"),
-            F.col("l.v").alias("va"),
-            F.col("r.v").alias("vb"),
         )
         .dropDuplicates(["vec_a", "vec_b"])
+    )
+    vecs = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cand = (
+        cand_ids.join(vecs.alias("a"), F.col("vec_a") == F.col("a.vid"))
+        .join(vecs.alias("b"), F.col("vec_b") == F.col("b.vid"))
+        .select(
+            "vec_a",
+            "vec_b",
+            F.col("a.v").alias("va"),
+            F.col("b.v").alias("vb"),
+        )
     )
     sim = quantize(dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb"))), 6)
     return (

@@ -298,8 +298,16 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # signature bits — and therefore candidates — agree bit-for-bit.
 # ---------------------------------------------------------------------------
 RP_DIM = 64        # embeddings.embedding dimensionality (testdata)
-RP_PLANES = 48
-RP_BANDS = 4
+# 16-bit bands: random (near-orthogonal) pairs collide per band with
+# probability ~2^-16, so background candidate volume stays ~linear up
+# to corpora of millions of vectors (12-bit bands produced ~20M random
+# candidates — tens of GB of verify shuffle — at the 200k-vector sf10
+# bench). 6 bands keep planted near-dup recall at ~0.997 for sim 0.99
+# (1 - (1 - 0.97^16)^6). Bits-per-band should grow with log2(corpus)
+# to hold bucket occupancy constant; these values cover the tested
+# range (2k .. 200k vectors) with one setting.
+RP_PLANES = 96
+RP_BANDS = 6
 
 
 def _rp_band_sql(b: int, bits_per: int = RP_PLANES // RP_BANDS,
@@ -309,11 +317,15 @@ def _rp_band_sql(b: int, bits_per: int = RP_PLANES // RP_BANDS,
     sig_batches k-loop) for band ``b``: identical hyperplane values
     and left folds, so signature bits agree bit-for-bit."""
     def dot_sql(i: int) -> str:
+        # plane component: top 32 bits of md5(str(plane_index*dim+k-1))
+        # — DuckDB's md5 of the decimal string matches Python's
+        # hashlib.md5 in similarity.rp_plane exactly
         return (
             f"list_reduce(list_transform(range(1, {dim} + 1), "
             f"k -> CAST(embedding[k] AS DOUBLE) * "
-            f"(CAST((({b} * {bits_per} + {i}) * {dim} + (k - 1)) * {S.RP_MULT} "
-            f"% 4294967296 AS DOUBLE) / 4294967296.0 - 0.5)), (x, y) -> x + y)"
+            f"(CAST(('0x' || substr(md5(CAST(({b} * {bits_per} + {i}) * {dim} "
+            f"+ (k - 1) AS VARCHAR)), 1, 8)) AS UBIGINT) "
+            f"/ 4294967296.0 - 0.5)), (x, y) -> x + y)"
         )
 
     return " + ".join(
