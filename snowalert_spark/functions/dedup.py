@@ -290,3 +290,77 @@ def simhash_fingerprints(docs: DataFrame, bits: int = 32, k: int = 3) -> DataFra
         ).otherwise(F.lit(0).cast("long"))
         fp = term if fp is None else fp + term
     return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def exact_dup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(doc_a, doc_b) pairs sharing identical text, doc_a < doc_b.
+
+    Derived from the exact-dedup hash groups (one shuffle on
+    md5(text)) rather than a raw self-join: within each hash group the
+    keeper (min id) pairs with every other member, which is exactly
+    the edge set connected-components needs — |group|−1 edges per
+    group instead of the |group|² join output."""
+    d = exact_dedup(docs, id_col, text_col)
+    return d.filter(~F.col("is_canonical")).select(
+        F.col("keeper_doc_id").alias("doc_a"), F.col(id_col).alias("doc_b")
+    )
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list →
+    (node, cluster_id) with cluster_id = min node id in the component.
+
+    Iterative min-label propagation: every node starts labelled with
+    its own id; each round every node takes the min label over itself
+    and its neighbours; fixpoint when no label changes. Each round is
+    one shuffle (groupBy node over edges ∪ labels) and rounds needed =
+    component diameter. Near-dup similarity graphs have tiny diameters
+    (duplicate clusters are near-cliques through their keeper), so this
+    converges in a handful of rounds; for adversarial long-chain graphs
+    swap in alternating large-star/small-star (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond", SoCC'14) — same
+    primitives, O(log n) rounds. ``localCheckpoint`` truncates the
+    per-round lineage so the logical plan stays flat instead of growing
+    exponentially with iterations.
+
+    The per-round convergence probe is a LIMIT-1 count — the standard
+    bounded driver action for iterative fixpoints (same budget class as
+    the k-means trainer's per-iteration step).
+    """
+    e = edges.select(
+        F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    )
+    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    sym = sym.localCheckpoint()
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        neigh = sym.join(labels, sym["a"] == labels["node"]).select(
+            F.col("b").alias("node"), F.col("label")
+        )
+        new = (
+            neigh.union(labels.select("node", "label"))
+            .groupBy("node")
+            .agg(F.min("label").alias("new_label"))
+        )
+        delta = (
+            new.join(labels, "node")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = new.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        if delta == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
+    return labels.select("node", F.col("label").alias("cluster_id"))

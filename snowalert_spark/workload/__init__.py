@@ -59,6 +59,11 @@ LOCAL_ONLY = {
     # TakeOrderedAndProject path and latest_event_per_user pins the
     # ordered-limit shape.
     "top_orders",
+    # Round-7 additions beyond the 50-row gate cap; each is verified
+    # by the local oracle replica (tests/test_oracle.py with
+    # include_local=True) against the same DuckDB harness the driver
+    # uses.
+    "dedup_clusters",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -308,3 +308,78 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+@_q(
+    "dedup_clusters",
+    f"""
+    WITH RECURSIVE {TOK_CTE}, {SH_CTE}, {SIZES_CTE},
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+        FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+    ),
+    jpairs AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE {quantize_sql('c / (sa.n + sb.n - c)', 6)} >= 0.8
+    ),
+    epairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM documents a JOIN documents b
+          ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+    ),
+    edges(a, b) AS (
+        SELECT doc_a, doc_b FROM jpairs
+        UNION SELECT doc_b, doc_a FROM jpairs
+        UNION SELECT doc_a, doc_b FROM epairs
+        UNION SELECT doc_b, doc_a FROM epairs
+    ),
+    reach(node, lab) AS (
+        SELECT doc_id, doc_id FROM documents
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    lab AS (SELECT node AS doc_id, CAST(MIN(lab) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY node),
+    sz AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM lab GROUP BY cluster_id)
+    SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+           l.doc_id = l.cluster_id AS is_representative
+    FROM lab l JOIN sz USING (cluster_id)
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster assignment for the dedup family: union the exact-dup
+    star edges with the n-gram-Jaccard near-dup pairs (J ≥ 0.8), run
+    distributed connected components (min-label propagation,
+    functions/dedup.py:connected_components), and return every doc's
+    cluster id (= min doc_id of its component), cluster size, and the
+    keep-one-per-cluster representative flag.
+
+    This is the step that turns pairwise near-dup evidence into the
+    actual "drop these rows" decision in a training-data pipeline. The
+    DuckDB oracle replays the same edge set and takes the transitive
+    closure with a recursive CTE — an all-pairs reachability that is
+    fine at oracle scale and exactly the semantics the distributed
+    fixpoint computes.
+    """
+    docs = table(spark, sf_dir, "documents")
+    near = D.ngram_jaccard_pairs(docs, 0.8).select("doc_a", "doc_b")
+    edges = D.exact_dup_pairs(docs).union(near)
+    cc = D.connected_components(edges)
+    base = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    sizes = base.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return base.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "cluster_size",
+        (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )

@@ -1,0 +1,72 @@
+"""Connected-components cluster assignment (functions/dedup.py).
+
+The oracle equivalence for the full dedup_clusters workload query is
+covered by tests/test_oracle.py (recursive-CTE DuckDB oracle); these
+tests pin the graph algorithm itself on hand-built graphs.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowalert_spark.functions import dedup as D
+
+
+def _cc(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    rows = D.connected_components(edges, **kw).collect()
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_chain_converges_to_min_label(spark):
+    # a 5-node chain needs diameter-many propagation rounds
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_disjoint_components(spark):
+    got = _cc(spark, [(1, 2), (10, 11), (11, 12), (10, 12), (20, 21)])
+    assert got == {1: 1, 2: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_edge_direction_is_irrelevant(spark):
+    # min label arriving from the dst side must still win
+    got = _cc(spark, [(9, 3), (3, 7)])
+    assert got == {3: 3, 7: 3, 9: 3}
+
+
+def test_unconverged_raises(spark):
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1)
+
+
+def test_exact_dup_pairs_star_edges(spark):
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "aa"), (5, "cc")],
+        "doc_id long, text string",
+    )
+    pairs = {
+        (r["doc_a"], r["doc_b"])
+        for r in D.exact_dup_pairs(docs).collect()
+    }
+    # star edges from the keeper (min id) to every other member
+    assert pairs == {(1, 3), (1, 4)}
+
+
+def test_cluster_sizes_and_representatives(spark):
+    docs = spark.createDataFrame(
+        [(1, "same text here"), (2, "same text here"), (3, "unique one")],
+        "doc_id long, text string",
+    )
+    edges = D.exact_dup_pairs(docs)
+    cc = D.connected_components(edges)
+    base = (
+        docs.select("doc_id")
+        .join(cc, F.col("doc_id") == F.col("node"), "left")
+        .select(
+            "doc_id", F.coalesce("cluster_id", F.col("doc_id")).alias("cluster_id")
+        )
+    )
+    got = {r["doc_id"]: r["cluster_id"] for r in base.collect()}
+    assert got == {1: 1, 2: 1, 3: 3}
