@@ -87,3 +87,23 @@ def quality_score(n_chars: Column, tok: Column) -> Column:
         + 0.3 * unique_ratio(tok),
         4,
     )
+
+
+def token_chunks(tok: Column, size: int = 32) -> Column:
+    """Fixed token-window chunking: array of (chunk_text, n_tokens)
+    structs covering the token array in windows of ``size`` (last
+    chunk ragged). Pure array expressions — each doc is chunked where
+    its row lives, zero shuffle — so at 100 TB this is a map-only
+    stage that pipelines into the downstream explode. The n > 0 guard
+    keeps Spark's ``sequence`` from going descending on empty docs."""
+    n = F.size(tok)
+    nch = F.ceil(n / F.lit(float(size))).cast("int")
+    mk = F.transform(
+        F.sequence(F.lit(0), nch - 1),
+        lambda i: F.struct(
+            F.array_join(F.slice(tok, i * size + 1, size), " ").alias("chunk_text"),
+            F.size(F.slice(tok, i * size + 1, size)).cast("long").alias("n_tokens"),
+        ),
+    )
+    empty = F.array().cast("array<struct<chunk_text:string,n_tokens:bigint>>")
+    return F.when(n > 0, mk).otherwise(empty)

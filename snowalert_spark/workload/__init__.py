@@ -64,6 +64,10 @@ LOCAL_ONLY = {
     # include_local=True) against the same DuckDB harness the driver
     # uses.
     "dedup_clusters",
+    "doc_chunks",
+    "stratified_sample_docs",
+    "text_repetition_stats",
+    "embedding_quantize_int8",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from snowalert_spark.functions import dedup as D
+from snowalert_spark.functions import sampling as SMP
 from snowalert_spark.functions import text as X
 from snowalert_spark.functions.numeric import quantize, quantize_sql
 from snowalert_spark.tables import table
@@ -382,4 +383,131 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         "cluster_size",
         (F.col("doc_id") == F.col("cluster_id")).alias("is_representative"),
+    )
+
+
+@_q(
+    "doc_chunks",
+    f"""
+    WITH {TOK_CTE},
+    ch AS (
+        SELECT doc_id,
+               unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS chunk_id,
+               w
+        FROM tok WHERE len(w) > 0
+    )
+    SELECT doc_id,
+           CAST(chunk_id AS BIGINT) AS chunk_id,
+           array_to_string(w[chunk_id*32+1 : chunk_id*32+32], ' ') AS chunk_text,
+           CAST(len(w[chunk_id*32+1 : chunk_id*32+32]) AS BIGINT) AS n_tokens
+    FROM ch
+    """,
+)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window document chunking (context-length packing prep):
+    split every doc into 32-token windows, one output row per chunk
+    with its ordinal and token count. The chunk arrays are built with
+    pure array expressions in a map-only stage and row-expanded with a
+    single posexplode — no shuffle anywhere in the plan.
+    """
+    d = table(spark, sf_dir, "documents")
+    ch = d.select(
+        "doc_id",
+        F.posexplode(X.token_chunks(X.tokens("text"), 32)).alias("chunk_id", "c"),
+    )
+    return ch.select(
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.chunk_text").alias("chunk_text"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+
+
+@_q(
+    "stratified_sample_docs",
+    """
+    WITH b AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::UBIGINT
+                    % 100 AS BIGINT) AS bucket,
+               CASE WHEN lang = 'en' THEN 35 ELSE 90 END AS rate_pct
+        FROM documents
+    )
+    SELECT doc_id, lang, bucket, rate_pct FROM b WHERE bucket < rate_pct
+    """,
+)
+def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language rebalance: downsample the dominant
+    'en' stratum to 35% and every other language to 90%, keyed on an
+    md5 hash bucket of doc_id (functions/sampling.py). No RNG, no
+    shuffle — the keep set is a pure column predicate, identical on
+    every rerun/cluster layout, which is what makes backfills and
+    train/holdout splits reproducible at 100 TB.
+    """
+    d = table(spark, sf_dir, "documents")
+    s = SMP.stratified_sample(d, "lang", {"en": 35}, "doc_id", default_pct=90)
+    return s.select("doc_id", "lang", "bucket", "rate_pct")
+
+
+def _topfrac(arr):
+    counts = F.transform(
+        F.array_distinct(arr), lambda x: F.size(F.filter(arr, lambda y: y == x))
+    )
+    return F.array_max(counts) / F.size(arr)
+
+
+def _topfrac_sql(x: str) -> str:
+    return (
+        f"list_max(list_transform(list_distinct({x}), "
+        f"u -> len(list_filter({x}, v -> v = u)))) / len({x})"
+    )
+
+
+@_q(
+    "text_repetition_stats",
+    f"""
+    WITH {TOK_CTE},
+    grams AS (
+        SELECT doc_id, w,
+               CASE WHEN len(w) >= 2 THEN
+                    list_transform(range(0, len(w) - 1),
+                                   i -> array_to_string(w[i+1:i+2], ' '))
+                    ELSE [] END AS bg,
+               CASE WHEN len(w) >= 5 THEN
+                    list_transform(range(0, len(w) - 4),
+                                   i -> array_to_string(w[i+1:i+5], ' '))
+                    ELSE [] END AS fg
+        FROM tok
+    )
+    SELECT doc_id,
+           {quantize_sql(_topfrac_sql('w'), 6)} AS top_word_frac,
+           {quantize_sql(f"CASE WHEN len(bg) > 0 THEN {_topfrac_sql('bg')} ELSE 0.0 END", 6)}
+               AS top_bigram_frac,
+           {quantize_sql("CASE WHEN len(fg) > 0 THEN 1.0 - len(list_distinct(fg)) / len(fg) ELSE 0.0 END", 6)}
+               AS dup_fivegram_frac
+    FROM grams
+    """,
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per doc: most-frequent-word
+    fraction, most-frequent-bigram fraction, duplicate-5-gram
+    fraction. Pure array column expressions (the per-doc multiplicity
+    scan is O(distinct·n) on a ~30-token array) — a map-only stage
+    with zero shuffle, so at 100 TB it pipelines into whatever filter
+    consumes the scores.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = X.tokens("text")
+    bg = X.shingles(tok, 2)
+    fg = X.shingles(tok, 5)
+    dupfive = F.lit(1.0) - F.size(F.array_distinct(fg)) / F.size(fg)
+    return d.select(
+        "doc_id",
+        quantize(_topfrac(tok), 6).alias("top_word_frac"),
+        quantize(
+            F.when(F.size(bg) > 0, _topfrac(bg)).otherwise(F.lit(0.0)), 6
+        ).alias("top_bigram_frac"),
+        quantize(
+            F.when(F.size(fg) > 0, dupfive).otherwise(F.lit(0.0)), 6
+        ).alias("dup_fivegram_frac"),
     )

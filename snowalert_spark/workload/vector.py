@@ -370,3 +370,73 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs_rplsh(
         emb, SIM_THRESHOLD, n_planes=RP_PLANES, bands=RP_BANDS, dim=RP_DIM
     )
+
+
+_MSE_SQL = (
+    "list_reduce(list_transform(range(1, len(v) + 1), "
+    "i -> (v[i] - dq[i]) * (v[i] - dq[i])), (x, y) -> x + y) / len(v)"
+)
+
+
+@_q(
+    "embedding_quantize_int8",
+    f"""
+    WITH base AS (
+        SELECT vec_id,
+               list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM embeddings
+    ),
+    sc AS (
+        SELECT vec_id, v,
+               nullif(list_max(list_transform(v, x -> abs(x))), 0.0) / 127.0 AS scale
+        FROM base
+    ),
+    dqt AS (
+        SELECT vec_id, v, scale,
+               list_transform(v, x -> floor(x / scale + 0.5) * scale) AS dq
+        FROM sc
+    )
+    SELECT vec_id,
+           {quantize_sql('scale', 6)} AS scale_q,
+           {quantize_sql(_MSE_SQL, 6)} AS mse_q,
+           {quantize_sql(_cos_sql('v', 'dq'), 6)} AS cos_q
+    FROM dqt
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding column with
+    per-vector fidelity stats: the code scale (max|x|/127), the
+    reconstruction MSE, and cosine(original, dequantized). This is the
+    4x-compression step an ANN index takes before sharding vectors at
+    scale; everything is JVM-side array arithmetic (transform /
+    zip_with / aggregate) in one map-only stage — no UDF, no shuffle.
+    Rounding is floor(x + 0.5) — the engine-portable form used by
+    quantize() — and the left-fold sums match DuckDB's list_reduce
+    order so the oracle is bit-exact.
+    """
+    emb = table(spark, sf_dir, "embeddings")
+    dot = (
+        lambda a, b: f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+        "0.0D, (acc, z) -> acc + z)"
+    )
+    d = (
+        emb.withColumn("v", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+            "scale",
+            F.expr("nullif(array_max(transform(v, x -> abs(x))), 0.0D) / 127.0D"),
+        )
+        .withColumn("dq", F.expr("transform(v, x -> floor(x / scale + 0.5D) * scale)"))
+    )
+    mse = F.expr(
+        "aggregate(zip_with(v, dq, (a, b) -> (a - b) * (a - b)), 0.0D, "
+        "(acc, x) -> acc + x) / size(v)"
+    )
+    cos = F.expr(
+        f"{dot('v', 'dq')} / (sqrt({dot('v', 'v')}) * sqrt({dot('dq', 'dq')}))"
+    )
+    return d.select(
+        "vec_id",
+        quantize(F.col("scale"), 6).alias("scale_q"),
+        quantize(mse, 6).alias("mse_q"),
+        quantize(cos, 6).alias("cos_q"),
+    )

@@ -1,0 +1,103 @@
+"""Unit pins for the corpus-curation operators added in round 7:
+token-window chunking, deterministic stratified sampling, repetition
+stats, and int8 embedding quantization. Oracle equivalence for each
+workload binding is covered by tests/test_oracle.py; these pin the
+operator semantics on hand-built rows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowalert_spark.functions import sampling as SMP
+from snowalert_spark.functions import text as X
+from snowalert_spark.workload.textops import text_repetition_stats  # noqa: F401
+from snowalert_spark.workload.vector import embedding_quantize_int8  # noqa: F401
+
+
+def _chunks(spark, text, size):
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    rows = (
+        df.select(
+            F.posexplode(X.token_chunks(X.tokens("text"), size)).alias("i", "c")
+        )
+        .select("i", "c.chunk_text", "c.n_tokens")
+        .collect()
+    )
+    return [(r["i"], r["chunk_text"], r["n_tokens"]) for r in rows]
+
+
+def test_token_chunks_exact_multiple(spark):
+    got = _chunks(spark, "a b c d", 2)
+    assert got == [(0, "a b", 2), (1, "c d", 2)]
+
+
+def test_token_chunks_ragged_tail(spark):
+    got = _chunks(spark, "a b c d e", 2)
+    assert got == [(0, "a b", 2), (1, "c d", 2), (2, "e", 1)]
+
+
+def test_token_chunks_short_doc_single_chunk(spark):
+    got = _chunks(spark, "hello", 32)
+    assert got == [(0, "hello", 1)]
+
+
+def test_stratified_sample_deterministic_and_audited(spark):
+    df = spark.createDataFrame(
+        [(i, "en" if i % 3 == 0 else "de") for i in range(300)],
+        "doc_id long, lang string",
+    )
+    s1 = SMP.stratified_sample(df, "lang", {"en": 20}, "doc_id", default_pct=80)
+    s2 = SMP.stratified_sample(df, "lang", {"en": 20}, "doc_id", default_pct=80)
+    r1 = sorted(r["doc_id"] for r in s1.collect())
+    r2 = sorted(r["doc_id"] for r in s2.collect())
+    assert r1 == r2, "hash sampling must be rerun-stable"
+    audited = s1.filter(F.col("bucket") >= F.col("rate_pct")).count()
+    assert audited == 0
+    kept = {r["lang"]: 0 for r in s1.select("lang").distinct().collect()}
+    for r in s1.collect():
+        kept[r["lang"]] += 1
+    n_en = df.filter(F.col("lang") == "en").count()
+    n_de = df.filter(F.col("lang") == "de").count()
+    # md5 buckets are near-uniform: expect ~20% / ~80% with slack
+    assert 0.05 < kept.get("en", 0) / n_en < 0.4
+    assert 0.6 < kept.get("de", 0) / n_de < 0.95
+
+
+def test_repetition_stats_hand_values(spark):
+    docs = spark.createDataFrame(
+        [(1, "a a a b", "en", "s", 7)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("curation_docs")
+    tok = X.tokens("text")
+    from snowalert_spark.workload.textops import _topfrac
+
+    row = docs.select(
+        _topfrac(tok).alias("twf"),
+        _topfrac(X.shingles(tok, 2)).alias("tbf"),
+    ).collect()[0]
+    assert abs(row["twf"] - 0.75) < 1e-9  # "a" 3 of 4
+    assert abs(row["tbf"] - 2 / 3) < 1e-9  # "a a" 2 of 3 bigrams
+
+
+def test_int8_quantization_bounds_and_fidelity(spark):
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0])],
+        "vec_id long, embedding array<float>",
+    )
+    out = (
+        df.withColumn("v", F.expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+        .withColumn(
+            "scale",
+            F.expr("nullif(array_max(transform(v, x -> abs(x))), 0.0D) / 127.0D"),
+        )
+        .withColumn("codes", F.expr("transform(v, x -> floor(x / scale + 0.5D))"))
+        .collect()[0]
+    )
+    assert all(-127 <= c <= 127 for c in out["codes"])
+    # the max-magnitude element maps exactly to ±127
+    assert min(out["codes"]) == -127.0
+    # reconstruction stays within half a quantization step per element
+    for orig, code in zip(out["v"], out["codes"]):
+        assert abs(orig - code * out["scale"]) <= out["scale"] / 2 + 1e-12
