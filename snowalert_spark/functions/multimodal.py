@@ -106,7 +106,8 @@ def png_decode(data: bytes) -> list[float]:
     normalized to 0..1. Supports 8-bit greyscale/RGB/palette-less
     color types, non-interlaced — the mainstream training-corpus
     shape. Retires the PNG stub in the decoder registry; see
-    ``jpeg_decode`` for baseline JPEG; MP3 remains an honest stub."""
+    ``jpeg_decode`` for baseline JPEG and ``mp3_parse`` for MPEG audio
+    metadata."""
     import struct
     import zlib
 
@@ -267,7 +268,8 @@ def jpeg_decode(data: bytes) -> list[float]:
     baseline scans incl. 4:2:0/4:2:2 sampling and restart intervals;
     progressive (SOF2) and arithmetic coding raise NotImplementedError.
 
-    Retires the JPEG stub in the decoder registry; MP3 remains an
+    Retires the JPEG stub in the decoder registry; MP3 header
+    metadata is covered by ``mp3_parse``; full MP3 PCM synthesis stays an
     honest stub (the reference decodes no media at all — this surface
     is the LLM-pipeline brief's)."""
     import struct
@@ -514,3 +516,75 @@ def frame_sample(media: DataFrame, every_ms: int = 1000) -> DataFrame:
             )
         ).alias("frame_ms"),
     )
+
+
+# MPEG audio (MP3) frame-header tables — Layer III, per the public
+# MPEG-1/2 audio spec (ISO/IEC 11172-3 / 13818-3 frame header layout).
+_MP3_BITRATES_V1_L3 = [0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320]
+_MP3_BITRATES_V2_L3 = [0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160]
+_MP3_RATES = {3: [44100, 48000, 32000], 2: [22050, 24000, 16000], 0: [11025, 12000, 8000]}
+
+
+def mp3_parse(data: bytes) -> list[float]:
+    """Pure-stdlib MPEG audio (MP3, Layer III) frame-header walk:
+    skips an ID3v2 tag, then steps frame to frame via the header's
+    bitrate/samplerate/padding fields. Returns
+    ``[n_frames, sample_rate, bitrate_kbps, channels, duration_ms]``
+    — the metadata/feature-extraction tier of audio ingest (sufficient
+    for corpus filtering by duration/rate/channels). Full PCM synthesis
+    (huffman + IMDCT + synthesis filterbank) remains out of scope and
+    raises nowhere here: this parser never inspects the audio payload.
+    Layers I/II and free-format bitrates raise NotImplementedError.
+    """
+    pos = 0
+    if data[:3] == b"ID3" and len(data) >= 10:
+        # syncsafe 28-bit size, then the tag body
+        size = (
+            (data[6] & 0x7F) << 21
+            | (data[7] & 0x7F) << 14
+            | (data[8] & 0x7F) << 7
+            | (data[9] & 0x7F)
+        )
+        pos = 10 + size
+    n_frames = 0
+    sample_rate = bitrate = channels = 0
+    samples_total = 0
+    while pos + 4 <= len(data):
+        b1, b2, b3, b4 = data[pos : pos + 4]
+        if b1 != 0xFF or (b2 & 0xE0) != 0xE0:
+            raise ValueError(f"lost frame sync at byte {pos}")
+        version = (b2 >> 3) & 0x3  # 3=MPEG1, 2=MPEG2, 0=MPEG2.5
+        layer = (b2 >> 1) & 0x3  # 1=Layer III
+        if version == 1 or layer != 1:
+            raise NotImplementedError(
+                f"unsupported MPEG version bits {version} / layer bits {layer}"
+            )
+        br_idx = (b3 >> 4) & 0xF
+        sr_idx = (b3 >> 2) & 0x3
+        padding = (b3 >> 1) & 0x1
+        if br_idx in (0, 15) or sr_idx == 3:
+            raise NotImplementedError("free-format/invalid bitrate or samplerate")
+        if version == 3:
+            kbps = _MP3_BITRATES_V1_L3[br_idx]
+            spf = 1152
+        else:
+            kbps = _MP3_BITRATES_V2_L3[br_idx]
+            spf = 576
+        rate = _MP3_RATES[version][sr_idx]
+        frame_len = (spf // 8) * kbps * 1000 // rate + padding
+        if n_frames == 0:
+            sample_rate, bitrate = rate, kbps
+            channels = 1 if ((b4 >> 6) & 0x3) == 3 else 2
+        n_frames += 1
+        samples_total += spf
+        pos += frame_len
+    if n_frames == 0:
+        raise ValueError("no MPEG audio frames")
+    duration_ms = samples_total * 1000.0 / sample_rate
+    return [
+        float(n_frames),
+        float(sample_rate),
+        float(bitrate),
+        float(channels),
+        duration_ms,
+    ]
