@@ -41,10 +41,15 @@ HEADLINE = [
     "dedup_embedding_rplsh",
     "dedup_ngram_jaccard",
     "dedup_simhash",
+    "dedup_clusters",
     "doc_fingerprint_rolling",
+    "doc_chunks",
     "text_quality_scores",
+    "text_repetition_stats",
+    "stratified_sample_docs",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
+    "embedding_quantize_int8",
     "multimodal_features",
 ]
 

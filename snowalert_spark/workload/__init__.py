@@ -68,6 +68,7 @@ LOCAL_ONLY = {
     "stratified_sample_docs",
     "text_repetition_stats",
     "embedding_quantize_int8",
+    "doc_chunk_packing",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -511,3 +511,62 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.size(fg) > 0, dupfive).otherwise(F.lit(0.0)), 6
         ).alias("dup_fivegram_frac"),
     )
+
+
+@_q(
+    "doc_chunk_packing",
+    f"""
+    WITH {TOK_CTE},
+    ch AS (
+        SELECT t.doc_id, d.source,
+               unnest(range(0, CAST(ceil(len(w) / 32.0) AS BIGINT))) AS chunk_id,
+               w
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+        WHERE len(w) > 0
+    ),
+    sized AS (
+        SELECT source, doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(len(w[chunk_id*32+1 : chunk_id*32+32]) AS BIGINT) AS n_tokens
+        FROM ch
+    ),
+    cum AS (
+        SELECT source, doc_id, chunk_id, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source
+                                   ORDER BY doc_id, chunk_id) AS cum_tokens
+        FROM sized
+    )
+    SELECT source, doc_id, chunk_id, n_tokens,
+           CAST((cum_tokens - n_tokens) // 256 AS BIGINT) AS bin_id
+    FROM cum
+    """,
+)
+def doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign every 32-token chunk to a 256-token
+    training bin by contiguous fill (concat-then-split semantics —
+    the standard LLM pretraining packing discipline). Bin id =
+    floor(prefix-token-sum / budget) over a deterministic
+    (doc_id, chunk_id) order **within each source shard** — packing
+    parallelizes across sources, so the plan is one shuffle on source
+    and a per-partition running sum, never a global single-partition
+    window (the scale killer a naive ORDER BY () cumsum would be).
+    """
+    d = table(spark, sf_dir, "documents")
+    ch = d.select(
+        "source",
+        "doc_id",
+        F.posexplode(X.token_chunks(X.tokens("text"), 32)).alias("chunk_id", "c"),
+    ).select(
+        "source",
+        "doc_id",
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.col("c.n_tokens").alias("n_tokens"),
+    )
+    w = W.partitionBy("source").orderBy("doc_id", "chunk_id")
+    cum = ch.withColumn("cum_tokens", F.sum("n_tokens").over(w))
+    return cum.select(
+        "source",
+        "doc_id",
+        "chunk_id",
+        "n_tokens",
+        F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 256).alias("bin_id"),
+    )

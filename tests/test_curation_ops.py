@@ -101,3 +101,40 @@ def test_int8_quantization_bounds_and_fidelity(spark):
     # reconstruction stays within half a quantization step per element
     for orig, code in zip(out["v"], out["codes"]):
         assert abs(orig - code * out["scale"]) <= out["scale"] / 2 + 1e-12
+
+
+def test_chunk_packing_bin_semantics(spark):
+    from snowalert_spark.workload.textops import doc_chunk_packing  # noqa: F401
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [("s1", 1, 0, 100), ("s1", 1, 1, 100), ("s1", 2, 0, 100), ("s2", 9, 0, 300)],
+        "source string, doc_id long, chunk_id long, n_tokens long",
+    )
+    w = W.partitionBy("source").orderBy("doc_id", "chunk_id")
+    out = df.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.floor((F.col("cum") - F.col("n_tokens")) / 256)
+    )
+    got = {(r["source"], r["doc_id"], r["chunk_id"]): r["bin_id"] for r in out.collect()}
+    # s1: prefix sums before each chunk are 0, 100, 200 → bins 0, 0, 0
+    # (200 < 256 — the third chunk STARTS in bin 0 under contiguous fill)
+    assert got[("s1", 1, 0)] == 0 and got[("s1", 1, 1)] == 0
+    assert got[("s1", 2, 0)] == 0
+    # s2 packs independently of s1 (per-source parallel packing)
+    assert got[("s2", 9, 0)] == 0
+
+
+def test_chunk_packing_rolls_into_next_bin(spark):
+    from pyspark.sql import Window as W
+
+    df = spark.createDataFrame(
+        [("s", 1, i, 100) for i in range(5)],
+        "source string, doc_id long, chunk_id long, n_tokens long",
+    )
+    w = W.partitionBy("source").orderBy("doc_id", "chunk_id")
+    out = df.withColumn("cum", F.sum("n_tokens").over(w)).withColumn(
+        "bin_id", F.floor((F.col("cum") - F.col("n_tokens")) / 256)
+    )
+    bins = [r["bin_id"] for r in out.orderBy("chunk_id").collect()]
+    # prefix sums 0,100,200,300,400 → bins 0,0,0,1,1
+    assert bins == [0, 0, 0, 1, 1]

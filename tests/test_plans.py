@@ -58,3 +58,20 @@ def test_embedding_ivf_dedup_no_cartesian(spark):
     is the broadcast scan against the k(=8) centroids."""
     plan = _plan(spark, "dedup_embedding_ivf")
     assert "CartesianProduct" not in plan
+
+
+def test_curation_ops_are_map_only(spark):
+    """The round-7 curation operators claim zero-shuffle map-only
+    plans: chunking, stratified sampling, repetition stats, and int8
+    quantization must compile to scan → project/filter with no
+    Exchange and no product join."""
+    for name in (
+        "doc_chunks",
+        "stratified_sample_docs",
+        "text_repetition_stats",
+        "embedding_quantize_int8",
+    ):
+        plan = _plan(spark, name)
+        assert "Exchange" not in plan, name
+        assert "CartesianProduct" not in plan, name
+        assert "NestedLoop" not in plan, name
