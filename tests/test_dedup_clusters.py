@@ -70,3 +70,43 @@ def test_cluster_sizes_and_representatives(spark):
     )
     got = {r["doc_id"]: r["cluster_id"] for r in base.collect()}
     assert got == {1: 1, 2: 1, 3: 3}
+
+
+def test_random_graphs_match_union_find(spark):
+    """Property check: the distributed fixpoint agrees with a plain
+    union-find on pseudo-random graphs (deterministic seeds)."""
+    import random
+
+    for seed in (7, 23, 99):
+        rng = random.Random(seed)
+        nodes = list(range(60))
+        edges = [
+            (rng.choice(nodes), rng.choice(nodes)) for _ in range(40)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        # reference: union-find with path compression
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        want = {}
+        touched = {n for e in edges for n in e}
+        for n in touched:
+            want[n] = find(n)
+        # min-id canonicalization: map each root to min member
+        comp_min = {}
+        for n in touched:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        want = {n: comp_min[find(n)] for n in touched}
+
+        got = _cc(spark, edges)
+        assert got == want, f"seed {seed}"
