@@ -33,12 +33,22 @@ def tokens(text: Column | str) -> Column:
 def shingles(tok: Column, k: int = 3) -> Column:
     """Consecutive k-token shingles as space-joined strings; empty array
     for docs shorter than k tokens (guards Spark's descending
-    ``sequence`` on negative lengths)."""
-    mk = F.transform(
-        F.sequence(F.lit(0), F.size(tok) - k),
-        lambda i: F.array_join(F.slice(tok, i + 1, k), " "),
-    )
-    return F.when(F.size(tok) >= k, mk).otherwise(F.array().cast("array<string>"))
+    ``sequence`` on negative lengths).
+
+    ``tok`` is bound to a lambda variable first (see :func:`bind_array`):
+    a captured expression would be re-evaluated per shingle, turning a
+    tokenize-once scan into O(n·tokenize)."""
+
+    def mk(t: Column) -> Column:
+        win = F.transform(
+            F.sequence(F.lit(0), F.size(t) - k),
+            lambda i: F.array_join(F.slice(t, i + 1, k), " "),
+        )
+        return F.when(F.size(t) >= k, win).otherwise(
+            F.array().cast("array<string>")
+        )
+
+    return bind_array(tok, mk)
 
 
 def minhash_value(seed: Column | int, shingle: Column) -> Column:
@@ -96,14 +106,65 @@ def token_chunks(tok: Column, size: int = 32) -> Column:
     its row lives, zero shuffle — so at 100 TB this is a map-only
     stage that pipelines into the downstream explode. The n > 0 guard
     keeps Spark's ``sequence`` from going descending on empty docs."""
-    n = F.size(tok)
-    nch = F.ceil(n / F.lit(float(size))).cast("int")
-    mk = F.transform(
-        F.sequence(F.lit(0), nch - 1),
-        lambda i: F.struct(
-            F.array_join(F.slice(tok, i * size + 1, size), " ").alias("chunk_text"),
-            F.size(F.slice(tok, i * size + 1, size)).cast("long").alias("n_tokens"),
+    def mk(t: Column) -> Column:
+        n = F.size(t)
+        nch = F.ceil(n / F.lit(float(size))).cast("int")
+        win = F.transform(
+            F.sequence(F.lit(0), nch - 1),
+            lambda i: F.struct(
+                F.array_join(F.slice(t, i * size + 1, size), " ").alias(
+                    "chunk_text"
+                ),
+                F.size(F.slice(t, i * size + 1, size))
+                .cast("long")
+                .alias("n_tokens"),
+            ),
+        )
+        empty = F.array().cast("array<struct<chunk_text:string,n_tokens:bigint>>")
+        return F.when(n > 0, win).otherwise(empty)
+
+    return bind_array(tok, mk)
+
+
+def bind_array(arr: Column, f) -> Column:
+    """Evaluate ``arr`` once and pass it to ``f`` as a lambda-bound
+    variable. Catalyst re-evaluates outer expressions captured inside
+    higher-order-function lambdas on every element access — an
+    O(build-cost) penalty per element that turns nested array ops
+    quadratic (a 205 s/5k-doc blowup in the repetition stats).
+    ``transform(array(arr), a -> f(a))[1]`` pins the computed value to
+    a lambda variable, restoring single evaluation."""
+    return F.element_at(F.transform(F.array(arr), f), 1)
+
+
+def max_multiplicity(sorted_arr: Column) -> Column:
+    """Highest element multiplicity of an already-sorted array via a
+    single linear scan (longest equal-adjacent run) — O(n) per row
+    instead of the O(n²) distinct×filter formulation. Pass a
+    lambda-bound sorted array (see :func:`bind_array`) so element_at
+    reads are O(1)."""
+    return F.aggregate(
+        F.sequence(F.lit(1), F.size(sorted_arr) - 1),
+        F.struct(F.lit(1).alias("best"), F.lit(1).alias("cur")),
+        lambda acc, i: F.when(
+            F.element_at(sorted_arr, i + 1) == F.element_at(sorted_arr, i),
+            F.struct(
+                F.greatest(acc["best"], acc["cur"] + 1).alias("best"),
+                (acc["cur"] + 1).alias("cur"),
+            ),
+        ).otherwise(F.struct(acc["best"].alias("best"), F.lit(1).alias("cur"))),
+        lambda acc: acc["best"],
+    )
+
+
+def top_fraction(arr: Column) -> Column:
+    """max element multiplicity / len — linear-scan form: bind the
+    array, sort once, scan once. Empty arrays → 0.0, singletons → 1.0."""
+    return bind_array(
+        arr,
+        lambda a: bind_array(
+            F.sort_array(a),
+            lambda sa: F.when(F.size(sa) > 1, max_multiplicity(sa) / F.size(sa))
+            .otherwise(F.least(F.size(sa), F.lit(1)).cast("double")),
         ),
     )
-    empty = F.array().cast("array<struct<chunk_text:string,n_tokens:bigint>>")
-    return F.when(n > 0, mk).otherwise(empty)

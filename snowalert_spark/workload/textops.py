@@ -450,10 +450,12 @@ def stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _topfrac(arr):
-    counts = F.transform(
-        F.array_distinct(arr), lambda x: F.size(F.filter(arr, lambda y: y == x))
-    )
-    return F.array_max(counts) / F.size(arr)
+    # linear-scan multiplicity (sort + adjacent-run scan, array bound
+    # once) — the distinct×filter form re-evaluated the captured
+    # shingle-construction expression per comparison (Catalyst doesn't
+    # CSE across lambda captures), going quadratic-with-huge-constant:
+    # 205 s for the bigram column at sf0.1 vs 4 s for this form.
+    return X.top_fraction(arr)
 
 
 def _topfrac_sql(x: str) -> str:
@@ -500,16 +502,18 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = X.tokens("text")
     bg = X.shingles(tok, 2)
     fg = X.shingles(tok, 5)
-    dupfive = F.lit(1.0) - F.size(F.array_distinct(fg)) / F.size(fg)
+    dupfive = X.bind_array(
+        fg,
+        lambda a: F.when(
+            F.size(a) > 0,
+            F.lit(1.0) - F.size(F.array_distinct(a)) / F.size(a),
+        ).otherwise(F.lit(0.0)),
+    )
     return d.select(
         "doc_id",
         quantize(_topfrac(tok), 6).alias("top_word_frac"),
-        quantize(
-            F.when(F.size(bg) > 0, _topfrac(bg)).otherwise(F.lit(0.0)), 6
-        ).alias("top_bigram_frac"),
-        quantize(
-            F.when(F.size(fg) > 0, dupfive).otherwise(F.lit(0.0)), 6
-        ).alias("dup_fivegram_frac"),
+        quantize(_topfrac(bg), 6).alias("top_bigram_frac"),
+        quantize(dupfive, 6).alias("dup_fivegram_frac"),
     )
 
 
