@@ -49,6 +49,51 @@ def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     )
 
 
+def decontaminate_ngram(
+    docs: DataFrame,
+    bench_pred,
+    k: int = 5,
+    frac_digits: int = 6,
+) -> DataFrame:
+    """Benchmark decontamination: for every non-benchmark document,
+    count distinct k-token shingles it shares with the benchmark set
+    (``bench_pred``: Column predicate selecting the held-out eval docs)
+    and flag any overlap as contamination.
+
+    Scale shape: the benchmark shingle set is tiny relative to the
+    corpus (an eval suite is MBs against 100 TB of training data), so
+    it is collected to a broadcast hash join — the corpus side streams
+    through a map-side semi-probe with no shuffle of the corpus
+    shingles; the only shuffle is the per-doc count aggregation, which
+    map-side combines.
+
+    Reference analog: none (training-pipeline extension); semantics
+    follow the n-gram-collision decontamination used by public LLM
+    training pipelines (e.g. GPT-3 appendix C / The Pile)."""
+    sh = doc_shingles(docs, k)
+    bench = sh.where(bench_pred).select("s").distinct()
+    corpus = sh.where(~bench_pred)
+    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    hits = (
+        corpus.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_benchmark_hits"))
+    )
+    return (
+        sizes.join(hits, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_shingles",
+            F.coalesce("n_benchmark_hits", F.lit(0)).alias("n_benchmark_hits"),
+        )
+        .withColumn(
+            "overlap_frac",
+            quantize(F.col("n_benchmark_hits") / F.col("n_shingles"), frac_digits),
+        )
+        .withColumn("contaminated", F.col("n_benchmark_hits") > 0)
+    )
+
+
 def ngram_jaccard_pairs(
     docs: DataFrame,
     threshold: float = 0.8,

@@ -126,6 +126,31 @@ def token_chunks(tok: Column, size: int = 32) -> Column:
     return bind_array(tok, mk)
 
 
+# PII scrubbing patterns — written in the common subset of Java regex
+# (Spark) and RE2 (DuckDB oracle) so both engines match identically.
+# Ordered: emails first (their local parts contain digits), then IPv4
+# (dotted digit runs), then bare digit runs; each stage counts and
+# scrubs on the previous stage's output so no span is double-counted.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "[EMAIL]"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "[IP]"),
+    ("number", r"\d+", "[NUM]"),
+)
+
+
+def pii_scrub(col: Column) -> tuple[Column, dict[str, Column]]:
+    """Sequential PII redaction: returns (scrubbed_column, counts) where
+    counts[name] is the number of spans each pattern matched at its
+    stage. Pure JVM regex expressions — a zero-shuffle map stage that
+    whole-stage-codegens, so scrubbing 100 TB is scan-bound."""
+    counts: dict[str, Column] = {}
+    cur = col
+    for name, pat, repl in PII_PATTERNS:
+        counts[name] = F.regexp_count(cur, F.lit(pat)).cast("long")
+        cur = F.regexp_replace(cur, pat, repl)
+    return cur, counts
+
+
 def bind_array(arr: Column, f) -> Column:
     """Evaluate ``arr`` once and pass it to ``f`` as a lambda-bound
     variable. Catalyst re-evaluates outer expressions captured inside

@@ -69,6 +69,8 @@ LOCAL_ONLY = {
     "text_repetition_stats",
     "embedding_quantize_int8",
     "doc_chunk_packing",
+    "decontaminate_ngram",
+    "pii_scrub_events",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -574,3 +574,89 @@ def doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_tokens",
         F.floor((F.col("cum_tokens") - F.col("n_tokens")) / 256).alias("bin_id"),
     )
+
+
+# 5-token shingles for decontamination (3-grams over this synthetic
+# vocabulary collide by chance; 5-grams only survive real text reuse)
+SH5_CTE = r"""
+sh5 AS (SELECT DISTINCT doc_id,
+               unnest(list_transform(range(0, len(w) - 4),
+                      i -> array_to_string(w[i+1:i+5], ' '))) AS s
+        FROM tok WHERE len(w) >= 5)
+"""
+
+
+@_q(
+    "decontaminate_ngram",
+    f"""
+    WITH {TOK_CTE}, {SH5_CTE},
+    bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 17 = 0),
+    corpus AS (SELECT * FROM sh5 WHERE doc_id % 17 <> 0),
+    sizes AS (SELECT doc_id, COUNT(*) AS n_shingles FROM corpus GROUP BY 1),
+    hits AS (SELECT c.doc_id, COUNT(*) AS n_benchmark_hits
+             FROM corpus c JOIN bench USING (s) GROUP BY 1)
+    SELECT z.doc_id, z.n_shingles,
+           COALESCE(h.n_benchmark_hits, 0) AS n_benchmark_hits,
+           {quantize_sql('COALESCE(h.n_benchmark_hits, 0) / z.n_shingles', 6)}
+               AS overlap_frac,
+           COALESCE(h.n_benchmark_hits, 0) > 0 AS contaminated
+    FROM sizes z LEFT JOIN hits h USING (doc_id)
+    """,
+)
+def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (training-pipeline op): held-out eval
+    docs = ``doc_id % 17 == 0``; every other doc is scored by how many
+    distinct 5-token shingles it shares with the eval set, and any
+    overlap flags it contaminated. The benchmark shingle set is
+    broadcast (an eval suite is MBs against 100 TB of corpus), so the
+    corpus side never shuffles its shingles — the only exchange is the
+    map-side-combined per-doc count.
+    """
+    d = table(spark, sf_dir, "documents")
+    return D.decontaminate_ngram(d, (F.col("doc_id") % 17) == 0, k=5)
+
+
+@_q(
+    "pii_scrub_events",
+    r"""
+    WITH s1 AS (
+        SELECT event_id, props,
+               len(regexp_extract_all(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               regexp_replace(props,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                   '[EMAIL]', 'g') AS p1
+        FROM events
+    ), s2 AS (
+        SELECT event_id, n_emails,
+               len(regexp_extract_all(p1,
+                   '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS n_ips,
+               regexp_replace(p1, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b',
+                              '[IP]', 'g') AS p2
+        FROM s1
+    )
+    SELECT event_id, n_emails, n_ips,
+           len(regexp_extract_all(p2, '\d+')) AS n_numbers,
+           regexp_replace(p2, '\d+', '[NUM]', 'g') AS props_scrubbed
+    FROM s2
+    """,
+)
+def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing / data masking over the events payload: redact
+    emails, IPv4 addresses, then residual digit runs (in that order —
+    each stage counts and scrubs the previous stage's output so spans
+    are never double-counted). Pure JVM regex column expressions in
+    one whole-stage-codegen'd map stage: zero shuffle, scan-bound at
+    100 TB. Patterns live in functions/text.py:PII_PATTERNS, written
+    in the Java-regex ∩ RE2 subset so the DuckDB oracle matches
+    span-for-span.
+    """
+    e = table(spark, sf_dir, "events")
+    scrubbed, counts = X.pii_scrub(F.col("props"))
+    return e.select(
+        "event_id",
+        counts["email"].alias("n_emails"),
+        counts["ip"].alias("n_ips"),
+        counts["number"].alias("n_numbers"),
+        scrubbed.alias("props_scrubbed"),
+    )
