@@ -157,6 +157,30 @@ class WatermarkBatch:
             self._save(row.m)
 
 
+def dedup_stream(
+    events: DataFrame,
+    key_cols: list[str],
+    time_col: str = "ts",
+    watermark: str = "10 minutes",
+    within_watermark: bool = True,
+) -> DataFrame:
+    """Streaming deduplication: drop repeat deliveries of the same
+    logical event (at-least-once sources — SQS/Kinesis redelivery, the
+    reference's re-scanned S3 window) keyed on ``key_cols``.
+
+    ``within_watermark=True`` uses ``dropDuplicatesWithinWatermark``:
+    state for a key is evictable once the watermark passes its event
+    time + delay, so state size is bounded by the watermark horizon —
+    the only form that survives an unbounded 100 TB stream. With
+    ``False`` it falls back to plain ``dropDuplicates`` (exact, but
+    state grows with distinct keys forever; only for bounded replays).
+    """
+    ev = events.withWatermark(time_col, watermark)
+    if within_watermark:
+        return ev.dropDuplicatesWithinWatermark(key_cols)
+    return ev.dropDuplicates(key_cols)
+
+
 def file_stream_ingest(
     spark: SparkSession,
     src_path: str,

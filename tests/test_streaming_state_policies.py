@@ -115,3 +115,42 @@ def test_ivf_recall_vs_bruteforce(spark):
         hits += len(set(neighbors) & top3_bf)
         total += 3
     assert hits / total >= 0.5, f"IVF recall@3 too low: {hits}/{total}"
+
+
+def test_dedup_stream_within_watermark(spark, tmp_path):
+    from snowalert_spark.streaming import dedup_stream
+
+    # two files simulate redelivery: event 10 appears in both, event 11
+    # twice in the same file; event 12 arrives once
+    rows_a = [
+        (10, "2024-01-01 00:00:00", "login"),
+        (11, "2024-01-01 00:01:00", "click"),
+        (11, "2024-01-01 00:01:00", "click"),
+    ]
+    rows_b = [
+        (10, "2024-01-01 00:00:00", "login"),
+        (12, "2024-01-01 00:05:00", "logout"),
+    ]
+    src = tmp_path / "dedup_src"
+    schema = "event_id long, ts string, event_type string"
+    for i, rows in enumerate([rows_a, rows_b]):
+        spark.createDataFrame(rows, schema).select(
+            "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+        ).write.parquet(str(src / f"f{i}"))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, event_type string"
+    ).option("recursiveFileLookup", "true").parquet(str(src))
+    out = dedup_stream(stream, ["event_id"], "ts", watermark="10 minutes")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("deduped_events")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.sql("SELECT event_id FROM deduped_events").collect()
+    assert sorted(r.event_id for r in got) == [10, 11, 12]
