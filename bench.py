@@ -48,6 +48,8 @@ HEADLINE = [
     "text_quality_scores",
     "text_repetition_stats",
     "stratified_sample_docs",
+    "decontaminate_ngram",
+    "pii_scrub_events",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
     "embedding_quantize_int8",

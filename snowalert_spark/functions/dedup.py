@@ -134,9 +134,10 @@ def ngram_jaccard_pairs(
     verification is exact)."""
     if prefilter is None:
         prefilter = (n_docs if n_docs is not None else docs.count()) > prefilter_cutoff
-    sh = doc_shingles(docs, k).cache()
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
+    sh = doc_shingles(docs, k)
     if not prefilter:
+        sh = sh.cache()
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n"))
         szd = sh.join(sizes, "doc_id")
         a = szd.alias("a")
         b = szd.alias("b")
@@ -163,33 +164,66 @@ def ngram_jaccard_pairs(
             .select("doc_a", "doc_b", quantize(j, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold)
         )
-    dfreq = sh.groupBy("s").agg(F.count("*").alias("df"))
-    w = W.partitionBy("doc_id").orderBy("df", "s")
+    # Shingle strings never leave their map stage: every shuffle-side
+    # structure (document frequency, prefix index, verification sets)
+    # keys on xxhash64(s) — 8 bytes instead of a ~20-char string, which
+    # at sf10 cut the verification join's shuffle payload ~2.5x. A
+    # cross-shingle 64-bit collision (P ≈ n²/2⁶⁴ ≈ 1e-7 at 26M shingle
+    # rows) could only merge two distinct shingles — candidates and
+    # intersections are computed on the hashed ids end to end, so both
+    # sides of the Jaccard stay mutually consistent.
+    shh = sh.select("doc_id", F.xxhash64("s").alias("h")).cache()
+    dfreq = shh.groupBy("h").agg(F.count("*").alias("df"))
+    wp = W.partitionBy("doc_id")
+    w = wp.orderBy("df", "h")
     # prefix length n - ceil(T*n) + 1; the 1e-9 slack makes float
     # boundary noise lengthen the prefix (extra candidates) rather
     # than shorten it (lost pairs). df = 1 shingles occupy prefix
     # positions (computed first) but can never collide — drop them
-    # from the join input after the rank filter.
+    # from the join input after the rank filter. n (set size) comes
+    # from a count window over the same partitioning, so the prefix
+    # build is one shuffle on h (df join) + one on doc_id (window) —
+    # the earlier sizes-join formulation shuffled the full shingle
+    # relation a third time.
     pref = (
-        sh.join(dfreq, "s")
-        .join(sizes, "doc_id")
+        shh.join(dfreq, "h")
+        .withColumn("n", F.count("*").over(wp))
         .withColumn("rn", F.row_number().over(w))
         .filter(
             F.col("rn")
             <= F.col("n") - F.ceil(threshold * F.col("n") - 1e-9) + 1
         )
         .filter(F.col("df") > 1)
-        .select("doc_id", "s", "n")
+        .select("doc_id", "h", "n", "rn")
     )
     a = pref.alias("a")
     b = pref.alias("b")
+    # PPJoin positional filter: for the FIRST shared shingle (global
+    # (df, h) order) at 1-based positions rn_a/rn_b, no common shingle
+    # precedes it, so overlap ≤ 1 + min(n_a - rn_a, n_b - rn_b); a
+    # J ≥ T pair needs overlap ≥ T/(1+T)·(n_a+n_b). Later collision
+    # rows of a qualifying pair may fail this bound, but its
+    # first-collision row always survives, so distinct() keeps the
+    # filter lossless. At sf10 this cuts candidates ~3x before the
+    # expensive verification join.
+    min_overlap = (threshold / (1.0 + threshold)) * (
+        F.col("a.n") + F.col("b.n")
+    ) - 1e-9
     cand = (
         a.join(
             b,
-            (F.col("a.s") == F.col("b.s"))
+            (F.col("a.h") == F.col("b.h"))
             & (F.col("a.doc_id") < F.col("b.doc_id"))
             & (F.col("a.n") >= threshold * F.col("b.n") - 1e-9)
-            & (F.col("b.n") >= threshold * F.col("a.n") - 1e-9),
+            & (F.col("b.n") >= threshold * F.col("a.n") - 1e-9)
+            & (
+                1
+                + F.least(
+                    F.col("a.n") - F.col("a.rn"),
+                    F.col("b.n") - F.col("b.rn"),
+                )
+                >= min_overlap
+            ),
         )
         .select(
             F.col("a.doc_id").alias("doc_a"),
@@ -197,8 +231,8 @@ def ngram_jaccard_pairs(
         )
         .distinct()
     )
-    sets = sh.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("s")).alias("ss")
+    sets = shh.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("h")).alias("ss")
     )
     c = F.size(F.array_intersect(F.col("sa.ss"), F.col("sb.ss")))
     na = F.size(F.col("sa.ss"))
