@@ -75,3 +75,23 @@ def test_curation_ops_are_map_only(spark):
         assert "Exchange" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "NestedLoop" not in plan, name
+
+
+def test_decontaminate_broadcasts_benchmark_shingles(spark):
+    """The eval-set shingle side must broadcast (it is tiny relative
+    to the corpus at scale); the corpus shingles must never feed a
+    product join."""
+    plan = _plan(spark, "decontaminate_ngram")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_pii_scrub_is_map_only(spark):
+    plan = _plan(spark, "pii_scrub_events")
+    assert "Exchange" not in plan
+    # "*(1)" is the WholeStageCodegen stage marker in executedPlan
+    # strings; the whole scrub must live in one codegen'd stage
+    assert "*(1) Project" in plan
+    # projection is pruned to the two consumed columns
+    assert "ReadSchema: struct<event_id:bigint,props:string>" in plan
