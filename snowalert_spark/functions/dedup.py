@@ -42,6 +42,44 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text")
     )
 
 
+def cross_snapshot_dedup(
+    batch: DataFrame,
+    base: DataFrame,
+    key: Column | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Incremental (cross-snapshot) dedup: keep the rows of ``batch``
+    whose content key does not appear anywhere in ``base`` (the
+    already-ingested corpus). This is the standard shape for
+    continuously-crawled training data — each new snapshot is deduped
+    against the union of all prior snapshots without re-deduping the
+    prior corpus itself. ``key`` is the content fingerprint (default:
+    md5 of the raw text); crawl pipelines typically pass a normalized
+    fingerprint (lowercased token prefix, stripped boilerplate) so
+    trivially-mutated recrawls still collide.
+
+    Scale shape: both sides reduce to 16-byte md5 keys at the scan
+    (strings never shuffle), the base side is a distinct-aggregated
+    key set (map-side combine), and survival is a hash-partitioned
+    LEFT ANTI join on the key. Neither side is assumed broadcastable
+    — at 100 TB the base key set is itself TBs; bucketing both
+    snapshots' key columns on ingest makes the anti join co-located
+    and shuffle-free on subsequent runs.
+
+    Reference analog: none (training-pipeline extension); semantics
+    follow incremental crawl dedup in public corpus pipelines
+    (e.g. CCNet / RefinedWeb snapshot-over-snapshot dedup).
+    """
+    if key is None:
+        key = F.md5(F.col(text_col))
+    bh = base.select(key.alias("text_hash")).distinct()
+    b = batch.select(F.col(id_col), F.col("source"), key.alias("text_hash"))
+    return b.join(bh, "text_hash", "left_anti").select(
+        id_col, "source", "text_hash"
+    )
+
+
 def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
     """(doc_id, shingle) distinct pairs — the inverted-index input."""
     return docs.select(

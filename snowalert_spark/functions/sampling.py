@@ -14,12 +14,21 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from snowalert_spark.functions.numeric import quantize
+
 
 def hash_bucket(col: Column, buckets: int = 100) -> Column:
     """Deterministic bucket in [0, buckets): first 8 hex chars of
     md5(value-as-string) taken mod ``buckets``. DuckDB oracle form:
     ``('0x' || substr(md5(CAST(x AS VARCHAR)), 1, 8))::UBIGINT % B``."""
     h = F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("long")
+    return F.pmod(h, F.lit(buckets))
+
+
+def hash_bucket_hex(hex_col: Column, buckets: int) -> Column:
+    """Same bucket arithmetic over an already-computed md5 hex string
+    (callers that also need the full digest compute it once)."""
+    h = F.conv(F.substring(hex_col, 1, 8), 16, 10).cast("long")
     return F.pmod(h, F.lit(buckets))
 
 
@@ -49,4 +58,50 @@ def stratified_sample(
         df.withColumn("bucket", hash_bucket(F.col(id_col), buckets))
         .withColumn("rate_pct", rate)
         .filter(F.col("bucket") < F.col("rate_pct"))
+    )
+
+
+def mixture_plan(
+    df: DataFrame,
+    strata_col: str,
+    weight: Column,
+) -> DataFrame:
+    """Corpus-mixture planning: given a per-stratum target *weight*
+    (a column expression over ``strata_col``), compute the
+    deterministic downsample rate each stratum needs so the sampled
+    corpus approaches the target mixture, never upsampling (rate is
+    capped at 100%).
+
+    Definitions per stratum ``s`` with count ``n_s`` and weight
+    ``w_s``: ``target_frac = w_s / Σw`` and
+    ``rate_pct = min(100, floor(100·target_frac·N / n_s))`` where
+    ``N = Σn``. The output is the *plan* (one row per stratum) —
+    feeding ``rate_pct`` into :func:`stratified_sample` applies it.
+
+    Scale shape: one map-side-combined count aggregation over the
+    corpus (the only shuffle, reducing 100 TB to #strata rows), then
+    the corpus-wide totals come from a single-row aggregate joined
+    back by broadcast — no global window over the data, so the plan
+    cost is the count scan regardless of corpus size.
+    """
+    counts = (
+        df.groupBy(strata_col)
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("weight", weight.cast("long"))
+    )
+    totals = counts.agg(
+        F.sum("weight").alias("_tw"), F.sum("n_docs").alias("_tn")
+    )
+    planned = counts.join(F.broadcast(totals))
+    rate = F.least(
+        F.lit(100),
+        F.floor(100.0 * F.col("weight") / F.col("_tw") * F.col("_tn") / F.col("n_docs")),
+    ).cast("long")
+    return planned.select(
+        strata_col,
+        F.col("n_docs"),
+        F.col("weight"),
+        quantize(F.col("weight") / F.col("_tw"), 6).alias("target_frac"),
+        rate.alias("rate_pct"),
+        F.floor(F.col("n_docs") * rate / 100.0).cast("long").alias("planned_docs"),
     )

@@ -71,6 +71,13 @@ LOCAL_ONLY = {
     "doc_chunk_packing",
     "decontaminate_ngram",
     "pii_scrub_events",
+    # Round-7 session-2 curation additions (mixture planning,
+    # deterministic shuffle sharding, incremental snapshot dedup,
+    # composite quality gate) — same local DuckDB oracle coverage.
+    "corpus_mixture_plan",
+    "corpus_shuffle_shards",
+    "dedup_cross_snapshot",
+    "curation_filter_pipeline",
 }
 
 DRIVER_QUERY_CAP = 50

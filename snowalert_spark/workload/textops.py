@@ -660,3 +660,197 @@ def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         counts["number"].alias("n_numbers"),
         scrubbed.alias("props_scrubbed"),
     )
+
+
+# Corpus-mixture target: weight 4 for the five "priority" sources,
+# weight 1 elsewhere (a stand-in for the per-source quality weights a
+# real mixture config carries).
+_MIX_PRIORITY = ("src0", "src1", "src2", "src3", "src4")
+
+
+@_q(
+    "corpus_mixture_plan",
+    f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(CASE WHEN source IN {_MIX_PRIORITY} THEN 4 ELSE 1 END
+                    AS BIGINT) AS weight
+        FROM documents GROUP BY 1
+    ),
+    tot AS (SELECT SUM(weight) AS tw, SUM(n_docs) AS tn FROM counts)
+    SELECT source, n_docs, weight,
+           {quantize_sql('weight / tw', 6)} AS target_frac,
+           CAST(LEAST(100, FLOOR(100.0 * weight / tw * tn / n_docs))
+                AS BIGINT) AS rate_pct,
+           CAST(FLOOR(n_docs * LEAST(100, FLOOR(100.0 * weight / tw * tn / n_docs))
+                      / 100.0) AS BIGINT) AS planned_docs
+    FROM counts, tot
+    """,
+)
+def corpus_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture planning (training-pipeline op): given per-source
+    target weights, derive the deterministic downsample rate each
+    source needs so the sampled corpus approaches the target mixture
+    (never upsampling — rates cap at 100%). The plan feeds
+    ``stratified_sample`` to apply. One count aggregation over the
+    corpus is the only shuffle; corpus-wide totals are a single-row
+    broadcast join, so the plan costs one scan at any corpus size
+    (functions/sampling.py:mixture_plan).
+    """
+    d = table(spark, sf_dir, "documents")
+    w = F.when(F.col("source").isin(*_MIX_PRIORITY), 4).otherwise(1)
+    return SMP.mixture_plan(d, "source", w)
+
+
+@_q(
+    "corpus_shuffle_shards",
+    """
+    WITH h AS (
+        SELECT doc_id, md5('shuf42:' || CAST(doc_id AS VARCHAR)) AS hx
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(('0x' || substr(hx, 1, 8))::UBIGINT % 8 AS BIGINT) AS shard_id,
+           CAST(ROW_NUMBER() OVER (
+                PARTITION BY ('0x' || substr(hx, 1, 8))::UBIGINT % 8
+                ORDER BY hx, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global shuffle for training-order assignment:
+    every doc gets a shard and an intra-shard position from a seeded
+    content-independent hash (md5 of 'shuf42:'||doc_id). Epoch
+    reshuffles change the seed string only. The plan is ONE hash
+    shuffle on shard_id followed by a per-shard local sort — never a
+    global ORDER BY: at 100 TB you raise the shard count so each
+    shard sorts in memory, and the (shard_id, pos) pair is a total
+    order that is identical on any cluster layout or rerun.
+    """
+    d = table(spark, sf_dir, "documents")
+    hx = F.md5(F.concat(F.lit("shuf42:"), F.col("doc_id").cast("string")))
+    h = d.select("doc_id", hx.alias("hx")).withColumn(
+        "shard_id", SMP.hash_bucket_hex(F.col("hx"), 8)
+    )
+    win = W.partitionBy("shard_id").orderBy("hx", "doc_id")
+    return h.select(
+        "doc_id",
+        "shard_id",
+        F.row_number().over(win).cast("long").alias("pos"),
+    )
+
+
+# snapshot split for the incremental dedup: src0..src9 are the
+# already-ingested corpus, src10..src19 the newly-crawled batch
+_BASE_SOURCES = tuple(f"src{i}" for i in range(10))
+
+
+@_q(
+    "dedup_cross_snapshot",
+    rf"""
+    WITH pk AS (
+        SELECT doc_id, source,
+               md5(array_to_string(
+                   string_split_regex(lower(text), '\s+')[1:6], ' '))
+                   AS text_hash
+        FROM documents
+    ),
+    base AS (SELECT DISTINCT text_hash FROM pk
+             WHERE source IN {_BASE_SOURCES}),
+    batch AS (SELECT doc_id, source, text_hash FROM pk
+              WHERE source NOT IN {_BASE_SOURCES})
+    SELECT b.doc_id, b.source, b.text_hash
+    FROM batch b WHERE NOT EXISTS (
+        SELECT 1 FROM base WHERE base.text_hash = b.text_hash
+    )
+    """,
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental snapshot-over-snapshot dedup: the new crawl batch
+    (src10..src19) survives only where its content fingerprint — md5
+    of the lowercased 6-token prefix, the normalization that catches
+    trivially-mutated recrawls — is absent from the already-ingested
+    corpus (src0..src9). The continuous-crawl shape: each snapshot
+    dedupes against all prior ones without touching them.
+    Hash-partitioned LEFT ANTI join on 16-byte keys; see
+    functions/dedup.py:cross_snapshot_dedup for the 100 TB design
+    (keys computed at the scan, bucketed co-location on rerun).
+    """
+    d = table(spark, sf_dir, "documents")
+    key = F.md5(F.array_join(F.slice(X.tokens("text"), 1, 6), " "))
+    in_base = F.col("source").isin(*_BASE_SOURCES)
+    return D.cross_snapshot_dedup(d.where(~in_base), d.where(in_base), key=key)
+
+
+# composite curation gate thresholds + fixed rule order (first failing
+# rule names the rejection)
+_GATE_LANGS = ("en", "de", "fr", "es")
+
+
+@_q(
+    "curation_filter_pipeline",
+    f"""
+    WITH {TOK_CTE},
+    sig AS (
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               {quantize_sql(
+                   f'CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),'
+                   f' n_chars / CAST(500.0 AS DOUBLE))'
+                   f' + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)'
+                   f' - len(list_filter(w, t -> t IN {X.STOPWORDS})) / len(w))'
+                   f' + CAST(0.3 AS DOUBLE) * (len(list_distinct(w)) / len(w))',
+                   4,
+               )} AS quality,
+               {quantize_sql(_topfrac_sql('w'), 6)} AS top_word_frac
+        FROM tok
+    )
+    SELECT doc_id, n_tokens, quality, top_word_frac,
+           CASE WHEN n_tokens < 12 THEN 'too_short'
+                WHEN quality < 0.55 THEN 'low_quality'
+                WHEN top_word_frac > 0.2 THEN 'repetitive'
+                WHEN lang NOT IN {_GATE_LANGS} THEN 'lang_excluded'
+                END AS reject_reason,
+           CASE WHEN n_tokens < 12 THEN FALSE
+                WHEN quality < 0.55 THEN FALSE
+                WHEN top_word_frac > 0.2 THEN FALSE
+                WHEN lang NOT IN {_GATE_LANGS} THEN FALSE
+                ELSE TRUE END AS keep
+    FROM sig
+    """,
+)
+def curation_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass composite curation gate: every quality signal (token
+    count, composite quality score, repetition, language allowlist)
+    is computed in a single projection and the doc is kept iff every
+    rule passes, with the FIRST failing rule recorded as the
+    auditable rejection reason — the standard filter-funnel shape of
+    public corpus pipelines (C4/Gopher-style rules). Zero shuffle:
+    all signals are array column expressions over one scan, so at
+    100 TB the gate pipelines into whatever sink consumes the keeps,
+    and the reason column makes per-rule loss rates a trivial
+    follow-up aggregation.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = X.tokens("text")
+    sig = d.select(
+        "doc_id",
+        "lang",
+        F.size(tok).cast("long").alias("n_tokens"),
+        X.quality_score(F.col("n_chars"), tok).alias("quality"),
+        quantize(_topfrac(tok), 6).alias("top_word_frac"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 12, "too_short")
+        .when(F.col("quality") < 0.55, "low_quality")
+        .when(F.col("top_word_frac") > 0.2, "repetitive")
+        .when(~F.col("lang").isin(*_GATE_LANGS), "lang_excluded")
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "top_word_frac",
+        reason.alias("reject_reason"),
+        reason.isNull().alias("keep"),
+    )

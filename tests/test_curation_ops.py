@@ -138,3 +138,150 @@ def test_chunk_packing_rolls_into_next_bin(spark):
     bins = [r["bin_id"] for r in out.orderBy("chunk_id").collect()]
     # prefix sums 0,100,200,300,400 → bins 0,0,0,1,1
     assert bins == [0, 0, 0, 1, 1]
+
+
+def test_mixture_plan_hand_values(spark):
+    # 30 'a' docs, 10 'b' docs; weights a=1, b=3 => total_w=4, N=40.
+    # a: rate = min(100, floor(100*(1/4)*40/30)) = 33, planned 9
+    # b: rate = min(100, floor(100*(3/4)*40/10)) = 100 (capped), planned 10
+    df = spark.createDataFrame(
+        [(i, "a" if i < 30 else "b") for i in range(40)],
+        "doc_id long, source string",
+    )
+    w = F.when(F.col("source") == "b", 3).otherwise(1)
+    rows = {r["source"]: r for r in SMP.mixture_plan(df, "source", w).collect()}
+    assert rows["a"]["n_docs"] == 30 and rows["a"]["rate_pct"] == 33
+    assert rows["a"]["planned_docs"] == 9
+    assert rows["b"]["rate_pct"] == 100 and rows["b"]["planned_docs"] == 10
+    assert abs(rows["b"]["target_frac"] - 0.75) < 1e-9
+
+
+def test_mixture_plan_feeds_stratified_sample(spark):
+    """The plan's rate_pct column drives stratified_sample directly:
+    the sampled mixture moves toward the target weights."""
+    df = spark.createDataFrame(
+        [(i, "a" if i < 300 else "b") for i in range(400)],
+        "doc_id long, source string",
+    )
+    w = F.when(F.col("source") == "b", 3).otherwise(1)
+    plan = {
+        r["source"]: r["rate_pct"]
+        for r in SMP.mixture_plan(df, "source", w).collect()
+    }
+    s = SMP.stratified_sample(df, "source", plan, "doc_id")
+    kept = {
+        r["source"]: r["n"]
+        for r in s.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    # 'b' keeps everything (capped at 100), 'a' roughly a third
+    assert kept["b"] == 100
+    assert 60 < kept["a"] < 140
+
+
+def test_shuffle_shards_deterministic_total_order(spark):
+    from snowalert_spark.workload.textops import corpus_shuffle_shards
+
+    a = corpus_shuffle_shards(spark, "/root/testdata/sf0.001").collect()
+    b = corpus_shuffle_shards(spark, "/root/testdata/sf0.001").collect()
+    ka = sorted((r["shard_id"], r["pos"], r["doc_id"]) for r in a)
+    kb = sorted((r["shard_id"], r["pos"], r["doc_id"]) for r in b)
+    assert ka == kb, "epoch order must be rerun-stable"
+    # (shard, pos) is a dense total order: positions are 1..n per shard
+    per_shard: dict[int, list[int]] = {}
+    for s, p, _ in ka:
+        per_shard.setdefault(s, []).append(p)
+    for s, ps in per_shard.items():
+        assert ps == list(range(1, len(ps) + 1)), s
+    # and every doc appears exactly once
+    assert len({d for _, _, d in ka}) == len(ka)
+
+
+def test_cross_snapshot_dedup_drops_known_dup(spark):
+    from snowalert_spark.functions.dedup import cross_snapshot_dedup
+
+    base = spark.createDataFrame(
+        [(1, "s1", "seen text"), (2, "s1", "other text")],
+        "doc_id long, source string, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "s2", "seen text"), (11, "s2", "fresh text")],
+        "doc_id long, source string, text string",
+    )
+    out = cross_snapshot_dedup(batch, base)
+    assert [r["doc_id"] for r in out.collect()] == [11]
+
+
+def test_curation_filter_first_fail_reason(spark):
+    """Rule order is fixed: a doc failing several rules reports the
+    FIRST one (too_short before low_quality before repetitive before
+    lang_excluded)."""
+    from snowalert_spark.workload.textops import _GATE_LANGS  # noqa: F401
+
+    docs = spark.createDataFrame(
+        [
+            # 3 tokens AND zh lang: reason must be too_short
+            (1, "x y z", "zh", "s", 5),
+            # long, decent quality, zh: lang_excluded
+            (
+                2,
+                " ".join(f"w{i}" for i in range(40)),
+                "zh",
+                "s",
+                400,
+            ),
+            # long, repetitive ('a' * 40): too uniform -> repetitive
+            # (quality low too: low_quality fires first)
+            (3, " ".join(["a"] * 40), "en", "s", 80),
+            # long unique en doc: keep
+            (
+                4,
+                " ".join(f"tok{i}" for i in range(40)),
+                "en",
+                "s",
+                500,
+            ),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    docs.createOrReplaceTempView("documents_gate_test")
+    import snowalert_spark.workload.textops as T
+
+    tok = X.tokens("text")
+    sig = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tok).cast("long").alias("n_tokens"),
+        X.quality_score(F.col("n_chars"), tok).alias("quality"),
+        T.quantize(T._topfrac(tok), 6).alias("top_word_frac"),
+    )
+    reason = (
+        F.when(F.col("n_tokens") < 12, "too_short")
+        .when(F.col("quality") < 0.55, "low_quality")
+        .when(F.col("top_word_frac") > 0.2, "repetitive")
+        .when(~F.col("lang").isin(*T._GATE_LANGS), "lang_excluded")
+    )
+    got = {
+        r["doc_id"]: (r["reject_reason"], r["keep"])
+        for r in sig.select(
+            "doc_id", reason.alias("reject_reason"), reason.isNull().alias("keep")
+        ).collect()
+    }
+    assert got[1] == ("too_short", False)
+    assert got[2] == ("lang_excluded", False)
+    assert got[3] == ("low_quality", False)
+    assert got[4] == (None, True)
+
+
+def test_curation_filter_every_rule_fires_at_gate_sf(spark):
+    """At the driver's gate SF the thresholds are set so each signal
+    path is actually exercised (a gate whose rules never fire tests
+    nothing)."""
+    from snowalert_spark.workload.textops import curation_filter_pipeline
+
+    df = curation_filter_pipeline(spark, "/root/testdata/sf0.01")
+    reasons = {
+        r["reject_reason"]
+        for r in df.select("reject_reason").distinct().collect()
+    }
+    assert None in reasons, "some docs must survive"
+    assert {"too_short", "low_quality", "repetitive", "lang_excluded"} <= reasons

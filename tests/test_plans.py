@@ -95,3 +95,43 @@ def test_pii_scrub_is_map_only(spark):
     assert "*(1) Project" in plan
     # projection is pruned to the two consumed columns
     assert "ReadSchema: struct<event_id:bigint,props:string>" in plan
+
+
+def test_mixture_plan_single_corpus_shuffle(spark):
+    """corpus_mixture_plan: one Exchange for the per-source count
+    aggregation; the corpus-wide totals join back by broadcast (a
+    1-row side), never a second corpus shuffle or a global window."""
+    plan = _plan(spark, "corpus_mixture_plan")
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "Window" not in plan
+
+
+def test_shuffle_shards_no_global_sort(spark):
+    """corpus_shuffle_shards: exactly one hash Exchange on shard_id
+    and a per-shard local sort — a global ORDER BY (rangepartitioning
+    exchange) would serialize the corpus through one task chain."""
+    plan = _plan(spark, "corpus_shuffle_shards")
+    assert "hashpartitioning(shard_id" in plan
+    assert "rangepartitioning" not in plan
+
+
+def test_cross_snapshot_dedup_is_anti_join_on_hash(spark):
+    """dedup_cross_snapshot: survival is a LeftAnti hash join on the
+    md5 fingerprint; text never shuffles (ReadSchema carries text but
+    the exchanged keys are the 16-byte hashes)."""
+    plan = _plan(spark, "dedup_cross_snapshot")
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_curation_filter_pipeline_map_only(spark):
+    """The composite gate is one scan → projection: no Exchange, no
+    join. (The signal projection uses higher-order array functions,
+    which Spark never whole-stage-codegens — so pin the stage shape,
+    not a codegen marker.)"""
+    plan = _plan(spark, "curation_filter_pipeline")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1
