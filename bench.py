@@ -48,6 +48,10 @@ HEADLINE = [
     "text_quality_scores",
     "text_repetition_stats",
     "stratified_sample_docs",
+    "corpus_mixture_plan",
+    "corpus_shuffle_shards",
+    "dedup_cross_snapshot",
+    "curation_filter_pipeline",
     "decontaminate_ngram",
     "pii_scrub_events",
     "cosine_topk_bruteforce",

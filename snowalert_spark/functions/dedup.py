@@ -483,13 +483,21 @@ def connected_components(
             .groupBy("node")
             .agg(F.min("label").alias("new_label"))
         )
+        # checkpoint FIRST, then probe the materialized result: the
+        # delta join then reads two in-memory tables instead of
+        # re-executing the round's propagation plan a second time
+        # (the probe-then-checkpoint order ran every round twice)
+        new_labels = new.select(
+            "node", F.col("new_label").alias("label")
+        ).localCheckpoint()
         delta = (
-            new.join(labels, "node")
+            new_labels.withColumnRenamed("label", "new_label")
+            .join(labels, "node")
             .filter(F.col("new_label") != F.col("label"))
             .limit(1)
             .count()
         )
-        labels = new.select("node", F.col("new_label").alias("label")).localCheckpoint()
+        labels = new_labels
         if delta == 0:
             break
     else:
