@@ -63,21 +63,41 @@ LOCAL_ONLY = {
     # by the local oracle replica (tests/test_oracle.py with
     # include_local=True) against the same DuckDB harness the driver
     # uses.
-    "dedup_clusters",
     "doc_chunks",
     "stratified_sample_docs",
     "text_repetition_stats",
     "embedding_quantize_int8",
     "doc_chunk_packing",
-    "decontaminate_ngram",
-    "pii_scrub_events",
     # Round-7 session-2 curation additions (mixture planning,
-    # deterministic shuffle sharding, incremental snapshot dedup,
-    # composite quality gate) — same local DuckDB oracle coverage.
+    # deterministic shuffle sharding) — same local DuckDB oracle
+    # coverage.
     "corpus_mixture_plan",
     "corpus_shuffle_shards",
-    "dedup_cross_snapshot",
-    "curation_filter_pipeline",
+    # Round-7 gate rotation: dedup_clusters, decontaminate_ngram,
+    # pii_scrub_events, dedup_cross_snapshot and
+    # curation_filter_pipeline are promoted into the declared gate so
+    # the driver's CORRECTNESS file covers the newest operator
+    # families (cluster assignment, decontamination, PII masking,
+    # incremental dedup, the composite quality gate). The five rows
+    # demoted to make room are each fully subsumed by declared
+    # siblings and keep their local oracle + plan pins:
+    # q5_supplier_volume_by_nation ⊂ q3_shipping_priority +
+    # join_revenue_by_nation (same multi-join broadcast-agg shape),
+    "q5_supplier_volume_by_nation",
+    # group_by_ordinals_sql ⊂ group_having_active_users (same A8
+    # ordinal/HAVING rewrite path, pack corpus exercises it verbatim),
+    "group_by_ordinals_sql",
+    # approx_aggregates ⊂ percentiles_by_type (same A10/A11
+    # approx-percentile collapse, one declared row suffices),
+    "approx_aggregates",
+    # zerofill_customers_per_nation ⊂ full_outer_nation_presence
+    # (J4's right-outer zero-fill is one side of the declared J5 full
+    # outer) + the baselines' A12 zero-fill composite tests,
+    "zerofill_customers_per_nation",
+    # dedup_embedding_cosine ⊂ dedup_embedding_ivf/rplsh (declared
+    # scale tiers verify candidates against the same exact-cosine
+    # predicate; the guarded all-pairs baseline stays pytest-pinned).
+    "dedup_embedding_cosine",
 }
 
 DRIVER_QUERY_CAP = 50
