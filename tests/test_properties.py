@@ -106,3 +106,44 @@ def test_upsert_matches_dict_model(spark, tmp_path_factory, ops):
     assert sorted(r.id for r in rows) == sorted(model.keys()), (
         "one row per distinct key regardless of upsert order/multiplicity"
     )
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 500), st.integers(1, 10)),
+        min_size=1,
+        max_size=6,
+    )
+)
+def test_mixture_plan_invariants(spark, strata):
+    """For any stratum sizes and weights: target fractions sum to 1,
+    rates stay in [0, 100], planned docs never exceed the stratum, and
+    a stratum with the max weight-to-size ratio is never downsampled
+    below its proportional entitlement."""
+    from snowalert_spark.functions.sampling import mixture_plan
+
+    rows = [
+        (f"s{i}_{j}", i)
+        for i, (n, _w) in enumerate(strata)
+        for j in range(n)
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    wmap = {str(i): w for i, (_n, w) in enumerate(strata)}
+    wcol = F.element_at(
+        F.create_map(*[F.lit(x) for kv in wmap.items() for x in kv]),
+        F.col("source"),
+    ).cast("long")
+    out = mixture_plan(df, "source", wcol).collect()
+    assert len(out) == len(strata)
+    assert abs(sum(r["target_frac"] for r in out) - 1.0) < 1e-4
+    for r in out:
+        assert 0 <= r["rate_pct"] <= 100
+        assert 0 <= r["planned_docs"] <= r["n_docs"]
+    # the most over-entitled stratum (highest weight per doc) always
+    # keeps everything: its fair share exceeds its size
+    best = max(out, key=lambda r: r["weight"] / r["n_docs"])
+    total_w = sum(r["weight"] for r in out)
+    total_n = sum(r["n_docs"] for r in out)
+    if best["weight"] / total_w * total_n >= best["n_docs"]:
+        assert best["rate_pct"] == 100
