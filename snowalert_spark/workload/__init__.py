@@ -73,6 +73,7 @@ LOCAL_ONLY = {
     # coverage.
     "corpus_mixture_plan",
     "corpus_shuffle_shards",
+    "curation_funnel_stats",
     # Round-7 gate rotation: dedup_clusters, decontaminate_ngram,
     # pii_scrub_events, dedup_cross_snapshot and
     # curation_filter_pipeline are promoted into the declared gate so

@@ -854,3 +854,70 @@ def curation_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         reason.alias("reject_reason"),
         reason.isNull().alias("keep"),
     )
+
+
+@_q(
+    "curation_funnel_stats",
+    f"""
+    WITH {TOK_CTE},
+    sig AS (
+        SELECT t.doc_id, t.lang, d.source,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               {quantize_sql(
+                   f'CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),'
+                   f' t.n_chars / CAST(500.0 AS DOUBLE))'
+                   f' + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)'
+                   f' - len(list_filter(w, x -> x IN {X.STOPWORDS})) / len(w))'
+                   f' + CAST(0.3 AS DOUBLE) * (len(list_distinct(w)) / len(w))',
+                   4,
+               )} AS quality,
+               {quantize_sql(_topfrac_sql('w'), 6)} AS top_word_frac
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+    ),
+    gated AS (
+        SELECT source,
+               COALESCE(CASE WHEN n_tokens < 12 THEN 'too_short'
+                    WHEN quality < 0.55 THEN 'low_quality'
+                    WHEN top_word_frac > 0.2 THEN 'repetitive'
+                    WHEN lang NOT IN {_GATE_LANGS} THEN 'lang_excluded'
+                    END, 'kept') AS outcome,
+               n_tokens
+        FROM sig
+    )
+    SELECT source, outcome, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM gated GROUP BY 1, 2
+    """,
+)
+def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation loss accounting: docs and tokens kept/rejected per
+    source per rule — the audit table a data team watches to catch a
+    source suddenly losing its corpus to one rule. One
+    map-side-combined aggregation over the gate's map-only signal
+    projection: the whole funnel is a single shuffle of
+    #sources × #rules partial rows regardless of corpus size.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = X.tokens("text")
+    sig = d.select(
+        "source",
+        "lang",
+        F.size(tok).cast("long").alias("n_tokens"),
+        X.quality_score(F.col("n_chars"), tok).alias("quality"),
+        quantize(_topfrac(tok), 6).alias("top_word_frac"),
+    )
+    outcome = F.coalesce(
+        F.when(F.col("n_tokens") < 12, "too_short")
+        .when(F.col("quality") < 0.55, "low_quality")
+        .when(F.col("top_word_frac") > 0.2, "repetitive")
+        .when(~F.col("lang").isin(*_GATE_LANGS), "lang_excluded"),
+        F.lit("kept"),
+    )
+    return (
+        sig.select("source", outcome.alias("outcome"), "n_tokens")
+        .groupBy("source", "outcome")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+        )
+    )
