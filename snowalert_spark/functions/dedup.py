@@ -395,6 +395,74 @@ def minhash_lsh_pairs(
     )
 
 
+def cross_snapshot_minhash(
+    batch: DataFrame,
+    base: DataFrame,
+    threshold: float = 0.8,
+    n_hashes: int = 24,
+    rows_per_band: int = 4,
+    k: int = 3,
+) -> DataFrame:
+    """Incremental NEAR-dup across snapshots: for every doc in the new
+    ``batch``, find the ``base``-corpus docs it is a near-duplicate of
+    (exact shingle-Jaccard ≥ threshold), using MinHash band collisions
+    for candidate generation so neither side is ever all-paired.
+    Output: (doc_id [batch], dup_of [base], jaccard).
+
+    The companion to :func:`cross_snapshot_dedup` (exact keys): a
+    crawl pipeline runs the exact pass first, then this pass catches
+    boilerplate-mutated recrawls. Scale shape mirrors
+    :func:`minhash_lsh_pairs` — signatures are per-side one-shuffle
+    aggregations, candidates come from an equi-join on
+    (band, band_hash) which at 100 TB is hash-partitioned with the
+    base side's buckets reusable across snapshots (compute once,
+    store), and only candidates are exact-verified. Probability
+    calibration is identical (24 hashes / 6 bands of 4: ≈96% recall
+    at j=0.8, ≈0.3% background collision).
+    """
+    shb = doc_shingles(batch, k).cache()
+    shB = doc_shingles(base, k).cache()
+
+    def _buckets(sh):
+        sigs = (
+            sh.select("doc_id", base_hash32(F.col("s")).alias("h"))
+            .groupBy("doc_id")
+            .agg(*_signature_aggs(n_hashes))
+        )
+        return minhash_band_buckets(sigs, n_hashes, rows_per_band)
+
+    a = _buckets(shb).alias("a")
+    b = _buckets(shB).alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .select(F.col("a.doc_id").alias("doc_id"), F.col("b.doc_id").alias("dup_of"))
+        .distinct()
+    )
+    na_ = shb.groupBy("doc_id").agg(F.count("*").alias("na"))
+    nb_ = shB.groupBy("doc_id").agg(F.count("*").alias("nb")).withColumnRenamed(
+        "doc_id", "dup_of"
+    )
+    ia = shb.select(F.col("doc_id"), F.col("s").alias("sa"))
+    ib = shB.select(F.col("doc_id").alias("dup_of2"), F.col("s").alias("sb"))
+    common = (
+        cands.join(ia, "doc_id")
+        .join(ib, (F.col("dup_of") == F.col("dup_of2")) & (F.col("sa") == F.col("sb")))
+        .groupBy("doc_id", "dup_of")
+        .agg(F.count("*").alias("c"))
+    )
+    j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+    return (
+        common.join(na_, "doc_id")
+        .join(nb_, "dup_of")
+        .select("doc_id", "dup_of", quantize(j, 6).alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
 def simhash_fingerprints(docs: DataFrame, bits: int = 32, k: int = 3) -> DataFrame:
     """32-bit SimHash per doc from shingle md5s: bit b of the
     fingerprint is the sign of Σ_shingles (2·bit_b(md5) − 1).

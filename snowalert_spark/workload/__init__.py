@@ -74,6 +74,8 @@ LOCAL_ONLY = {
     "corpus_mixture_plan",
     "corpus_shuffle_shards",
     "curation_funnel_stats",
+    "dedup_cross_snapshot_minhash",
+    "quality_percentile_filter",
     # Round-7 gate rotation: dedup_clusters, decontaminate_ngram,
     # pii_scrub_events, dedup_cross_snapshot and
     # curation_filter_pipeline are promoted into the declared gate so

@@ -921,3 +921,105 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").alias("n_tokens"),
         )
     )
+
+
+@_q(
+    "dedup_cross_snapshot_minhash",
+    f"""
+    WITH {TOK_CTE}, {SH_CTE}, {SIZES_CTE},
+    {_minhash_oracle_ctes()},
+    cands AS (
+        SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS dup_of
+        FROM bands a
+        JOIN documents da ON da.doc_id = a.doc_id
+                         AND da.source NOT IN {_BASE_SOURCES}
+        JOIN bands b ON a.band = b.band AND a.band_hash = b.band_hash
+        JOIN documents db ON db.doc_id = b.doc_id
+                         AND db.source IN {_BASE_SOURCES}
+    ),
+    common AS (
+        SELECT cands.doc_id AS doc_id, cands.dup_of AS dup_of,
+               COUNT(*) AS c
+        FROM cands
+        JOIN sh sa ON sa.doc_id = cands.doc_id
+        JOIN sh sb ON sb.doc_id = cands.dup_of AND sa.s = sb.s
+        GROUP BY cands.doc_id, cands.dup_of
+    )
+    SELECT common.doc_id AS doc_id, common.dup_of AS dup_of,
+           {quantize_sql('c / (sa.n + sb.n - c)', 6)} AS jaccard
+    FROM common
+    JOIN sizes sa ON sa.doc_id = common.doc_id
+    JOIN sizes sb ON sb.doc_id = common.dup_of
+    WHERE {quantize_sql('c / (sa.n + sb.n - c)', 6)} >= 0.8
+    """,
+)
+def dedup_cross_snapshot_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental NEAR-dup across snapshots: the new crawl batch
+    (src10..src19) against the ingested corpus (src0..src9) through
+    MinHash band-collision candidates + exact Jaccard verification —
+    the pass that catches boilerplate-mutated recrawls the exact-key
+    pass (dedup_cross_snapshot) misses. See
+    functions/dedup.py:cross_snapshot_minhash for the 100 TB shape
+    (base-side buckets computed once per snapshot and reused).
+    """
+    d = table(spark, sf_dir, "documents")
+    in_base = F.col("source").isin(*_BASE_SOURCES)
+    return D.cross_snapshot_minhash(
+        d.where(~in_base), d.where(in_base), threshold=0.8
+    )
+
+
+@_q(
+    "quality_percentile_filter",
+    f"""
+    WITH {TOK_CTE},
+    sig AS (
+        SELECT t.doc_id, d.source,
+               {quantize_sql(
+                   f'CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),'
+                   f' t.n_chars / CAST(500.0 AS DOUBLE))'
+                   f' + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)'
+                   f' - len(list_filter(w, x -> x IN {X.STOPWORDS})) / len(w))'
+                   f' + CAST(0.3 AS DOUBLE) * (len(list_distinct(w)) / len(w))',
+                   4,
+               )} AS quality
+        FROM tok t JOIN documents d ON d.doc_id = t.doc_id
+    )
+    SELECT doc_id, source, quality,
+           {quantize_sql(
+               'PERCENT_RANK() OVER (PARTITION BY source '
+               'ORDER BY quality, doc_id)', 6)} AS q_rank,
+           {quantize_sql(
+               'PERCENT_RANK() OVER (PARTITION BY source '
+               'ORDER BY quality, doc_id)', 6)} >= 0.2 AS kept
+    FROM sig
+    """,
+)
+def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative quality gating: drop each source's bottom 20% by
+    composite quality score (absolute thresholds rot as sources
+    drift; relative cuts are what production corpus pipelines ship).
+    Deterministic tiebreak on doc_id makes the percentile
+    reproducible. The window partitions by source — the shuffle is on
+    the source key and each source ranks independently, so the plan
+    scales with the largest single source, not the corpus; for a
+    pathologically dominant source the documented escalation is an
+    approx-quantile threshold (computed once, broadcast) instead of
+    an exact rank.
+    """
+    d = table(spark, sf_dir, "documents")
+    tok = X.tokens("text")
+    sig = d.select(
+        "doc_id",
+        "source",
+        X.quality_score(F.col("n_chars"), tok).alias("quality"),
+    )
+    win = W.partitionBy("source").orderBy("quality", "doc_id")
+    rank = quantize(F.percent_rank().over(win), 6)
+    return sig.select(
+        "doc_id",
+        "source",
+        "quality",
+        rank.alias("q_rank"),
+        (rank >= 0.2).alias("kept"),
+    )

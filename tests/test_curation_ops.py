@@ -285,3 +285,43 @@ def test_curation_filter_every_rule_fires_at_gate_sf(spark):
     }
     assert None in reasons, "some docs must survive"
     assert {"too_short", "low_quality", "repetitive", "lang_excluded"} <= reasons
+
+
+def test_cross_snapshot_minhash_planted_neardup(spark):
+    """A batch doc that is a boilerplate-mutated copy of a base doc
+    (one token changed out of 40) is flagged with its base source;
+    an unrelated doc is not."""
+    from snowalert_spark.functions.dedup import cross_snapshot_minhash
+
+    body = " ".join(f"tok{i}" for i in range(40))
+    mutated = body.replace("tok7", "tokX")
+    base = spark.createDataFrame(
+        [(1, "s1", body), (2, "s1", "completely different words here " * 5)],
+        "doc_id long, source string, text string",
+    )
+    batch = spark.createDataFrame(
+        [(10, "s2", mutated), (11, "s2", "nothing in common with anything")],
+        "doc_id long, source string, text string",
+    )
+    rows = cross_snapshot_minhash(batch, base, threshold=0.8).collect()
+    got = {(r["doc_id"], r["dup_of"]) for r in rows}
+    assert (10, 1) in got
+    assert all(d != 11 for d, _ in got)
+
+
+def test_quality_percentile_filter_drops_bottom_quintile(spark):
+    from snowalert_spark.workload.textops import quality_percentile_filter
+
+    df = quality_percentile_filter(spark, "/root/testdata/sf0.01")
+    rows = df.collect()
+    by_src = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    for src, rs in by_src.items():
+        kept = sum(r["kept"] for r in rs)
+        # bottom ~20% dropped per source (rank < 0.2), keep the rest
+        assert 0.7 * len(rs) <= kept <= 0.85 * len(rs), src
+        # the kept set is exactly the top of the quality order
+        srt = sorted(rs, key=lambda r: (r["quality"], r["doc_id"]))
+        assert all(not r["kept"] for r in srt[: len(rs) - kept])
+        assert all(r["kept"] for r in srt[len(rs) - kept :])

@@ -135,3 +135,20 @@ def test_curation_filter_pipeline_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_cross_snapshot_minhash_no_cartesian(spark):
+    """Candidates come from the (band, band_hash) equi-join between
+    the batch and base bucket sets — never a product join."""
+    plan = _plan(spark, "dedup_cross_snapshot_minhash")
+    assert "CartesianProduct" not in plan
+    assert "NestedLoop" not in plan
+
+
+def test_quality_percentile_window_partitioned_by_source(spark):
+    """The percentile window must shuffle on the source key (each
+    source ranks independently) — a global rank would serialize the
+    corpus through one range-partitioned sort."""
+    plan = _plan(spark, "quality_percentile_filter")
+    assert "hashpartitioning(source" in plan
+    assert "rangepartitioning" not in plan
