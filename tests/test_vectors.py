@@ -119,10 +119,15 @@ def test_driver_registry_is_exactly_capped(spark):
     missing = set(qs) - set(workload.oracle_sql())
     assert missing == set(), f"driver queries without oracle: {missing}"
     # the round-1 unchecked vector queries are inside the cap now
+    # (dedup_embedding_cosine rotated to LOCAL_ONLY in round 7 — its
+    # scale tiers ivf/rplsh are the declared rows; the baseline keeps
+    # its local oracle)
     names = list(qs)
-    for n in ("ann_ivf_topk", "dedup_embedding_cosine", "dedup_embedding_ivf",
+    for n in ("ann_ivf_topk", "dedup_embedding_rplsh", "dedup_embedding_ivf",
               "embedding_label_stats"):
         assert names.index(n) < workload.DRIVER_QUERY_CAP
+    assert "dedup_embedding_cosine" in workload.LOCAL_ONLY
+    assert "dedup_embedding_cosine" in workload.oracle_sql(include_local=True)
 
 
 def test_rplsh_pairs_subset_and_planted_recall(spark):
