@@ -51,7 +51,10 @@ HEADLINE = [
     "corpus_mixture_plan",
     "corpus_shuffle_shards",
     "dedup_cross_snapshot",
+    "dedup_cross_snapshot_minhash",
     "curation_filter_pipeline",
+    "curation_funnel_stats",
+    "quality_percentile_filter",
     "decontaminate_ngram",
     "pii_scrub_events",
     "cosine_topk_bruteforce",
