@@ -325,3 +325,57 @@ def test_quality_percentile_filter_drops_bottom_quintile(spark):
         srt = sorted(rs, key=lambda r: (r["quality"], r["doc_id"]))
         assert all(not r["kept"] for r in srt[: len(rs) - kept])
         assert all(r["kept"] for r in srt[len(rs) - kept :])
+
+
+def test_cross_snapshot_minhash_full_recall_at_gate_sf(spark):
+    """Band-collision candidates recover EVERY true cross-half
+    near-dup pair (J >= 0.8) in the fixed gate corpus — the oracle
+    equality proves Spark==DuckDB on the LSH pipeline, this proves
+    the LSH pipeline loses nothing vs exhaustive verification here
+    (expected: ~96% per-pair collision probability; this corpus'
+    12 planted pairs all collide)."""
+    import duckdb
+
+    from snowalert_spark.workload.textops import (
+        _BASE_SOURCES,
+        dedup_cross_snapshot_minhash,
+    )
+
+    got = {
+        (r["doc_id"], r["dup_of"])
+        for r in dedup_cross_snapshot_minhash(
+            spark, "/root/testdata/sf0.01"
+        ).collect()
+    }
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    )
+    exhaustive = con.execute(
+        rf"""
+        WITH tok AS (SELECT doc_id,
+                            string_split_regex(lower(text), '\s+') w
+                     FROM documents),
+        sh AS (SELECT DISTINCT doc_id,
+                      unnest(list_transform(range(0, len(w) - 2),
+                             i -> array_to_string(w[i+1:i+3], ' '))) s
+               FROM tok WHERE len(w) >= 3),
+        sizes AS (SELECT doc_id, COUNT(*) n FROM sh GROUP BY 1),
+        common AS (
+            SELECT a.doc_id da, b.doc_id db, COUNT(*) c
+            FROM sh a JOIN sh b ON a.s = b.s
+            JOIN documents xa ON xa.doc_id = a.doc_id
+                             AND xa.source NOT IN {_BASE_SOURCES}
+            JOIN documents xb ON xb.doc_id = b.doc_id
+                             AND xb.source IN {_BASE_SOURCES}
+            GROUP BY 1, 2)
+        SELECT da, db FROM common
+        JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+        WHERE FLOOR(c / (sa.n + sb.n - c) * 1000000.0 + 0.5) / 1000000.0
+              >= 0.8
+        """
+    ).fetchall()
+    want = {(a, b) for a, b in exhaustive}
+    assert want, "fixture must contain cross-half near-dups"
+    assert got == want, f"missed {want - got}, spurious {got - want}"
