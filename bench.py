@@ -255,6 +255,13 @@ def main() -> None:
     # stay benchable even though the driver correctness gate caps at 50
     qs = workload.queries(include_local=True)
     names = [n for n in HEADLINE if n in qs]
+    # optional subset filter (scale probes that only exercise part of
+    # the headline, e.g. the relational slice at sf30 where the doc
+    # permutation scheme would degenerate): comma-separated names.
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        names = [n for n in names if n in keep]
     timings: dict[str, float] = {}
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
@@ -287,9 +294,13 @@ def main() -> None:
 
         record(name, triple)
 
+    def _wanted(name: str) -> bool:
+        return not only or name in {s.strip() for s in only.split(",")}
+
     # end-to-end rule-engine pipeline over the events table (project →
     # dedupe → partition-pruned merge → suppress), timed as one unit
-    record("pipeline_alert_run", lambda: _bench_pipeline(spark, sf_dir))
+    if _wanted("pipeline_alert_run"):
+        record("pipeline_alert_run", lambda: _bench_pipeline(spark, sf_dir))
 
     # verbatim pack-rule sweep (4 aws_query_pack views over a
     # synthesized sf-scale CloudTrail landing); skipped (not an error)
@@ -297,10 +308,12 @@ def main() -> None:
     from snowalert_spark import packs
 
     if os.path.isdir(packs.PACKS_DIR):
-        record("pack_aws_query_sweep", lambda: _bench_packs(spark, sf_dir))
+        if _wanted("pack_aws_query_sweep"):
+            record("pack_aws_query_sweep", lambda: _bench_packs(spark, sf_dir))
         # all 92 statements (81 views + 11 monitoring queries) over
         # generic spec-derived landings; per-pack medians in pack_detail
-        record("pack_full_sweep", lambda: _bench_pack_full(spark, sf_dir))
+        if _wanted("pack_full_sweep"):
+            record("pack_full_sweep", lambda: _bench_pack_full(spark, sf_dir))
 
     total = round(sum(timings.values()), 4)
     out = {
