@@ -446,6 +446,68 @@ def trained_centroids(
     )
 
 
+def pq_codes(
+    spark,
+    corpus_version: str,
+    corpus: DataFrame,
+    train: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Spherical product quantization: split each ``dim``-vector into
+    ``m`` subvectors, train a k-centroid spherical (cosine) codebook
+    per subspace on the bounded ``train`` sample, and emit each
+    vector's code word — ``m`` small ints replacing ``dim`` floats
+    (64-dim float32 → 4 bytes here, a 64× compression for ANN
+    shortlists; re-rank on the raw vectors stays exact).
+
+    Scale shape: training is m tiny k-means runs on the sample
+    (cached per corpus version like the IVF centroids); coding
+    compiles to a ZERO-SHUFFLE projection — the m×k codebook is
+    embedded in the plan as literal arrays, so at 100 TB the coder is
+    a map-only scan with no join, no broadcast, no exchange.
+    Assignment = max quantized cosine, tiebreak smaller cell —
+    identical arithmetic to ivf_assign/kmeans_fit, so a SQL oracle
+    replays codes bit-for-bit.
+    """
+    d = dim // m
+    if d * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    q6 = "floor(({x}) * 1000000.0D + 0.5D) / 1000000.0D"
+    sel = [F.col(id_col).alias("vec_id")]
+    for s in range(m):
+        sub_train = train.select(
+            id_col, F.slice(F.col(vec_col), s * d + 1, d).alias("embedding")
+        )
+        cents = trained_centroids(
+            spark, f"{corpus_version}#pq{s}/{m}x{k}", sub_train, k=k, iters=iters
+        ).collect()
+        sub = f"slice({vec_col}, {s * d + 1}, {d})"
+        structs = []
+        for r in sorted(cents, key=lambda r: r["cell"]):
+            lit = "array(" + ",".join(
+                f"CAST({float(x)!r} AS DOUBLE)" for x in r["cent"]
+            ) + ")"
+            cos = (
+                f"{DOT.format(a=sub, b=lit)} / "
+                f"(sqrt({DOT.format(a=sub, b=sub)}) * "
+                f"sqrt({DOT.format(a=lit, b=lit)}))"
+            )
+            structs.append(
+                f"struct(-({q6.format(x=cos)}) AS nsim, "
+                f"{int(r['cell'])} AS cell)"
+            )
+        code = F.expr(
+            f"element_at(array_sort(array({', '.join(structs)})), 1).cell"
+        )
+        sel.append(code.alias(f"code_{s}"))
+    return corpus.select(*sel)
+
+
 def cosine_pairs_ivf(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -76,6 +76,7 @@ LOCAL_ONLY = {
     "curation_funnel_stats",
     "dedup_cross_snapshot_minhash",
     "quality_percentile_filter",
+    "embedding_pq_codes",
     # Round-7 gate rotation: dedup_clusters, decontaminate_ngram,
     # pii_scrub_events, dedup_cross_snapshot and
     # curation_filter_pipeline are promoted into the declared gate so

@@ -46,27 +46,35 @@ KMEANS_ITERS = 2
 NPROBE_DEDUP = 2  # multi-probe factor for the near-dup candidate join
 
 
-def _kmeans_ctes(k: int = N_CENTROIDS, train_n: int = TRAIN_N, iters: int = KMEANS_ITERS) -> str:
+def _kmeans_ctes(
+    k: int = N_CENTROIDS,
+    train_n: int = TRAIN_N,
+    iters: int = KMEANS_ITERS,
+    vec_expr: str = "embedding",
+    p: str = "",
+) -> str:
     """DuckDB CTE chain replaying kmeans_fit bit-for-bit: ``ktrain``,
     ``c0`` … ``c{iters}`` (final centroids in ``c{iters}(cell, cent)``).
     Unrolled Lloyd rounds — assignment by quantized cosine with
     smaller-cell tiebreak, per-dim DECIMAL(25,12)-exact means, empty
     cells keep their previous centroid — matching
-    functions/similarity.py kmeans_fit step for step."""
+    functions/similarity.py kmeans_fit step for step. ``vec_expr``
+    selects the trained vector (a subvector slice for PQ); ``p``
+    prefixes every CTE name so several chains coexist in one query."""
     ctes = [
-        f"ktrain AS (SELECT vec_id, embedding AS v FROM embeddings WHERE vec_id < {train_n})",
-        f"""c0 AS (SELECT CAST(vec_id AS INT) AS cell,
+        f"{p}ktrain AS (SELECT vec_id, {vec_expr} AS v FROM embeddings WHERE vec_id < {train_n})",
+        f"""{p}c0 AS (SELECT CAST(vec_id AS INT) AS cell,
                       list_transform(v, x -> CAST(x AS DOUBLE)) AS cent
-               FROM ktrain WHERE vec_id < {k})""",
+               FROM {p}ktrain WHERE vec_id < {k})""",
     ]
     for i in range(1, iters + 1):
-        prev, a, m = f"c{i-1}", f"ka{i}", f"km{i}"
+        prev, a, m = f"{p}c{i-1}", f"{p}ka{i}", f"{p}km{i}"
         ctes.append(
             f"""{a} AS (
             SELECT vec_id, cell FROM (
                 SELECT t.vec_id, c.cell,
                        {quantize_sql(_cos_sql('t.v', 'c.cent'), 6)} AS sim
-                FROM ktrain t CROSS JOIN {prev} c)
+                FROM {p}ktrain t CROSS JOIN {prev} c)
             QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
                                        ORDER BY sim DESC, cell) = 1)"""
         )
@@ -78,11 +86,11 @@ def _kmeans_ctes(k: int = N_CENTROIDS, train_n: int = TRAIN_N, iters: int = KMEA
             FROM (SELECT a.cell,
                          unnest(generate_series(1, len(t.v))) AS dim,
                          unnest(t.v) AS x
-                  FROM ktrain t JOIN {a} a USING (vec_id))
+                  FROM {p}ktrain t JOIN {a} a USING (vec_id))
             GROUP BY cell, dim)"""
         )
         ctes.append(
-            f"""c{i} AS (
+            f"""{p}c{i} AS (
             SELECT c.cell, COALESCE(n.cent, c.cent) AS cent
             FROM {prev} c
             LEFT JOIN (SELECT cell, list(m ORDER BY dim) AS cent
@@ -376,6 +384,66 @@ _MSE_SQL = (
     "list_reduce(list_transform(range(1, len(v) + 1), "
     "i -> (v[i] - dq[i]) * (v[i] - dq[i])), (x, y) -> x + y) / len(v)"
 )
+
+
+PQ_M = 4  # PQ subspaces (64-dim embedding -> 4 x 16-dim subvectors)
+PQ_DIM = 64
+
+
+def _pq_oracle_sql() -> str:
+    """Four prefixed kmeans chains (one per subspace) + quantized-
+    cosine assignment per subspace, joined into one code word."""
+    d = PQ_DIM // PQ_M
+    chains, assigns = [], []
+    for sI in range(PQ_M):
+        lo, hi = sI * d + 1, sI * d + d
+        chains.append(
+            _kmeans_ctes(vec_expr=f"embedding[{lo}:{hi}]", p=f"s{sI}")
+        )
+        assigns.append(
+            f"""a{sI} AS (
+            SELECT vec_id, cell AS code_{sI} FROM (
+                SELECT e.vec_id, c.cell,
+                       {quantize_sql(_cos_sql(f'e.embedding[{lo}:{hi}]', 'c.cent'), 6)} AS sim
+                FROM embeddings e CROSS JOIN s{sI}c{KMEANS_ITERS} c)
+            QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                       ORDER BY sim DESC, cell) = 1)"""
+        )
+    joins = " ".join(f"JOIN a{sI} USING (vec_id)" for sI in range(1, PQ_M))
+    cols = ", ".join(f"CAST(code_{sI} AS INT) AS code_{sI}" for sI in range(PQ_M))
+    return (
+        "WITH "
+        + ",\n".join(chains + assigns)
+        + f"\nSELECT vec_id, {cols} FROM a0 {joins}"
+    )
+
+
+@_q("embedding_pq_codes", _pq_oracle_sql())
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization code words for the embedding corpus:
+    4 subspaces x 8 spherical centroids = one byte-pair-sized code per
+    vector (64 floats -> 4 small ints), the compression an ANN index
+    applies before sharding its shortlist structures. Training is four
+    tiny cached k-means runs on the bounded sample; CODING is a
+    zero-shuffle map-only projection — the 4x8 codebook is embedded in
+    the plan as literal arrays (no join, no broadcast; pinned in
+    tests/test_plans.py). The oracle replays all four trainers and the
+    quantized-cosine assignment bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    codes = S.pq_codes(
+        spark,
+        sf_dir,
+        emb,
+        train=emb.filter(F.col("vec_id") < TRAIN_N),
+        dim=PQ_DIM,
+        m=PQ_M,
+        k=N_CENTROIDS,
+        iters=KMEANS_ITERS,
+    )
+    return codes.select(
+        "vec_id",
+        *[F.col(f"code_{sI}").cast("int").alias(f"code_{sI}") for sI in range(PQ_M)],
+    )
 
 
 @_q(

@@ -152,3 +152,13 @@ def test_quality_percentile_window_partitioned_by_source(spark):
     plan = _plan(spark, "quality_percentile_filter")
     assert "hashpartitioning(source" in plan
     assert "rangepartitioning" not in plan
+
+
+def test_pq_coding_is_map_only(spark):
+    """PQ coding embeds the trained codebook as plan literals: the
+    coder must be scan → project with no join, no Exchange (training
+    happens once per corpus version at plan-construction time)."""
+    plan = _plan(spark, "embedding_pq_codes")
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert plan.count("FileScan") == 1

@@ -217,3 +217,21 @@ def test_rplsh_chosen_params_hit_planted_recall(spark):
     planted = {(i, i + 1000000) for i in range(n_plant)}
     recall = len(planted & found) / n_plant
     assert recall >= 0.9, f"planted recall {recall}"
+
+
+def test_pq_codes_shape_and_determinism(spark):
+    from snowalert_spark.workload.vector import PQ_M, embedding_pq_codes
+
+    a = embedding_pq_codes(spark, "/root/testdata/sf0.001")
+    rows = a.collect()
+    assert rows, "corpus must code"
+    for r in rows:
+        for s in range(PQ_M):
+            assert 0 <= r[f"code_{s}"] < 8
+    b = {r["vec_id"]: tuple(r[f"code_{s}"] for s in range(PQ_M))
+         for r in embedding_pq_codes(spark, "/root/testdata/sf0.001").collect()}
+    a_map = {r["vec_id"]: tuple(r[f"code_{s}"] for s in range(PQ_M)) for r in rows}
+    assert a_map == b, "coding must be rerun-deterministic"
+    # codes must use more than one cell per subspace on real data
+    for s in range(PQ_M):
+        assert len({v[s] for v in a_map.values()}) > 1, f"subspace {s} collapsed"
