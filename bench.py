@@ -60,6 +60,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
     "embedding_quantize_int8",
+    "embedding_pq_codes",
     "multimodal_features",
 ]
 

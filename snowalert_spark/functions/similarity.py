@@ -20,6 +20,8 @@ tiebreaks.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
@@ -489,13 +491,23 @@ def pq_codes(
         sub = f"slice({vec_col}, {s * d + 1}, {d})"
         structs = []
         for r in sorted(cents, key=lambda r: r["cell"]):
+            cvals = [float(x) for x in r["cent"]]
             lit = "array(" + ",".join(
-                f"CAST({float(x)!r} AS DOUBLE)" for x in r["cent"]
+                f"CAST({x!r} AS DOUBLE)" for x in cvals
             ) + ")"
+            # centroid norm hoisted to a Python-computed literal: the
+            # left-to-right double fold matches the engines' aggregate/
+            # list_reduce order exactly, so the oracle (which computes
+            # sqrt(dot(cent,cent)) engine-side) still matches bit-for-
+            # bit — and the plan stops recomputing a constant per row.
+            acc = 0.0
+            for x in cvals:
+                acc += x * x
+            nl = math.sqrt(acc)
             cos = (
                 f"{DOT.format(a=sub, b=lit)} / "
                 f"(sqrt({DOT.format(a=sub, b=sub)}) * "
-                f"sqrt({DOT.format(a=lit, b=lit)}))"
+                f"CAST({nl!r} AS DOUBLE))"
             )
             structs.append(
                 f"struct(-({q6.format(x=cos)}) AS nsim, "
