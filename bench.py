@@ -59,6 +59,7 @@ HEADLINE = [
     "pii_scrub_events",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
+    "ann_pq_topk",
     "embedding_quantize_int8",
     "embedding_pq_codes",
     "multimodal_features",

@@ -520,6 +520,116 @@ def pq_codes(
     return corpus.select(*sel)
 
 
+def pq_topk(
+    spark,
+    corpus_version: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    train: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    shortlist: int = 20,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN search with asymmetric distance computation (ADC): every
+    query precomputes one m×k lookup table of quantized subspace
+    cosines against the codebook; the corpus is then scored with m
+    ARRAY LOOKUPS per row — no per-row cosine — the ``shortlist`` best
+    per query are re-ranked with the exact cosine, and the verified
+    top-``topk`` returned as (query_id, neighbor_id, sim).
+
+    Scale shape: corpus side = the zero-shuffle PQ coding projection +
+    a broadcast join against #queries LUT rows + per-partition top-k
+    (window on query_id over shortlist-bounded rows). Exact re-rank
+    touches only shortlist×queries vectors. The LUT is built
+    engine-side on the (tiny) query frame, so the whole search
+    replays in the SQL oracle.
+    """
+    d = dim // m
+    codes = pq_codes(
+        spark, corpus_version, corpus, train, dim, m, k, iters, id_col, vec_col
+    )
+    q6 = "floor(({x}) * 1000000.0D + 0.5D) / 1000000.0D"
+    lut_cols = []
+    for s in range(m):
+        cents = trained_centroids(
+            spark,
+            f"{corpus_version}#pq{s}/{m}x{k}",
+            train.select(
+                id_col, F.slice(F.col(vec_col), s * d + 1, d).alias("embedding")
+            ),
+            k=k,
+            iters=iters,
+        ).collect()
+        sub = f"slice({vec_col}, {s * d + 1}, {d})"
+        sims = []
+        for r in sorted(cents, key=lambda r: r["cell"]):
+            lit = "array(" + ",".join(
+                f"CAST({float(x)!r} AS DOUBLE)" for x in r["cent"]
+            ) + ")"
+            acc = 0.0
+            for x in r["cent"]:
+                acc += float(x) * float(x)
+            nl = math.sqrt(acc)
+            cos = (
+                f"{DOT.format(a=sub, b=lit)} / "
+                f"(sqrt({DOT.format(a=sub, b=sub)}) * "
+                f"CAST({nl!r} AS DOUBLE))"
+            )
+            sims.append(q6.format(x=cos))
+        lut_cols.append(F.expr(f"array({', '.join(sims)})").alias(f"lut_{s}"))
+    q = queries.select(F.col(id_col).alias("query_id"), *lut_cols)
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    scored = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("adc"),
+            F.spark_partition_id().alias("pid"),
+        )
+    )
+    # two-phase top-k: prune to each input partition's local shortlist
+    # first (any global top-`shortlist` row is inside its partition's
+    # top-`shortlist` under the same total order, so the prune is
+    # lossless) — the second, global rank then shuffles only
+    # partitions × queries × shortlist rows instead of the whole
+    # scored corpus into #queries tasks.
+    order = [F.desc("adc"), F.asc("neighbor_id")]
+    wpre = W.partitionBy("pid", "query_id").orderBy(*order)
+    wsh = W.partitionBy("query_id").orderBy(*order)
+    short = (
+        scored.withColumn("prn", F.row_number().over(wpre))
+        .filter(F.col("prn") <= shortlist)
+        .withColumn("rn", F.row_number().over(wsh))
+        .filter(F.col("rn") <= shortlist)
+        .drop("prn", "rn", "adc", "pid")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    wk = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        short.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
+        .select("query_id", "neighbor_id", quantize(cosine("qv", "cv"), 6).alias("sim"))
+        .withColumn("rn", F.row_number().over(wk))
+        .filter(F.col("rn") <= topk)
+        .drop("rn")
+    )
+
+
 def cosine_pairs_ivf(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -77,6 +77,7 @@ LOCAL_ONLY = {
     "dedup_cross_snapshot_minhash",
     "quality_percentile_filter",
     "embedding_pq_codes",
+    "ann_pq_topk",
     # Round-7 gate rotation: dedup_clusters, decontaminate_ngram,
     # pii_scrub_events, dedup_cross_snapshot and
     # curation_filter_pipeline are promoted into the declared gate so

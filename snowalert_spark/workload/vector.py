@@ -390,9 +390,9 @@ PQ_M = 4  # PQ subspaces (64-dim embedding -> 4 x 16-dim subvectors)
 PQ_DIM = 64
 
 
-def _pq_oracle_sql() -> str:
+def _pq_cte_block() -> str:
     """Four prefixed kmeans chains (one per subspace) + quantized-
-    cosine assignment per subspace, joined into one code word."""
+    cosine assignment per subspace + the joined ``pqcodes`` frame."""
     d = PQ_DIM // PQ_M
     chains, assigns = [], []
     for sI in range(PQ_M):
@@ -411,11 +411,60 @@ def _pq_oracle_sql() -> str:
         )
     joins = " ".join(f"JOIN a{sI} USING (vec_id)" for sI in range(1, PQ_M))
     cols = ", ".join(f"CAST(code_{sI} AS INT) AS code_{sI}" for sI in range(PQ_M))
+    codes = f"pqcodes AS (SELECT vec_id, {cols} FROM a0 {joins})"
+    return ",\n".join(chains + assigns + [codes])
+
+
+def _pq_oracle_sql() -> str:
     return (
-        "WITH "
-        + ",\n".join(chains + assigns)
-        + f"\nSELECT vec_id, {cols} FROM a0 {joins}"
+        "WITH " + _pq_cte_block() + "\nSELECT * FROM pqcodes"
     )
+
+
+PQ_SHORTLIST = 100  # ~85% top-3 recall on the fixed corpora; re-rank cost = 100 exact cosines/query
+
+
+def _pq_topk_oracle_sql() -> str:
+    """ADC search replay: per-query LUT of quantized subspace cosines
+    vs the trained codebooks, corpus scored by LUT joins on the code
+    word, shortlist by ADC, exact-cosine re-rank."""
+    d = PQ_DIM // PQ_M
+    luts = []
+    for sI in range(PQ_M):
+        lo, hi = sI * d + 1, sI * d + d
+        luts.append(
+            f"""lut{sI} AS (
+            SELECT q.vec_id AS query_id, c.cell,
+                   {quantize_sql(_cos_sql(f'q.embedding[{lo}:{hi}]', 'c.cent'), 6)} AS sim
+            FROM embeddings q CROSS JOIN s{sI}c{KMEANS_ITERS} c
+            WHERE q.vec_id < {N_QUERIES})"""
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{sI} l{sI} ON l{sI}.cell = e.code_{sI}"
+        + (" AND l%d.query_id = l0.query_id" % sI if sI else "")
+        for sI in range(PQ_M)
+    )
+    adc_sum = " + ".join(f"l{sI}.sim" for sI in range(PQ_M))
+    return f"""
+    WITH {_pq_cte_block()},
+    {','.join(luts)},
+    adc AS (
+        SELECT l0.query_id, e.vec_id AS neighbor_id, {adc_sum} AS adc
+        FROM pqcodes e {lut_joins}
+        WHERE e.vec_id <> l0.query_id),
+    short AS (
+        SELECT query_id, neighbor_id FROM adc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, neighbor_id)
+                <= {PQ_SHORTLIST})
+    SELECT query_id, neighbor_id,
+           {quantize_sql(_cos_sql('qe.embedding', 'ne.embedding'), 6)} AS sim
+    FROM short
+    JOIN embeddings qe ON qe.vec_id = query_id
+    JOIN embeddings ne ON ne.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= 3
+    """
 
 
 @_q("embedding_pq_codes", _pq_oracle_sql())
@@ -443,6 +492,33 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return codes.select(
         "vec_id",
         *[F.col(f"code_{sI}").cast("int").alias(f"code_{sI}") for sI in range(PQ_M)],
+    )
+
+
+@_q("ann_pq_topk", _pq_topk_oracle_sql())
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN search with asymmetric distance computation: each query
+    precomputes a 4x8 LUT of quantized subspace cosines; the corpus is
+    scored by FOUR ARRAY LOOKUPS per row (zero per-row cosines), the
+    top-20 shortlist per query is re-ranked with the exact cosine. At
+    100 TB the scoring stage is the PQ coding projection + a broadcast
+    of #queries LUT rows — scan-bound, no shuffle before the bounded
+    per-query top-k — and the exact math only ever touches
+    shortlist x queries vectors. The oracle replays trainer, coding,
+    LUT, lookup-sum and both rank stages bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.pq_topk(
+        spark,
+        sf_dir,
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        train=emb.filter(F.col("vec_id") < TRAIN_N),
+        dim=PQ_DIM,
+        m=PQ_M,
+        k=N_CENTROIDS,
+        iters=KMEANS_ITERS,
+        shortlist=PQ_SHORTLIST,
+        topk=3,
     )
 
 

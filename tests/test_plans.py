@@ -162,3 +162,14 @@ def test_pq_coding_is_map_only(spark):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
+
+
+def test_pq_topk_scoring_stage_shape(spark):
+    """ADC scoring: corpus coded map-only, queries broadcast (the only
+    nested-loop is the 10-row LUT broadcast), no cartesian product of
+    data-sized sides, and the shortlist is two-phase (a pid-keyed
+    window before the query-keyed one)."""
+    plan = _plan(spark, "ann_pq_topk")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(pid" in plan

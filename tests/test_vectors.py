@@ -235,3 +235,39 @@ def test_pq_codes_shape_and_determinism(spark):
     # codes must use more than one cell per subspace on real data
     for s in range(PQ_M):
         assert len({v[s] for v in a_map.values()}) > 1, f"subspace {s} collapsed"
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """ADC shortlist + exact re-rank vs exhaustive top-3: PQ is lossy
+    (4x8 spherical codebook), so pin the floor observed on the fixed
+    corpus rather than perfection — and require the exact re-rank to
+    make every returned sim truthful (it IS the exact cosine)."""
+    from snowalert_spark.functions.similarity import brute_force_topk
+    from snowalert_spark.workload.vector import N_QUERIES, ann_pq_topk
+    from snowalert_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    emb = table(spark, sf, "embeddings")
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in brute_force_topk(
+            emb, emb.filter("vec_id < %d" % N_QUERIES), k=3
+        ).collect()
+    }
+    got_rows = ann_pq_topk(spark, sf).collect()
+    got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
+    assert len(got_rows) == len(exact), "3 rows per query"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.7, f"ADC recall collapsed: {recall}"
+    # returned sims are exact cosines: cross-check a row against
+    # brute force where the pair overlaps
+    bf_sims = {
+        (r["query_id"], r["neighbor_id"]): r["sim"]
+        for r in brute_force_topk(
+            emb, emb.filter("vec_id < %d" % N_QUERIES), k=3
+        ).collect()
+    }
+    for r in got_rows:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf_sims:
+            assert abs(r["sim"] - bf_sims[key]) < 1e-9
