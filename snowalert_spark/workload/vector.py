@@ -117,24 +117,34 @@ def _centroids(spark: SparkSession, sf_dir: str, emb: DataFrame) -> DataFrame:
     "kmeans_centroids",
     f"""
     WITH {_kmeans_ctes()}
-    SELECT cell, list_transform(cent, x -> {quantize_sql('x', 6)}) AS cent_q
+    SELECT cell,
+           array_to_string(
+               list_transform(cent,
+                   x -> CAST(CAST(floor(x * 1000000.0 + 0.5) AS BIGINT) AS VARCHAR)),
+               ',') AS cent_q
     FROM {KMEANS_FINAL}
     """,
 )
 def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The k-means trainer as its own oracle-checked query (LOCAL_ONLY:
-    the driver registry is capped at 50) — keeps the trainer covered
-    now that the IVF queries consume cached centroids."""
+    """The k-means trainer as its own oracle-checked query — keeps the
+    trainer covered now that the IVF queries consume cached centroids.
+    The centroid is emitted as a canonical comma-joined string of
+    integer micro-units (floor(x·1e6 + 0.5), the same IEEE rounding as
+    the scalar quantize()): integers stringify identically in Spark and
+    DuckDB, and the driver's pandas canonicalizer can sort/hash strings
+    where bare array<double> cells raised ``unhashable type: 'list'``
+    (CORRECTNESS_r07). Bit-exactness per value is preserved — two
+    centroids agree iff every micro-unit integer agrees."""
     emb = table(spark, sf_dir, "embeddings")
     cents = S.kmeans_fit(
         emb.filter(F.col("vec_id") < TRAIN_N), k=N_CENTROIDS, iters=KMEANS_ITERS
     )
-    # per-dim quantize(…, 6) inside the array, same IEEE form as the
-    # scalar quantize() (floor(x·1e6 + 0.5)/1e6)
     return cents.select(
         "cell",
-        F.expr("transform(cent, x -> floor(x * 1000000.0D + 0.5D) / 1000000.0D)")
-        .alias("cent_q"),
+        F.expr(
+            "array_join(transform(cent, "
+            "x -> cast(cast(floor(x * 1000000.0D + 0.5D) as bigint) as string)), ',')"
+        ).alias("cent_q"),
     )
 
 
