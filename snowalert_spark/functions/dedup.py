@@ -48,6 +48,7 @@ def cross_snapshot_dedup(
     key: Column | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    keep_cols: tuple[str, ...] = ("source",),
 ) -> DataFrame:
     """Incremental (cross-snapshot) dedup: keep the rows of ``batch``
     whose content key does not appear anywhere in ``base`` (the
@@ -57,7 +58,9 @@ def cross_snapshot_dedup(
     prior corpus itself. ``key`` is the content fingerprint (default:
     md5 of the raw text); crawl pipelines typically pass a normalized
     fingerprint (lowercased token prefix, stripped boilerplate) so
-    trivially-mutated recrawls still collide.
+    trivially-mutated recrawls still collide. ``keep_cols`` names
+    passthrough metadata columns carried from ``batch`` into the
+    output (missing columns are silently skipped).
 
     Scale shape: both sides reduce to 16-byte md5 keys at the scan
     (strings never shuffle), the base side is a distinct-aggregated
@@ -74,9 +77,10 @@ def cross_snapshot_dedup(
     if key is None:
         key = F.md5(F.col(text_col))
     bh = base.select(key.alias("text_hash")).distinct()
-    b = batch.select(F.col(id_col), F.col("source"), key.alias("text_hash"))
+    carry = [c for c in keep_cols if c in batch.columns]
+    b = batch.select(F.col(id_col), *[F.col(c) for c in carry], key.alias("text_hash"))
     return b.join(bh, "text_hash", "left_anti").select(
-        id_col, "source", "text_hash"
+        id_col, *carry, "text_hash"
     )
 
 
@@ -419,6 +423,14 @@ def cross_snapshot_minhash(
     store), and only candidates are exact-verified. Probability
     calibration is identical (24 hashes / 6 bands of 4: ≈96% recall
     at j=0.8, ≈0.3% background collision).
+
+    Caching contract: both shingle frames are ``.cache()``d here (each
+    feeds signatures, sizes AND verification — recomputing them would
+    triple the shingling work inside one action). The handles persist
+    for the session after the result materializes; callers running
+    many snapshots through a long-lived driver should reclaim them
+    with ``spark.catalog.clearCache()`` between snapshots, or pass
+    pre-shingled frames once that shape is needed.
     """
     shb = doc_shingles(batch, k).cache()
     shB = doc_shingles(base, k).cache()

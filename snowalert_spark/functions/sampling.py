@@ -84,10 +84,13 @@ def mixture_plan(
     back by broadcast — no global window over the data, so the plan
     cost is the count scan regardless of corpus size.
     """
+    # weights stay DOUBLE: a fractional weight (0.5, 2.25, …) is a
+    # legitimate mixture target — the old cast('long') silently
+    # truncated 0.5 → 0 (and an all-zero total nulled every rate)
     counts = (
         df.groupBy(strata_col)
         .agg(F.count(F.lit(1)).alias("n_docs"))
-        .withColumn("weight", weight.cast("long"))
+        .withColumn("weight", weight.cast("double"))
     )
     totals = counts.agg(
         F.sum("weight").alias("_tw"), F.sum("n_docs").alias("_tn")

@@ -69,10 +69,26 @@ METADATA = T.StructType(
     ]
 )
 
+# Trained-model sidecar (IVF / PQ codebooks): one row per centroid,
+# keyed by the model key "{corpus_version}|k={k}|iters={iters}". The
+# reference keeps runner state in warehouse tables rather than process
+# memory (alert_queries_runner.py:64-94); this is the ANN analog — a
+# few KB per codebook, persisted through the same versioned CAS store
+# so a fresh session reuses a trained codebook instead of re-running
+# k-means over the corpus sample.
+TRAINED_CENTROIDS = T.StructType(
+    [
+        T.StructField("model_key", T.StringType()),
+        T.StructField("cell", T.IntegerType()),
+        T.StructField("cent", T.ArrayType(T.DoubleType())),
+    ]
+)
+
 RESULT_TABLES: dict[str, T.StructType] = {
     "alerts": ALERTS,
     "violations": VIOLATIONS,
     "query_metadata": METADATA,
     "run_metadata": METADATA,
     "ingestion_metadata": METADATA,
+    "trained_centroids": TRAINED_CENTROIDS,
 }

@@ -126,6 +126,20 @@ def queries(include_local: bool = False) -> dict[str, QueryFn]:
     return out
 
 
+def registry_stats() -> dict[str, int]:
+    """One source of truth for the registry counts quoted in README /
+    PARITY (round-7 verdict: the docs drifted to three different
+    numbers). Tests assert the documented counts against this."""
+    all_q = queries(include_local=True)
+    driver_q = queries(include_local=False)
+    return {
+        "total": len(all_q),
+        "driver_declared": len(driver_q),
+        "local_only": len(all_q) - len(driver_q),
+        "with_oracle": len(oracle_sql(include_local=True)),
+    }
+
+
 def oracle_sql(include_local: bool = False) -> dict[str, str]:
     out: dict[str, str] = {}
     for m in _MODULES:

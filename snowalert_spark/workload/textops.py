@@ -674,7 +674,7 @@ _MIX_PRIORITY = ("src0", "src1", "src2", "src3", "src4")
     WITH counts AS (
         SELECT source, COUNT(*) AS n_docs,
                CAST(CASE WHEN source IN {_MIX_PRIORITY} THEN 4 ELSE 1 END
-                    AS BIGINT) AS weight
+                    AS DOUBLE) AS weight
         FROM documents GROUP BY 1
     ),
     tot AS (SELECT SUM(weight) AS tw, SUM(n_docs) AS tn FROM counts)
@@ -989,9 +989,10 @@ def dedup_cross_snapshot_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
            {quantize_sql(
                'PERCENT_RANK() OVER (PARTITION BY source '
                'ORDER BY quality, doc_id)', 6)} AS q_rank,
-           {quantize_sql(
+           ({quantize_sql(
                'PERCENT_RANK() OVER (PARTITION BY source '
-               'ORDER BY quality, doc_id)', 6)} >= 0.2 AS kept
+               'ORDER BY quality, doc_id)', 6)} >= 0.2
+            OR COUNT(*) OVER (PARTITION BY source) < 5) AS kept
     FROM sig
     """,
 )
@@ -1000,7 +1001,11 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite quality score (absolute thresholds rot as sources
     drift; relative cuts are what production corpus pipelines ship).
     Deterministic tiebreak on doc_id makes the percentile
-    reproducible. The window partitions by source — the shuffle is on
+    reproducible. Sources with fewer than 5 docs are kept whole: with
+    n=1 the sole doc has percent_rank 0.0 (always "bottom 20%"), and
+    tiny sources over-drop far past 20% — relative cuts only make
+    sense once a source has enough mass to rank (round-7 advice).
+    The window partitions by source — the shuffle is on
     the source key and each source ranks independently, so the plan
     scales with the largest single source, not the corpus; for a
     pathologically dominant source the documented escalation is an
@@ -1016,10 +1021,11 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     win = W.partitionBy("source").orderBy("quality", "doc_id")
     rank = quantize(F.percent_rank().over(win), 6)
+    n_src = F.count(F.lit(1)).over(W.partitionBy("source"))
     return sig.select(
         "doc_id",
         "source",
         "quality",
         rank.alias("q_rank"),
-        (rank >= 0.2).alias("kept"),
+        ((rank >= 0.2) | (n_src < 5)).alias("kept"),
     )

@@ -510,7 +510,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN search with asymmetric distance computation: each query
     precomputes a 4x8 LUT of quantized subspace cosines; the corpus is
     scored by FOUR ARRAY LOOKUPS per row (zero per-row cosines), the
-    top-20 shortlist per query is re-ranked with the exact cosine. At
+    top-100 (PQ_SHORTLIST) per query is re-ranked with the exact cosine. At
     100 TB the scoring stage is the PQ coding projection + a broadcast
     of #queries LUT rows — scan-bound, no shuffle before the bounded
     per-query top-k — and the exact math only ever touches

@@ -1,0 +1,120 @@
+"""Cross-session persistence of trained IVF/PQ codebooks.
+
+The reference keeps runner state in warehouse tables rather than
+process memory (alert_queries_runner.py:64-94); the ANN analog here is
+the ``trained_centroids`` sidecar table in the versioned ResultsStore.
+A fresh driver session (simulated by clearing the process cache) must
+reload a persisted codebook WITHOUT re-running k-means.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from snowalert_spark.functions import similarity as S
+from snowalert_spark.store import ResultsStore
+from snowalert_spark.tables import table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture()
+def model_dir():
+    d = tempfile.mkdtemp(prefix="model_store_")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _train_frame(spark):
+    return table(spark, SF, "embeddings").filter(F.col("vec_id") < 64)
+
+
+def test_persist_and_reload_without_retraining(spark, model_dir, monkeypatch):
+    store = ResultsStore(spark, model_dir)
+    version = "corpus-v1"
+
+    S._CENTROID_CACHE.clear()
+    first = sorted(
+        (int(r["cell"]), tuple(float(x) for x in r["cent"]))
+        for r in S.trained_centroids(
+            spark, version, _train_frame(spark), k=4, iters=2, store=store
+        ).collect()
+    )
+    assert len(first) == 4
+
+    # the sidecar table now holds the codebook
+    persisted = store.read("trained_centroids").filter(
+        F.col("model_key") == S._model_key(version, 4, 2)
+    )
+    assert persisted.count() == 4
+
+    # "new session": process cache gone; k-means must NOT run again
+    S._CENTROID_CACHE.clear()
+
+    def _boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("kmeans_fit re-ran despite persisted codebook")
+
+    monkeypatch.setattr(S, "kmeans_fit", _boom)
+    reloaded = sorted(
+        (int(r["cell"]), tuple(float(x) for x in r["cent"]))
+        for r in S.trained_centroids(
+            spark, version, _train_frame(spark), k=4, iters=2, store=store
+        ).collect()
+    )
+    assert reloaded == first
+
+
+def test_distinct_model_keys_coexist(spark, model_dir):
+    store = ResultsStore(spark, model_dir)
+    S._CENTROID_CACHE.clear()
+    a = S.trained_centroids(
+        spark, "v1", _train_frame(spark), k=2, iters=1, store=store
+    ).collect()
+    b = S.trained_centroids(
+        spark, "v1", _train_frame(spark), k=4, iters=1, store=store
+    ).collect()
+    assert len(a) == 2 and len(b) == 4
+    keys = {
+        r["model_key"]
+        for r in store.read("trained_centroids").select("model_key").collect()
+    }
+    assert keys == {S._model_key("v1", 2, 1), S._model_key("v1", 4, 1)}
+
+
+def test_env_var_opt_in(spark, model_dir, monkeypatch):
+    monkeypatch.setenv("SNOWALERT_MODEL_DIR", model_dir)
+    S._CENTROID_CACHE.clear()
+    S.trained_centroids(spark, "env-v1", _train_frame(spark), k=2, iters=1)
+    sidecar = ResultsStore(spark, model_dir).read("trained_centroids")
+    assert sidecar.filter(F.col("model_key") == S._model_key("env-v1", 2, 1)).count() == 2
+
+
+def test_pq_codebooks_persist(spark, model_dir, monkeypatch):
+    """pq_codes threads the store through all m sub-trainers; a new
+    session re-codes the corpus from persisted codebooks, bit-identical,
+    with k-means disabled."""
+    store = ResultsStore(spark, model_dir)
+    emb = table(spark, SF, "embeddings")
+    dim = len(emb.select("embedding").first()["embedding"])
+    def run():
+        rows = S.pq_codes(
+            spark, "pqv1", emb, emb.filter(F.col("vec_id") < 64),
+            dim=dim, m=4, k=4, iters=1, store=store,
+        ).collect()
+        return sorted(
+            (int(r["vec_id"]), tuple(int(r[f"code_{s}"]) for s in range(4)))
+            for r in rows
+        )
+
+    S._CENTROID_CACHE.clear()
+    first = run()
+    S._CENTROID_CACHE.clear()
+    monkeypatch.setattr(
+        S, "kmeans_fit",
+        lambda *a, **kw: (_ for _ in ()).throw(AssertionError("retrained")),
+    )
+    assert run() == first
