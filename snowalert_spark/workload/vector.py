@@ -431,7 +431,15 @@ def _pq_oracle_sql() -> str:
     )
 
 
-PQ_SHORTLIST = 100  # ~85% top-3 recall on the fixed corpora; re-rank cost = 100 exact cosines/query
+# Default picked from the measured cost/recall curve
+# (tools/pq_recall_curve.py -> PQ_RECALL_CURVE.json): at the hard
+# corpus (sf0.1's 2000 independent random vectors) m=4/k=8 with a
+# 400-deep shortlist reaches 93% top-3 recall at the same wall as
+# shortlist=100 (63%); the wider m=8 geometries cost 2-3x and plateau
+# at 80%. The shortlist is an ABSOLUTE re-rank budget (400 exact
+# cosines per query regardless of corpus size), so the scale cost at
+# 100 TB is unchanged.
+PQ_SHORTLIST = 400
 
 
 def _pq_topk_oracle_sql() -> str:
@@ -510,7 +518,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN search with asymmetric distance computation: each query
     precomputes a 4x8 LUT of quantized subspace cosines; the corpus is
     scored by FOUR ARRAY LOOKUPS per row (zero per-row cosines), the
-    top-100 (PQ_SHORTLIST) per query is re-ranked with the exact cosine. At
+    top-PQ_SHORTLIST (400) per query is re-ranked with the exact cosine. At
     100 TB the scoring stage is the PQ coding projection + a broadcast
     of #queries LUT rows — scan-bound, no shuffle before the bounded
     per-query top-k — and the exact math only ever touches

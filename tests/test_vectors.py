@@ -258,7 +258,9 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     got = {(r["query_id"], r["neighbor_id"]) for r in got_rows}
     assert len(got_rows) == len(exact), "3 rows per query"
     recall = len(got & exact) / len(exact)
-    assert recall >= 0.7, f"ADC recall collapsed: {recall}"
+    # floor raised 0.7 -> 0.9 with the measured shortlist=400 default
+    # (PQ_RECALL_CURVE.json, round-8 sweep)
+    assert recall >= 0.9, f"ADC recall collapsed: {recall}"
     # returned sims are exact cosines: cross-check a row against
     # brute force where the pair overlaps
     bf_sims = {

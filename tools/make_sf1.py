@@ -31,19 +31,25 @@ from snowalert_spark.tables import TABLES, table
 SRC = "/root/testdata/sf0.1"
 REPLICAS = 10
 
-# per-replica consonant permutation: two independent 10-letter
-# rotations compose to 100 distinct permutations, so document text
-# stays distinct per replica up to 100x (replica 0 is the identity —
-# the original corpus is a subset; i < 10 matches the original sf1
-# permutation exactly)
+# per-replica character permutation: two independent 10-letter
+# consonant rotations compose to 100 distinct permutations, and a
+# third 5-vowel rotation (engaged from replica 100 up) extends the
+# scheme to 500 — so document text stays distinct per replica through
+# sf50 and the dedup/curation family can ride the sf30 probes without
+# degenerating into exact cross-replica triplicates (round-7 README
+# note / verdict item 5). Replica 0 is the identity (the original
+# corpus is a subset); i < 100 leaves vowels untouched, so sf1/sf10
+# outputs are byte-identical to the previous scheme.
 _ALPHA = "bcdfghjklm"
 _ALPHA2 = "npqrstvwxz"
+_ALPHA3 = "aeiou"
 
 
-def _perm_cols(i: int) -> tuple[str, str, str, str]:
+def _perm_cols(i: int) -> tuple[str, str, str, str, str, str]:
     a1 = _ALPHA[i % 10:] + _ALPHA[: i % 10]
     a2 = _ALPHA2[(i // 10) % 10:] + _ALPHA2[: (i // 10) % 10]
-    return _ALPHA, a1, _ALPHA2, a2
+    a3 = _ALPHA3[(i // 100) % 5:] + _ALPHA3[: (i // 100) % 5]
+    return _ALPHA, a1, _ALPHA2, a2, _ALPHA3, a3
 
 
 def _stride(df, key):
@@ -108,9 +114,10 @@ def main(dst: str = "/tmp/sf1", replicas: int | str = REPLICAS) -> None:
                            ("l_suppkey", strides["supplier"])])
     replicate("events", [("event_id", strides["events"])])
     def permute_text(df, i):
-        s1, a1, s2, a2 = _perm_cols(i)
+        s1, a1, s2, a2, s3, a3 = _perm_cols(i)
         return df.withColumn(
-            "text", F.translate(F.translate("text", s1, a1), s2, a2)
+            "text",
+            F.translate(F.translate(F.translate("text", s1, a1), s2, a2), s3, a3),
         )
 
     replicate(
