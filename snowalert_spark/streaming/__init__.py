@@ -20,7 +20,7 @@ from __future__ import annotations
 import json
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -179,6 +179,194 @@ def dedup_stream(
     if within_watermark:
         return ev.dropDuplicatesWithinWatermark(key_cols)
     return ev.dropDuplicates(key_cols)
+
+
+def neardup_stream_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    state_dir: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    threshold: float = 0.8,
+    k: int = 3,
+    n_hashes: int = 24,
+    rows_per_band: int = 4,
+    retention_batches: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming NEAR-dup ingest: the micro-batch form of
+    :func:`~snowalert_spark.functions.dedup.cross_snapshot_minhash`.
+    Each arriving file's documents are dropped when they are near-dups
+    (shingle-Jaccard >= ``threshold``) of anything already ingested —
+    boilerplate-mutated recrawls, not just byte-identical redeliveries
+    (which :func:`dedup_stream` already handles with exact keys).
+
+    Mechanics per micro-batch (``foreachBatch`` — the candidate join
+    against accumulated state is not expressible with the built-in
+    streaming dedup operators):
+
+    1. in-batch pass: exact-text dups and MinHash near-dup pairs
+       inside the batch keep the smallest ``id_col`` per group;
+    2. batch-vs-state: the batch's band buckets equi-join the
+       persisted base buckets (band, band_hash) for candidates — the
+       accumulated corpus is NEVER re-shingled or all-paired — then
+       candidates are exact-verified against the persisted base
+       shingles; docs with a verified match are dropped;
+    3. survivors append to ``dst_path`` and their shingles + buckets
+       append to the state store, stamped with the micro-batch id.
+
+    State is bounded: with ``retention_batches=N`` only state rows
+    from the last N micro-batches participate in (and survive)
+    matching — the band-state analog of a streaming watermark. A doc
+    re-arriving after its original fell out of retention is ingested
+    again, exactly like a late event past the watermark. Each batch
+    compacts expired state away, so the stores hold at most N batches
+    of shingle/bucket rows.
+
+    100 TB shape: state lives as two parquet relations keyed on
+    8-byte hashes (band_hash md5 strings / xxhash-free shingle
+    strings at this tier match the batch operator for oracle parity);
+    the candidate join is hash-partitioned on (band, band_hash) and
+    only candidate doc pairs touch the verification join. Mirrors the
+    reference's stream->task incremental pattern
+    (aws_cloudtrail.py:253-275: each tick processes only new files
+    against results-table state).
+    """
+    from snowalert_spark.functions.dedup import (
+        _signature_aggs,
+        base_hash32,
+        doc_shingles,
+        minhash_band_buckets,
+    )
+    from snowalert_spark.functions.numeric import quantize
+
+    sh_dir = os.path.join(state_dir, "base_shingles")
+    bk_dir = os.path.join(state_dir, "base_buckets")
+
+    def _read_state(path, schema_str, batch_id):
+        if os.path.isdir(path):
+            df = spark.read.schema(schema_str).parquet(path)
+        else:
+            df = spark.createDataFrame([], schema_str)
+        if retention_batches is not None:
+            df = df.filter(F.col("batch_id") > batch_id - retention_batches)
+        return df
+
+    def _buckets(sh):
+        sigs = (
+            sh.select(id_col, base_hash32(F.col("s")).alias("h"))
+            .groupBy(id_col)
+            .agg(*_signature_aggs(n_hashes))
+        )
+        return minhash_band_buckets(sigs, n_hashes, rows_per_band)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()
+        # -- 1. in-batch dedup (exact, then near) -----------------------
+        keep = batch.withColumn(
+            "_rk",
+            F.row_number().over(
+                Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
+            ),
+        ).filter(F.col("_rk") == 1).drop("_rk").cache()
+        sh = doc_shingles(
+            keep.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            k,
+        ).withColumnRenamed("doc_id", id_col).cache()
+        from snowalert_spark.functions.dedup import minhash_lsh_pairs
+
+        near = minhash_lsh_pairs(
+            keep.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
+            threshold=threshold, n_hashes=n_hashes,
+            rows_per_band=rows_per_band, k=k,
+        ).select(F.col("doc_b").alias(id_col)).distinct()
+        keep = keep.join(near, id_col, "left_anti").cache()
+        sh = sh.join(keep.select(id_col), id_col, "left_semi")
+
+        # -- 2. batch vs accumulated state ------------------------------
+        base_sh = _read_state(sh_dir, f"{id_col} long, s string, batch_id long", batch_id)
+        base_bk = _read_state(
+            bk_dir, f"{id_col} long, band int, band_hash string, batch_id long", batch_id
+        )
+        bk = _buckets(sh)
+        cands = (
+            bk.alias("a")
+            .join(
+                base_bk.alias("b"),
+                (F.col("a.band") == F.col("b.band"))
+                & (F.col("a.band_hash") == F.col("b.band_hash")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(id_col),
+                F.col(f"b.{id_col}").alias("dup_of"),
+            )
+            .distinct()
+        )
+        na_ = sh.groupBy(id_col).agg(F.count("*").alias("na"))
+        nb_ = (
+            base_sh.groupBy(id_col).agg(F.count("*").alias("nb"))
+            .withColumnRenamed(id_col, "dup_of")
+        )
+        common = (
+            cands.join(sh.select(id_col, F.col("s").alias("sa")), id_col)
+            .join(
+                base_sh.select(F.col(id_col).alias("dup_of2"), F.col("s").alias("sb")),
+                (F.col("dup_of") == F.col("dup_of2")) & (F.col("sa") == F.col("sb")),
+            )
+            .groupBy(id_col, "dup_of")
+            .agg(F.count("*").alias("c"))
+        )
+        j = F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))
+        dups = (
+            common.join(na_, id_col)
+            .join(nb_, "dup_of")
+            .filter(quantize(j, 6) >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        survivors = keep.join(dups, id_col, "left_anti").cache()
+
+        # -- 3. publish survivors + append their state ------------------
+        survivors.write.mode("append").parquet(dst_path)
+        surv_sh = sh.join(survivors.select(id_col), id_col, "left_semi")
+        surv_sh.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sh_dir)
+        _buckets(surv_sh).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(bk_dir)
+        # compact expired state so the stores stay watermark-bounded
+        if retention_batches is not None:
+            for path, schema_str in (
+                (sh_dir, f"{id_col} long, s string, batch_id long"),
+                (bk_dir, f"{id_col} long, band int, band_hash string, batch_id long"),
+            ):
+                live = (
+                    spark.read.schema(schema_str).parquet(path)
+                    .filter(F.col("batch_id") > batch_id - retention_batches)
+                    .cache()
+                )
+                live.count()
+                live.write.mode("overwrite").parquet(path + "._compact")
+                import shutil
+
+                shutil.rmtree(path)
+                os.replace(path + "._compact", path)
+                live.unpersist()
+        batch.unpersist()
+
+    reader = spark.readStream.format(fmt).schema(schema)
+    if fmt == "csv":
+        reader = reader.option("header", "true")
+    q = (
+        reader.load(src_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
 
 
 def file_stream_ingest(
