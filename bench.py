@@ -331,6 +331,16 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # the driver records only the stdout tail (truncated at 2000 chars,
+    # which has lost per-query detail in past rounds) — also write the
+    # full document to a committable artifact (round-7 verdict item 6)
+    artifact = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_local.json")
+    if artifact:
+        try:
+            with open(artifact, "w") as f:
+                json.dump(out, f, indent=1)
+        except OSError:
+            pass  # read-only cwd must not fail the bench
 
 
 if __name__ == "__main__":
