@@ -583,3 +583,112 @@ def connected_components(
     else:
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     return labels.select("node", F.col("label").alias("cluster_id"))
+
+
+def connected_components_star(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Connected components by alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce
+    and Beyond", SoCC'14) — same output contract as
+    :func:`connected_components` (``(node, cluster_id)``, cluster_id =
+    min node id in the component) but O(log n) rounds on ANY graph
+    shape, where min-label propagation needs O(diameter) rounds.
+
+    This is the documented escalation for adversarial long-chain
+    graphs: near-dup similarity graphs are near-cliques (min-label
+    converges in a handful of rounds and does less work per round —
+    keep it as the default), but a chained corpus (doc A ~ B ~ C ~ …
+    with no direct A ~ C edge, e.g. sliding-window shingle overlap in
+    serial crawls) has diameter O(n); there the star alternation's
+    logarithmic round count is the difference between 15 shuffles and
+    thousands at 100 TB.
+
+    Per round (all hash-shuffle equi-joins/aggregations — no windows,
+    no cartesians):
+
+    - large-star: every node v links its LARGER neighbors to
+      ``m(v) = min(Γ(v) ∪ {v})``;
+    - small-star: every node v links its not-larger neighbors and
+      itself to ``m(v)``.
+
+    The edge set monotonically contracts toward a star forest whose
+    roots are component minima; fixpoint = the round leaves the edge
+    set unchanged (probed with two LIMIT-1 anti-join counts on
+    localCheckpoint'd frames, the same bounded driver budget as the
+    min-label probe).
+    """
+    e = (
+        edges.select(
+            F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+    )
+    cur = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    if cur.isEmpty():
+        return cur.select(
+            F.col("a").alias("node"), F.col("b").alias("cluster_id")
+        )
+
+    def _sym(frame: DataFrame) -> DataFrame:
+        return frame.union(
+            frame.select(F.col("b").alias("a"), F.col("a").alias("b"))
+        ).distinct()
+
+    def _with_min(sym: DataFrame) -> DataFrame:
+        mn = sym.groupBy("a").agg(F.min("b").alias("mb"))
+        return sym.join(mn, "a").withColumn(
+            "m", F.least(F.col("mb"), F.col("a"))
+        )
+
+    for _ in range(max_iter):
+        # large-star: (u, m(v)) for u in Γ(v), u > v
+        g = _with_min(_sym(cur))
+        large = (
+            g.filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+        )
+        # small-star over the large-star output: (u, m(v)) for
+        # u in Γ(v) ∪ {v}, u <= v, u != m(v)
+        g2 = _with_min(_sym(large.distinct()))
+        small_nbrs = g2.filter(F.col("b") <= F.col("a")).select(
+            F.col("b").alias("u"), F.col("m")
+        )
+        self_links = g2.select(F.col("a").alias("u"), F.col("m")).distinct()
+        nxt = (
+            small_nbrs.union(self_links)
+            .filter(F.col("u") != F.col("m"))
+            .select(F.col("u").alias("a"), F.col("m").alias("b"))
+            .distinct()
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.exceptAll(cur).limit(1).count()
+            + cur.exceptAll(nxt).limit(1).count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(
+            f"connected_components_star: no fixpoint in {max_iter} rounds"
+        )
+    # star forest: (child, root); guard with a min-agg (idempotent on a
+    # proper forest) and add root self-labels
+    child = cur.groupBy("a").agg(F.min("b").alias("cluster_id")).select(
+        F.col("a").alias("node"), "cluster_id"
+    )
+    roots = (
+        child.select("cluster_id")
+        .distinct()
+        .select(F.col("cluster_id").alias("node"), F.col("cluster_id"))
+    )
+    return child.union(roots).distinct()

@@ -110,3 +110,61 @@ def test_random_graphs_match_union_find(spark):
 
         got = _cc(spark, edges)
         assert got == want, f"seed {seed}"
+
+
+def _cc_star(spark, pairs, **kw):
+    edges = spark.createDataFrame(pairs, "doc_a long, doc_b long")
+    rows = D.connected_components_star(edges, **kw).collect()
+    return {r["node"]: r["cluster_id"] for r in rows}
+
+
+def test_star_matches_min_label_on_basics(spark):
+    for pairs in (
+        [(1, 2), (2, 3), (3, 4), (4, 5)],
+        [(1, 2), (10, 11), (11, 12), (10, 12), (20, 21)],
+        [(9, 3), (3, 7)],
+    ):
+        assert _cc_star(spark, pairs) == _cc(spark, pairs)
+
+
+def test_star_handles_long_chain_in_log_rounds(spark):
+    """A 200-node path has diameter 199: min-label propagation would
+    need ~199 rounds (its default max_iter=25 raises), while the
+    alternating star contraction must finish within its default 30 —
+    in practice O(log n) ~ 8."""
+    chain = [(i, i + 1) for i in range(199)]
+    with pytest.raises(RuntimeError, match="no fixpoint"):
+        _cc(spark, chain)  # min-label: diameter > max_iter
+    got = _cc_star(spark, chain)
+    assert got == {i: 0 for i in range(200)}
+
+
+def test_star_random_graphs_match_union_find(spark):
+    import random
+
+    for seed in (5, 41):
+        rng = random.Random(seed)
+        nodes = list(range(50))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(35)]
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        parent = {n: n for n in nodes}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {n for e in edges for n in e}
+        comp_min = {}
+        for n in touched:
+            r = find(n)
+            comp_min[r] = min(comp_min.get(r, n), n)
+        want = {n: comp_min[find(n)] for n in touched}
+        assert _cc_star(spark, edges) == want
