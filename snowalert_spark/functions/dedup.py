@@ -522,6 +522,7 @@ def connected_components(
     src: str = "doc_a",
     dst: str = "doc_b",
     max_iter: int = 25,
+    escalate: bool = True,
 ) -> DataFrame:
     """Connected components over an undirected edge list →
     (node, cluster_id) with cluster_id = min node id in the component.
@@ -533,9 +534,10 @@ def connected_components(
     component diameter. Near-dup similarity graphs have tiny diameters
     (duplicate clusters are near-cliques through their keeper), so this
     converges in a handful of rounds; for adversarial long-chain graphs
-    swap in alternating large-star/small-star (Kiveris et al.,
-    "Connected Components in MapReduce and Beyond", SoCC'14) — same
-    primitives, O(log n) rounds. ``localCheckpoint`` truncates the
+    the alternating large-star/small-star contraction
+    (:func:`connected_components_star`, Kiveris et al. SoCC'14 —
+    O(log n) rounds) takes over automatically when the round budget is
+    exhausted (``escalate=True``). ``localCheckpoint`` truncates the
     per-round lineage so the logical plan stays flat instead of growing
     exponentially with iterations.
 
@@ -581,6 +583,14 @@ def connected_components(
         if delta == 0:
             break
     else:
+        if escalate:
+            # component diameter exceeded the round budget (a chained
+            # graph, not a near-clique) — rerun with the O(log n)
+            # alternating-star contraction instead of failing. The
+            # min-label rounds already spent are sunk cost, but a
+            # diameter this large means the star path is the only one
+            # that terminates at all.
+            return connected_components_star(edges, src, dst)
         raise RuntimeError(f"connected_components: no fixpoint in {max_iter} rounds")
     return labels.select("node", F.col("label").alias("cluster_id"))
 

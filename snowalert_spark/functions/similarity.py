@@ -56,7 +56,17 @@ def brute_force_topk(
 
     Returns (query_id, neighbor_id, sim) with sim quantized to 6
     digits; ranking on (quantized sim DESC, neighbor_id) is fully
-    deterministic."""
+    deterministic.
+
+    Two-phase top-k (same lossless prune as :func:`pq_topk`): a
+    single global window on query_id would shuffle every scored
+    corpus row into #queries tasks — parallelism capped at the query
+    count no matter how many executors exist (the r8 sf30 probe
+    measured it 8.2x on 3x data). Phase 1 ranks within each INPUT
+    partition (map-side order, no extra exchange of the full scored
+    set); any global top-k row is necessarily inside its partition's
+    top-k under the same total order, so phase 2's global rank sees
+    only partitions x queries x k rows."""
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("qv"),
@@ -74,11 +84,16 @@ def brute_force_topk(
             "query_id",
             "neighbor_id",
             quantize(dot("qv", "cv") / (F.col("qn") * F.col("cn")), 6).alias("sim"),
+            F.spark_partition_id().alias("pid"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    order = [F.desc("sim"), F.asc("neighbor_id")]
+    wpre = W.partitionBy("pid", "query_id").orderBy(*order)
+    w = W.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("prn", F.row_number().over(wpre))
+        .filter(F.col("prn") <= k)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
@@ -746,7 +761,12 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k searching only the query's own IVF cell (nprobe=1)."""
+    """ANN top-k searching only the query's own IVF cell (nprobe=1).
+
+    Final rank is the same lossless two-phase top-k as
+    :func:`brute_force_topk` / :func:`pq_topk`: the scored candidate
+    set (every corpus vector sharing the query's cell) never lands on
+    #queries tasks."""
     assign = ivf_assign(corpus, centroids, id_col, vec_col)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
@@ -762,12 +782,18 @@ def ivf_topk(
         c.join(F.broadcast(q), F.col("cell") == F.col("qcell"))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
-            "query_id", "neighbor_id", quantize(cosine("qv", "cv"), 6).alias("sim")
+            "query_id", "neighbor_id",
+            quantize(cosine("qv", "cv"), 6).alias("sim"),
+            F.spark_partition_id().alias("pid"),
         )
     )
-    w = W.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    order = [F.desc("sim"), F.asc("neighbor_id")]
+    wpre = W.partitionBy("pid", "query_id").orderBy(*order)
+    w = W.partitionBy("query_id").orderBy(*order)
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("prn", F.row_number().over(wpre))
+        .filter(F.col("prn") <= k)
+        .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )

@@ -38,7 +38,14 @@ def test_edge_direction_is_irrelevant(spark):
 
 def test_unconverged_raises(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1)
+        _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1, escalate=False)
+
+
+def test_unconverged_escalates_to_star_by_default(spark):
+    # same exhausted round budget, but escalate=True (default) hands
+    # the graph to the alternating-star contraction instead of failing
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1)
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
 def test_exact_dup_pairs_star_edges(spark):
@@ -134,7 +141,7 @@ def test_star_handles_long_chain_in_log_rounds(spark):
     in practice O(log n) ~ 8."""
     chain = [(i, i + 1) for i in range(199)]
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        _cc(spark, chain)  # min-label: diameter > max_iter
+        _cc(spark, chain, escalate=False)  # min-label: diameter > max_iter
     got = _cc_star(spark, chain)
     assert got == {i: 0 for i in range(200)}
 
