@@ -236,6 +236,45 @@ def rplsh_params(
     return best[1], best[2]
 
 
+def rplsh_params_for_corpus(
+    n: int,
+    design_sim: float = 0.99,
+    target_recall: float = 0.97,
+    min_bits: int = 16,
+) -> tuple[int, int]:
+    """Corpus-size-aware ``(n_planes, bands)`` for
+    :func:`cosine_pairs_rplsh`.
+
+    Fixed band width makes background candidate volume QUADRATIC in
+    corpus size: random (near-orthogonal) pairs collide per band with
+    probability ~2^-bits, so with bits held constant the expected
+    collisions C(n,2)*2^-bits grow as n^2 (the r8 sf30 probe measured
+    the fixed-16-bit query at 6.4x wall on 3x data — 9x candidate
+    growth blended with linear scan work). Growing bits with log2(n)
+    holds expected bucket occupancy at O(1) and candidate volume at
+    O(n): bits = max(min_bits, ceil(log2(n))), then the band count is
+    the smallest b whose recall at ``design_sim`` (the similarity of a
+    genuine near-duplicate, not the verify threshold) still meets
+    ``target_recall`` — more bands buy back the recall each extra bit
+    costs.
+
+    At the driver-gate corpus (n <= 2^16) this returns exactly
+    (96, 6) == (RP_PLANES, RP_BANDS in workload/vector.py), the shape
+    the static DuckDB oracle replays bit-for-bit."""
+    import math
+
+    bits = max(min_bits, math.ceil(math.log2(max(n, 2))))
+    bands = 1
+    while rplsh_recall(design_sim, bits, bands) < target_recall:
+        bands += 1
+        if bands > 64:
+            raise ValueError(
+                f"rplsh_params_for_corpus: recall {target_recall} at "
+                f"sim {design_sim} unreachable with {bits}-bit bands"
+            )
+    return bits * bands, bands
+
+
 def cosine_pairs_rplsh(
     corpus: DataFrame,
     threshold: float,

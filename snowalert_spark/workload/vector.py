@@ -318,12 +318,16 @@ def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 RP_DIM = 64        # embeddings.embedding dimensionality (testdata)
 # 16-bit bands: random (near-orthogonal) pairs collide per band with
 # probability ~2^-16, so background candidate volume stays ~linear up
-# to corpora of millions of vectors (12-bit bands produced ~20M random
-# candidates — tens of GB of verify shuffle — at the 200k-vector sf10
-# bench). 6 bands keep planted near-dup recall at ~0.997 for sim 0.99
-# (1 - (1 - 0.97^16)^6). Bits-per-band should grow with log2(corpus)
-# to hold bucket occupancy constant; these values cover the tested
-# range (2k .. 200k vectors) with one setting.
+# to 2^16-vector corpora (12-bit bands produced ~20M random candidates
+# — tens of GB of verify shuffle — at the 200k-vector sf10 bench).
+# 6 bands keep genuine near-dup recall high (≈0.98 at sim 0.99).
+# These constants are the n <= 2^16 point of the corpus-size-aware
+# schedule `similarity.rplsh_params_for_corpus` (bits grows with
+# log2(n) to hold bucket occupancy O(1), bands grows to hold recall)
+# — the static oracle SQL below replays exactly this shape, and the
+# driver-gate corpus (sf0.01, 2k vectors) is always inside it; larger
+# bench corpora (sf10: 200k -> 18-bit/7-band, sf30: 600k ->
+# 20-bit/7-band) get wider bands so candidates stay O(n).
 RP_PLANES = 96
 RP_BANDS = 6
 
@@ -383,10 +387,18 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-tier embedding near-dup: banded sign-bit signatures over
     deterministic hyperplanes → bucket equi-join candidates → exact
     cosine verify. No all-pairs product (plan-pinned); candidates ⊆
-    the exact cosine_pairs result by construction."""
+    the exact cosine_pairs result by construction.
+
+    Band parameters follow ``rplsh_params_for_corpus`` — bits per band
+    grow with log2(corpus) so candidate volume stays O(n) (the fixed
+    16-bit shape ran 6.4x on 3x data at the sf30 probe). At gate scale
+    (n <= 2^16) the schedule returns exactly (RP_PLANES, RP_BANDS),
+    the shape the static oracle SQL replays bit-for-bit; the count()
+    that sizes the corpus is a parquet-metadata aggregate."""
     emb = table(spark, sf_dir, "embeddings")
+    n_planes, bands = S.rplsh_params_for_corpus(emb.count())
     return S.cosine_pairs_rplsh(
-        emb, SIM_THRESHOLD, n_planes=RP_PLANES, bands=RP_BANDS, dim=RP_DIM
+        emb, SIM_THRESHOLD, n_planes=n_planes, bands=bands, dim=RP_DIM
     )
 
 

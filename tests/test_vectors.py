@@ -188,6 +188,28 @@ def test_rplsh_params_monotone_and_bounded():
         S.rplsh_params(0.9, 1.5)
 
 
+def test_rplsh_params_for_corpus_schedule():
+    """Corpus-size-aware schedule: the driver-gate corpus (n <= 2^16)
+    must get EXACTLY the (96, 6) shape the static DuckDB oracle
+    replays; beyond that, bits per band track log2(n) (candidate
+    volume O(n)) while recall at the design similarity holds."""
+    from snowalert_spark.workload.vector import RP_PLANES, RP_BANDS
+
+    for n in (1, 100, 2000, 20000, 65536):
+        assert S.rplsh_params_for_corpus(n) == (RP_PLANES, RP_BANDS)
+    for n in (200_000, 600_000, 2_000_000):
+        planes, bands = S.rplsh_params_for_corpus(n)
+        bits = planes // bands
+        assert bits >= 16 and 2**bits >= n  # occupancy O(1)
+        assert S.rplsh_recall(0.99, bits, bands) >= 0.97
+    # monotone: more vectors never narrows the bands
+    prev = 0
+    for n in (10**4, 10**5, 10**6, 10**7, 10**8):
+        planes, bands = S.rplsh_params_for_corpus(n)
+        assert planes // bands >= prev
+        prev = planes // bands
+
+
 def test_rplsh_collision_prob_anchors():
     assert S.rp_collision_prob(1.0) == pytest.approx(1.0)
     assert S.rp_collision_prob(0.0) == pytest.approx(0.5)
