@@ -57,6 +57,9 @@ HEADLINE = [
     "quality_percentile_filter",
     "decontaminate_ngram",
     "pii_scrub_events",
+    "dedup_substring_spans",
+    "corpus_vocab_topk",
+    "semantic_dedup",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
     "ann_pq_topk",

@@ -799,17 +799,25 @@ def ivf_topk(
     k: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    nprobe: int = 1,
 ) -> DataFrame:
-    """ANN top-k searching only the query's own IVF cell (nprobe=1).
+    """ANN top-k searching the query's ``nprobe`` nearest IVF cells —
+    the standard IVF recall dial: nprobe=1 searches only the query's
+    own cell; larger values trade a linearly larger candidate set for
+    recall, and nprobe = #centroids degenerates to exact brute force
+    (every cell probed — pinned in tests/test_vectors.py). Each
+    corpus vector lives in exactly one cell, so a (query, neighbor)
+    pair can arise from at most one probed cell — no dedup needed.
 
     Final rank is the same lossless two-phase top-k as
     :func:`brute_force_topk` / :func:`pq_topk`: the scored candidate
-    set (every corpus vector sharing the query's cell) never lands on
+    set (every corpus vector sharing a probed cell) never lands on
     #queries tasks."""
     assign = ivf_assign(corpus, centroids, id_col, vec_col)
+    qassign = ivf_assign(queries, centroids, id_col, vec_col, nprobe=nprobe)
     q = (
         queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-        .join(assign.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .join(qassign.withColumnRenamed("vec_id", "query_id"), "query_id")
         .withColumnRenamed("cell", "qcell")
     )
     c = corpus.select(

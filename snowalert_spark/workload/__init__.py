@@ -103,6 +103,18 @@ LOCAL_ONLY = {
     # scale tiers verify candidates against the same exact-cosine
     # predicate; the guarded all-pairs baseline stays pytest-pinned).
     "dedup_embedding_cosine",
+    # Round-8 rotation: semantic_dedup (SemDeDup keep-one-per-group
+    # over k-means cells) is promoted into the declared gate; the row
+    # demoted to make room is subsumed by declared siblings and keeps
+    # its local oracle + pins: union_dedupe_nationkeys ⊂ dedup_exact
+    # (A4 SELECT DISTINCT is the same hash-aggregate collapse) and the
+    # pack corpus exercises U1 UNION ALL verbatim across its views.
+    "union_dedupe_nationkeys",
+    # Round-8 additions beyond the gate cap (local oracle coverage,
+    # same DuckDB harness): substring-level dedup spans (Lee et al.
+    # arXiv:2107.06499) and corpus vocabulary building.
+    "dedup_substring_spans",
+    "corpus_vocab_topk",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -162,6 +162,41 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "corpus_vocab_topk",
+    f"""
+    WITH {TOK_CTE},
+    words AS (SELECT doc_id, unnest(w) AS token FROM tok),
+    counts AS (
+        SELECT token, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+        FROM words WHERE token <> '' GROUP BY token)
+    SELECT token, n_occ, n_docs
+    FROM counts
+    ORDER BY n_occ DESC, token
+    LIMIT 100
+    """,
+)
+def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary building (training-pipeline op): corpus-wide top-100
+    tokens by occurrence count, with per-token document frequency (the
+    IDF denominator). Ties break on the token string so the cut is
+    deterministic.
+
+    100 TB shape: one partial-aggregated shuffle keyed on token (the
+    count and the distinct-doc count share it), then a
+    TakeOrderedAndProject top-k — per-partition heads merged on the
+    driver, never a global sort of the vocabulary."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select(
+        "doc_id", F.explode(X.tokens("text")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = words.groupBy("token").agg(
+        F.count(F.lit(1)).alias("n_occ"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    return counts.orderBy(F.desc("n_occ"), F.asc("token")).limit(100)
+
+
+@_q(
     "text_token_stats",
     f"""
     WITH {TOK_CTE}
@@ -309,6 +344,59 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
     )
+
+
+_SSW = 40  # repeated-substring window length (chars)
+
+
+@_q(
+    "dedup_substring_spans",
+    f"""
+    WITH wins AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(substr(text, CAST(i AS INT), {_SSW})) AS h
+        FROM documents,
+             unnest(range(1, greatest(len(text) - {_SSW} + 1, 0) + 1)) AS t(i)
+    ),
+    dh AS (SELECT h FROM wins GROUP BY h HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM wins JOIN dh USING (h)),
+    marks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SSW}
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits),
+    grp AS (SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM marks),
+    spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + {_SSW} - 1 AS e
+              FROM grp GROUP BY doc_id, g),
+    agg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_chars
+            FROM spans GROUP BY doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM hits GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(COALESCE(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CASE WHEN len(d.text) > 0 THEN
+               {quantize_sql('COALESCE(a.dup_chars, 0) / len(d.text)', 6)}
+           ELSE 0.0 END AS dup_frac
+    FROM documents d
+    LEFT JOIN agg a USING (doc_id)
+    LEFT JOIN cnt c USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup (Lee et al. arXiv:2107.06499): per-doc
+    coverage of substrings >= 40 chars that recur anywhere in the
+    corpus — stride-1 window fingerprints + a global occurrence count
+    give exact span coverage at the chosen granularity, no suffix
+    array needed (functions/dedup.py:repeated_substring_spans). The
+    DuckDB oracle replays the identical windows and merges spans with
+    a LAG/gaps-and-islands formulation; the Spark side merges with a
+    sorted single-pass fold (no second window pass)."""
+    d = table(spark, sf_dir, "documents")
+    return D.repeated_substring_spans(d, window=_SSW, min_count=2)
 
 
 @_q(

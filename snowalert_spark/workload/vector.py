@@ -402,6 +402,129 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic deduplication (Abbas et al., "SemDeDup: Data-
+# efficient learning at web-scale through semantic deduplication",
+# arXiv:2303.09540): cluster the embedding space with k-means, call two
+# documents semantic duplicates when their cosine similarity inside a
+# shared cluster exceeds eps, and keep ONE representative per duplicate
+# group — the paper's policy keeps the example with the LOWEST cosine
+# to its cluster centroid (the most atypical member preserves the most
+# information). Composes the engine's existing primitives: trained
+# centroid cache -> broadcast cell assignment -> within-cell
+# candidate/verify pairs (never all-pairs) -> distributed connected
+# components -> windowed keeper pick.
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "semantic_dedup",
+    f"""
+    WITH RECURSIVE {_kmeans_ctes()},
+    asim AS (
+        SELECT vec_id, cell, sim FROM (
+            SELECT e.vec_id, c.cell,
+                   {quantize_sql(_cos_sql('e.embedding', 'c.cent'), 6)} AS sim
+            FROM embeddings e CROSS JOIN {KMEANS_FINAL} c)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell) = 1),
+    cand AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+        FROM asim a JOIN asim b
+          ON a.cell = b.cell AND a.vec_id < b.vec_id),
+    pairs AS (
+        SELECT vec_a, vec_b
+        FROM cand
+        JOIN embeddings ea ON vec_a = ea.vec_id
+        JOIN embeddings eb ON vec_b = eb.vec_id
+        WHERE {quantize_sql(_cos_sql('ea.embedding', 'eb.embedding'), 6)}
+              >= {SIM_THRESHOLD}),
+    edges(a, b) AS (
+        SELECT vec_a, vec_b FROM pairs
+        UNION SELECT vec_b, vec_a FROM pairs),
+    reach(node, lab) AS (
+        SELECT vec_id, vec_id FROM embeddings
+        UNION
+        SELECT e.b, r.lab FROM reach r JOIN edges e ON e.a = r.node),
+    lab AS (SELECT node AS vec_id, CAST(MIN(lab) AS BIGINT) AS group_id
+            FROM reach GROUP BY node),
+    sz AS (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id)
+    SELECT l.vec_id, a.cell, l.group_id, sz.group_size, a.sim AS cent_sim,
+           ROW_NUMBER() OVER (PARTITION BY l.group_id
+                              ORDER BY a.sim, l.vec_id) = 1 AS keep
+    FROM lab l JOIN sz USING (group_id) JOIN asim a USING (vec_id)
+    """,
+)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup semantic deduplication: k-means cells → within-cell
+    cosine pairs at eps (candidate/verify equi-join, no all-pairs
+    product) → connected components over the duplicate graph → keep
+    the group member with the lowest centroid similarity (ties by
+    vec_id). Returns every vector with its cell, duplicate group,
+    group size, centroid similarity, and the keep decision.
+
+    100 TB shape: centroids broadcast (k×dims doubles); the only
+    corpus-sized exchanges are the cell equi-join on candidate ids,
+    the O(diameter) component rounds over the pair list (near-clique
+    groups → a handful), and one hash partition by group_id for the
+    keeper window."""
+    from pyspark.sql import Window
+
+    from snowalert_spark.functions import dedup as DD
+
+    emb = table(spark, sf_dir, "embeddings")
+    cents = _centroids(spark, sf_dir, emb).select(
+        F.col("cell").alias("vec_id"), F.col("cent").alias("embedding")
+    )
+    pairs = S.cosine_pairs_ivf(emb, cents, SIM_THRESHOLD, nprobe=1)
+    cc = DD.connected_components(
+        pairs.select(
+            F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+        )
+    )
+    asim = (
+        emb.crossJoin(
+            F.broadcast(cents.select(F.col("vec_id").alias("cell"),
+                                     F.col("embedding").alias("cent")))
+        )
+        .select(
+            "vec_id",
+            "cell",
+            quantize(S.cosine("embedding", "cent"), 6).alias("cent_sim"),
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(
+                    F.desc("cent_sim"), F.asc("cell")
+                )
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    labeled = (
+        asim.join(cc, asim["vec_id"] == cc["node"], "left")
+        .select(
+            "vec_id",
+            "cell",
+            "cent_sim",
+            F.coalesce("cluster_id", F.col("vec_id")).alias("group_id"),
+        )
+    )
+    sizes = labeled.groupBy("group_id").agg(
+        F.count(F.lit(1)).alias("group_size")
+    )
+    keep_w = Window.partitionBy("group_id").orderBy(
+        F.asc("cent_sim"), F.asc("vec_id")
+    )
+    return (
+        labeled.join(sizes, "group_id")
+        .withColumn("keep", F.row_number().over(keep_w) == 1)
+        .select("vec_id", "cell", "group_id", "group_size", "cent_sim", "keep")
+    )
+
+
 _MSE_SQL = (
     "list_reduce(list_transform(range(1, len(v) + 1), "
     "i -> (v[i] - dq[i]) * (v[i] - dq[i])), (x, y) -> x + y) / len(v)"

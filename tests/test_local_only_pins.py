@@ -140,3 +140,33 @@ def test_skew_salted_join_plan_actually_salts(spark):
     assert "__salt" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_union_dedupe_nationkeys_same_collapse_as_dedup_exact(spark):
+    """Round-8 demotion pin: U1/A4 — the UNION-then-DISTINCT collapse
+    is a hash-aggregate dedupe; the declared dedup_exact row keeps the
+    same key-collision semantics via its deterministic window keeper
+    (and the pack corpus runs UNION ALL verbatim)."""
+    local = _plan(spark, "union_dedupe_nationkeys")
+    sibling = _plan(spark, "dedup_exact")
+    assert "HashAggregate" in local
+    assert "Window" in sibling  # min-keeper over the same hash key
+    assert "CartesianProduct" not in local
+
+
+def test_corpus_vocab_topk_is_take_ordered(spark):
+    """Vocabulary top-k must stay TakeOrderedAndProject (per-partition
+    heads merged on the driver), never a global sort of the vocab."""
+    plan = _plan(spark, "corpus_vocab_topk")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_substring_spans_no_product_and_partial_agg(spark):
+    """The window-fingerprint count must partial-aggregate map-side
+    (two HashAggregate phases around the token exchange) and the
+    dup-hash join-back must be an equi hash join, never a product."""
+    plan = _plan(spark, "dedup_substring_spans")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("HashAggregate") >= 2

@@ -98,6 +98,57 @@ def test_planted_near_dups_full_recall(spark):
     assert planted <= found, f"missed {sorted(planted - found)[:5]}"
 
 
+def test_ivf_multiprobe_recall_dial(spark):
+    """nprobe is the IVF recall dial: probing every cell must EQUAL
+    brute force exactly, and recall vs brute force must be monotone
+    non-decreasing in nprobe."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 8)
+    cents = S.kmeans_fit(
+        emb.filter(F.col("vec_id") < TRAIN_N), k=N_CENTROIDS, iters=KMEANS_ITERS
+    ).select(F.col("cell").alias("vec_id"), F.col("cent").alias("embedding"))
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in S.brute_force_topk(emb, queries, k=3).collect()
+    )
+    prev_hits = -1
+    exact_set = set(exact)
+    for nprobe in (1, 2, N_CENTROIDS):
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.sim)
+            for r in S.ivf_topk(emb, cents, queries, k=3, nprobe=nprobe).collect()
+        )
+        hits = len(set(got) & exact_set)
+        assert hits >= prev_hits, f"recall regressed at nprobe={nprobe}"
+        prev_hits = hits
+        if nprobe == N_CENTROIDS:
+            assert got == exact, "full probe must equal brute force"
+
+
+def test_two_phase_topk_is_lossless(spark):
+    """brute_force_topk / ivf_topk prune per input partition before
+    the global rank (the partition-count window was the sf30 8.2x
+    flaw). The prune is lossless by construction — any global top-k
+    row is in its partition's top-k under the same total order — so
+    across partitionings the result set must be IDENTICAL."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 5)
+    corpus = emb.filter(F.col("vec_id") >= 5)
+    want = None
+    for parts in (1, 7, 32):
+        got = sorted(
+            (r.query_id, r.neighbor_id, r.sim)
+            for r in S.brute_force_topk(
+                corpus.repartition(parts), queries, k=10
+            ).collect()
+        )
+        assert len(got) == 5 * 10
+        if want is None:
+            want = got
+        else:
+            assert got == want, f"partitioning {parts} changed top-k"
+
+
 def test_cosine_pairs_guard_refuses_large_corpus(spark):
     """The exact all-pairs baseline must refuse a real-sized corpus:
     O(N²) pointed at production data is the one declared scale-unsafe
@@ -186,6 +237,41 @@ def test_rplsh_params_monotone_and_bounded():
         S.rplsh_params(0.5, 0.999, max_planes=8, max_bands=2)
     with pytest.raises(ValueError):
         S.rplsh_params(0.9, 1.5)
+
+
+def test_semantic_dedup_contract(spark):
+    """SemDeDup keep-one-per-group: exactly one keeper per duplicate
+    group, the keeper is the group's (cent_sim, vec_id)-minimal member
+    (the paper keeps the example FARTHEST from the centroid), group
+    ids are min member ids, and sizes add up to the corpus."""
+    qs = workload.queries()
+    rows = qs["semantic_dedup"](spark, SF).collect()
+    emb_n = _emb(spark).count()
+    assert len(rows) == emb_n
+    by_group: dict[int, list] = {}
+    for r in rows:
+        by_group.setdefault(r.group_id, []).append(r)
+    for gid, members in by_group.items():
+        assert gid == min(m.vec_id for m in members)
+        assert all(m.group_size == len(members) for m in members)
+        keepers = [m for m in members if m.keep]
+        assert len(keepers) == 1
+        want = min(members, key=lambda m: (m.cent_sim, m.vec_id))
+        assert keepers[0].vec_id == want.vec_id
+    # pairs come only from shared cells, so any multi-member group is
+    # single-cell at nprobe=1 CC-connected through shared-cell edges
+    multi = [g for g, m in by_group.items() if len(m) > 1]
+    assert multi, "fixture should produce at least one duplicate group"
+
+
+def test_semantic_dedup_no_cartesian(spark):
+    """Only product in the plan is the broadcast scan against the
+    k(=8) centroids — the corpus-corpus candidate join is equi on
+    cell, exactly like dedup_embedding_ivf."""
+    qs = workload.queries()
+    plan = (qs["semantic_dedup"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
 
 
 def test_rplsh_params_for_corpus_schedule():
