@@ -63,6 +63,7 @@ HEADLINE = [
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
     "ann_pq_topk",
+    "ann_ivfpq_topk",
     "embedding_quantize_int8",
     "embedding_pq_codes",
     "multimodal_features",

@@ -504,7 +504,7 @@ def _default_model_store(spark):
     return ResultsStore(spark, base)
 
 
-def trained_centroids(
+def trained_centroid_rows(
     spark,
     corpus_version: str,
     train: DataFrame,
@@ -513,15 +513,12 @@ def trained_centroids(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     store=None,
-) -> DataFrame:
-    """Return the IVF centroid frame ``(cell int, cent array<double>)``
-    for a corpus version, training at most once per version.
-
-    With ``store`` (a :class:`~snowalert_spark.store.ResultsStore`, or
-    $SNOWALERT_MODEL_DIR set), the trained codebook is persisted in the
-    versioned ``trained_centroids`` sidecar table and reloaded by later
-    sessions — a fresh driver process never re-runs k-means for a
-    corpus version it has already trained on."""
+) -> list[tuple[int, list[float]]]:
+    """The cached codebook as driver-side ``(cell, cent)`` tuples —
+    the zero-roundtrip variant of :func:`trained_centroids` for
+    literal-codebook plan construction (building a DataFrame just to
+    ``collect()`` it costs a createDataFrame+collect py4j roundtrip
+    per codebook; the PQ/IVF-PQ constructors consume 9 codebooks)."""
     key = (corpus_version, k, iters)
     if store is None:
         store = _default_model_store(spark)
@@ -553,9 +550,146 @@ def trained_centroids(
                 # deterministic-identical (same corpus version, same
                 # seeded init), so losing the race is harmless
                 pass
-    return spark.createDataFrame(
-        _CENTROID_CACHE[key], "cell int, cent array<double>"
+    return _CENTROID_CACHE[key]
+
+
+def trained_centroids(
+    spark,
+    corpus_version: str,
+    train: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store=None,
+) -> DataFrame:
+    """Return the IVF centroid frame ``(cell int, cent array<double>)``
+    for a corpus version, training at most once per version.
+
+    With ``store`` (a :class:`~snowalert_spark.store.ResultsStore`, or
+    $SNOWALERT_MODEL_DIR set), the trained codebook is persisted in the
+    versioned ``trained_centroids`` sidecar table and reloaded by later
+    sessions — a fresh driver process never re-runs k-means for a
+    corpus version it has already trained on."""
+    rows = trained_centroid_rows(
+        spark, corpus_version, train, k=k, iters=iters,
+        id_col=id_col, vec_col=vec_col, store=store,
     )
+    return spark.createDataFrame(rows, "cell int, cent array<double>")
+
+
+_Q6 = "floor(({x}) * 1000000.0D + 0.5D) / 1000000.0D"
+
+
+def _lit_cos_sql(cent_vals: list[float], sub: str) -> str:
+    """Quantize-ready cosine SQL between the runtime expression ``sub``
+    and a centroid embedded as a literal array. The centroid norm is
+    hoisted to a Python-computed literal: the left-to-right double fold
+    matches the engines' aggregate/list_reduce order exactly, so the
+    oracle (which computes sqrt(dot(cent,cent)) engine-side) still
+    matches bit-for-bit — and the plan stops recomputing a constant per
+    row."""
+    cvals = [float(x) for x in cent_vals]
+    # `0.123D` double-literal syntax, not CAST(.. AS DOUBLE): same
+    # value, ~2.5x less SQL text — these codebook expressions dominate
+    # plan size, and parse/analysis time scales with it
+    lit = "array(" + ",".join(f"{x!r}D" for x in cvals) + ")"
+    acc = 0.0
+    for x in cvals:
+        acc += x * x
+    nl = math.sqrt(acc)
+    return (
+        f"{DOT.format(a=sub, b=lit)} / "
+        f"(sqrt({DOT.format(a=sub, b=sub)}) * {nl!r}D)"
+    )
+
+
+def _cell_structs_sql(cents_rows, sub: str) -> str:
+    """``struct(-sim AS nsim, cell AS cell)`` literal-codebook terms in
+    cell order: ``array_sort`` over them ranks by (sim DESC, cell ASC)
+    — the exact ivf_assign/kmeans_fit assignment order. Rows are
+    ``(cell, cent)`` — pyspark Rows and plain tuples both index
+    positionally."""
+    structs = []
+    for r in sorted(cents_rows, key=lambda r: int(r[0])):
+        cos = _lit_cos_sql(list(r[1]), sub)
+        structs.append(
+            f"struct(-({_Q6.format(x=cos)}) AS nsim, "
+            f"{int(r[0])} AS cell)"
+        )
+    return ", ".join(structs)
+
+
+def _pq_code_cols(
+    spark,
+    corpus_version: str,
+    train: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    store=None,
+) -> list[Column]:
+    """The m zero-shuffle PQ code projections (``code_0`` …
+    ``code_{m-1}``): per subspace, train-once cached centroids embedded
+    as plan literals, assignment = argmax quantized cosine."""
+    d = dim // m
+    if d * m != dim:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    cols = []
+    for s in range(m):
+        sub_train = train.select(
+            id_col, F.slice(F.col(vec_col), s * d + 1, d).alias("embedding")
+        )
+        cents = trained_centroid_rows(
+            spark, f"{corpus_version}#pq{s}/{m}x{k}", sub_train, k=k,
+            iters=iters, store=store,
+        )
+        sub = f"slice({vec_col}, {s * d + 1}, {d})"
+        code = F.expr(
+            f"element_at(array_sort(array({_cell_structs_sql(cents, sub)})), 1).cell"
+        )
+        cols.append(code.alias(f"code_{s}"))
+    return cols
+
+
+def _pq_query_lut_cols(
+    spark,
+    corpus_version: str,
+    train: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    store=None,
+) -> list[Column]:
+    """Per-query ADC lookup tables: ``lut_s[cell+1]`` = quantized
+    cosine of the query's subspace-s slice against codebook cell —
+    built as literal-codebook expressions on the (tiny) query frame."""
+    d = dim // m
+    cols = []
+    for s in range(m):
+        cents = trained_centroid_rows(
+            spark,
+            f"{corpus_version}#pq{s}/{m}x{k}",
+            train.select(
+                id_col, F.slice(F.col(vec_col), s * d + 1, d).alias("embedding")
+            ),
+            k=k,
+            iters=iters,
+            store=store,
+        )
+        sub = f"slice({vec_col}, {s * d + 1}, {d})"
+        sims = [
+            _Q6.format(x=_lit_cos_sql(list(r[1]), sub))
+            for r in sorted(cents, key=lambda r: int(r[0]))
+        ]
+        cols.append(F.expr(f"array({', '.join(sims)})").alias(f"lut_{s}"))
+    return cols
 
 
 def pq_codes(
@@ -587,49 +721,11 @@ def pq_codes(
     identical arithmetic to ivf_assign/kmeans_fit, so a SQL oracle
     replays codes bit-for-bit.
     """
-    d = dim // m
-    if d * m != dim:
-        raise ValueError(f"dim {dim} not divisible by m {m}")
-    q6 = "floor(({x}) * 1000000.0D + 0.5D) / 1000000.0D"
-    sel = [F.col(id_col).alias("vec_id")]
-    for s in range(m):
-        sub_train = train.select(
-            id_col, F.slice(F.col(vec_col), s * d + 1, d).alias("embedding")
-        )
-        cents = trained_centroids(
-            spark, f"{corpus_version}#pq{s}/{m}x{k}", sub_train, k=k,
-            iters=iters, store=store,
-        ).collect()
-        sub = f"slice({vec_col}, {s * d + 1}, {d})"
-        structs = []
-        for r in sorted(cents, key=lambda r: r["cell"]):
-            cvals = [float(x) for x in r["cent"]]
-            lit = "array(" + ",".join(
-                f"CAST({x!r} AS DOUBLE)" for x in cvals
-            ) + ")"
-            # centroid norm hoisted to a Python-computed literal: the
-            # left-to-right double fold matches the engines' aggregate/
-            # list_reduce order exactly, so the oracle (which computes
-            # sqrt(dot(cent,cent)) engine-side) still matches bit-for-
-            # bit — and the plan stops recomputing a constant per row.
-            acc = 0.0
-            for x in cvals:
-                acc += x * x
-            nl = math.sqrt(acc)
-            cos = (
-                f"{DOT.format(a=sub, b=lit)} / "
-                f"(sqrt({DOT.format(a=sub, b=sub)}) * "
-                f"CAST({nl!r} AS DOUBLE))"
-            )
-            structs.append(
-                f"struct(-({q6.format(x=cos)}) AS nsim, "
-                f"{int(r['cell'])} AS cell)"
-            )
-        code = F.expr(
-            f"element_at(array_sort(array({', '.join(structs)})), 1).cell"
-        )
-        sel.append(code.alias(f"code_{s}"))
-    return corpus.select(*sel)
+    cols = _pq_code_cols(
+        spark, corpus_version, train, dim, m, k, iters, id_col, vec_col,
+        store=store,
+    )
+    return corpus.select(F.col(id_col).alias("vec_id"), *cols)
 
 
 def pq_topk(
@@ -662,62 +758,57 @@ def pq_topk(
     engine-side on the (tiny) query frame, so the whole search
     replays in the SQL oracle.
     """
-    d = dim // m
     codes = pq_codes(
         spark, corpus_version, corpus, train, dim, m, k, iters, id_col,
         vec_col, store=store,
     )
-    q6 = "floor(({x}) * 1000000.0D + 0.5D) / 1000000.0D"
-    lut_cols = []
-    for s in range(m):
-        cents = trained_centroids(
-            spark,
-            f"{corpus_version}#pq{s}/{m}x{k}",
-            train.select(
-                id_col, F.slice(F.col(vec_col), s * d + 1, d).alias("embedding")
-            ),
-            k=k,
-            iters=iters,
-            store=store,
-        ).collect()
-        sub = f"slice({vec_col}, {s * d + 1}, {d})"
-        sims = []
-        for r in sorted(cents, key=lambda r: r["cell"]):
-            lit = "array(" + ",".join(
-                f"CAST({float(x)!r} AS DOUBLE)" for x in r["cent"]
-            ) + ")"
-            acc = 0.0
-            for x in r["cent"]:
-                acc += float(x) * float(x)
-            nl = math.sqrt(acc)
-            cos = (
-                f"{DOT.format(a=sub, b=lit)} / "
-                f"(sqrt({DOT.format(a=sub, b=sub)}) * "
-                f"CAST({nl!r} AS DOUBLE))"
-            )
-            sims.append(q6.format(x=cos))
-        lut_cols.append(F.expr(f"array({', '.join(sims)})").alias(f"lut_{s}"))
+    lut_cols = _pq_query_lut_cols(
+        spark, corpus_version, train, dim, m, k, iters, id_col, vec_col,
+        store=store,
+    )
     q = queries.select(F.col(id_col).alias("query_id"), *lut_cols)
-    adc = None
-    for s in range(m):
-        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
-        adc = term if adc is None else adc + term
     scored = (
         codes.crossJoin(F.broadcast(q))
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            adc.alias("adc"),
+            _adc_expr(m).alias("adc"),
             F.spark_partition_id().alias("pid"),
         )
     )
-    # two-phase top-k: prune to each input partition's local shortlist
-    # first (any global top-`shortlist` row is inside its partition's
-    # top-`shortlist` under the same total order, so the prune is
-    # lossless) — the second, global rank then shuffles only
-    # partitions × queries × shortlist rows instead of the whole
-    # scored corpus into #queries tasks.
+    return _shortlist_rerank(
+        scored, corpus, queries, shortlist, topk, id_col, vec_col
+    )
+
+
+def _adc_expr(m: int) -> Column:
+    """Asymmetric-distance score: m array lookups, no per-row cosine."""
+    adc = None
+    for s in range(m):
+        term = F.element_at(F.col(f"lut_{s}"), F.col(f"code_{s}") + 1)
+        adc = term if adc is None else adc + term
+    return adc
+
+
+def _shortlist_rerank(
+    scored: DataFrame,
+    corpus: DataFrame,
+    queries: DataFrame,
+    shortlist: int,
+    topk: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Two-phase ADC shortlist + exact-cosine re-rank, shared by
+    :func:`pq_topk` and :func:`ivfpq_topk`.
+
+    Two-phase top-k: prune to each input partition's local shortlist
+    first (any global top-``shortlist`` row is inside its partition's
+    top-``shortlist`` under the same total order, so the prune is
+    lossless) — the second, global rank then shuffles only
+    partitions × queries × shortlist rows instead of the whole
+    scored corpus into #queries tasks."""
     order = [F.desc("adc"), F.asc("neighbor_id")]
     wpre = W.partitionBy("pid", "query_id").orderBy(*order)
     wsh = W.partitionBy("query_id").orderBy(*order)
@@ -742,6 +833,94 @@ def pq_topk(
         .withColumn("rn", F.row_number().over(wk))
         .filter(F.col("rn") <= topk)
         .drop("rn")
+    )
+
+
+def ivfpq_topk(
+    spark,
+    corpus_version: str,
+    corpus: DataFrame,
+    queries: DataFrame,
+    train: DataFrame,
+    dim: int,
+    m: int = 4,
+    k: int = 8,
+    iters: int = 2,
+    coarse_k: int = 8,
+    nprobe: int = 2,
+    shortlist: int = 20,
+    topk: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store=None,
+) -> DataFrame:
+    """IVF-PQ ANN search — the production composition (the FAISS
+    ``IVFx,PQy`` index shape): a coarse ``coarse_k``-cell IVF partition
+    prunes the candidate set, PQ/ADC scores the survivors with m array
+    lookups per row, and the exact cosine re-ranks only the bounded
+    shortlist.
+
+    Scale shape — the whole corpus side is ONE zero-shuffle projection:
+    the coarse cell is an argmax over the literal-embedded coarse
+    codebook (same trick as the PQ coder — no broadcast, no join, no
+    exchange) computed in the same ``select`` as the m PQ codes. The
+    query side is a tiny frame carrying (cell, lut_0..m-1) rows — the
+    ``nprobe`` nearest cells per query also come from the literal
+    codebook via ``slice(array_sort(...), 1, nprobe)`` + ``explode``,
+    so there is no nested-loop join anywhere. Search = one broadcast
+    hash equi-join on cell (corpus vectors stream past, only probed
+    cells score), then the shared lossless two-phase shortlist + exact
+    re-rank. Each corpus vector lives in exactly one coarse cell and a
+    query's probed cells are distinct, so no candidate dedup is needed.
+
+    Bit-exact oracle: coarse trainer + assignment replay in DuckDB via
+    the same quantized-cosine/tiebreak arithmetic as
+    :func:`ivf_assign`; PQ coding/LUT replay as in :func:`pq_topk`
+    (workload/vector.py::ann_ivfpq_topk)."""
+    coarse = trained_centroid_rows(
+        spark, corpus_version, train, k=coarse_k, iters=iters,
+        id_col=id_col, vec_col=vec_col, store=store,
+    )
+    cell_structs = _cell_structs_sql(coarse, vec_col)
+    code_cols = _pq_code_cols(
+        spark, corpus_version, train, dim, m, k, iters, id_col, vec_col,
+        store=store,
+    )
+    codes = corpus.select(
+        F.col(id_col).alias("vec_id"),
+        F.expr(
+            f"element_at(array_sort(array({cell_structs})), 1).cell"
+        ).alias("cell"),
+        *code_cols,
+    )
+    lut_cols = _pq_query_lut_cols(
+        spark, corpus_version, train, dim, m, k, iters, id_col, vec_col,
+        store=store,
+    )
+    nprobe = min(int(nprobe), coarse_k)
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        *lut_cols,
+        F.explode(
+            F.expr(f"slice(array_sort(array({cell_structs})), 1, {nprobe})")
+        ).alias("pr"),
+    ).select(
+        "query_id",
+        F.col("pr.cell").alias("cell"),
+        *[F.col(f"lut_{s}") for s in range(m)],
+    )
+    scored = (
+        codes.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            _adc_expr(m).alias("adc"),
+            F.spark_partition_id().alias("pid"),
+        )
+    )
+    return _shortlist_rerank(
+        scored, corpus, queries, shortlist, topk, id_col, vec_col
     )
 
 

@@ -112,9 +112,12 @@ LOCAL_ONLY = {
     "union_dedupe_nationkeys",
     # Round-8 additions beyond the gate cap (local oracle coverage,
     # same DuckDB harness): substring-level dedup spans (Lee et al.
-    # arXiv:2107.06499) and corpus vocabulary building.
+    # arXiv:2107.06499), corpus vocabulary building, and the combined
+    # IVF-PQ ANN search (its IVF and PQ halves each hold a declared
+    # driver row: ann_ivf_topk / ann_pq_topk).
     "dedup_substring_spans",
     "corpus_vocab_topk",
+    "ann_ivfpq_topk",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -463,45 +463,65 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id). Returns every vector with its cell, duplicate group,
     group size, centroid similarity, and the keep decision.
 
-    100 TB shape: centroids broadcast (k×dims doubles); the only
-    corpus-sized exchanges are the cell equi-join on candidate ids,
-    the O(diameter) component rounds over the pair list (near-clique
-    groups → a handful), and one hash partition by group_id for the
-    keeper window."""
+    100 TB shape: the cell AND the centroid similarity come from ONE
+    zero-shuffle literal-codebook argmax projection (the k×dims
+    centroids are embedded in the plan — no broadcast, no window, no
+    exchange; the same trick as the PQ coder). The only corpus-sized
+    exchanges are the cell equi-join on candidate ids, the O(diameter)
+    component rounds over the pair list (near-clique groups → a
+    handful), and one hash partition by group_id for the keeper
+    window."""
     from pyspark.sql import Window
 
     from snowalert_spark.functions import dedup as DD
 
     emb = table(spark, sf_dir, "embeddings")
-    cents = _centroids(spark, sf_dir, emb).select(
-        F.col("cell").alias("vec_id"), F.col("cent").alias("embedding")
+    cents_rows = S.trained_centroid_rows(
+        spark, sf_dir, emb.filter(F.col("vec_id") < TRAIN_N),
+        k=N_CENTROIDS, iters=KMEANS_ITERS,
     )
-    pairs = S.cosine_pairs_ivf(emb, cents, SIM_THRESHOLD, nprobe=1)
+    structs = S._cell_structs_sql(cents_rows, "embedding")
+    asim = emb.select(
+        "vec_id",
+        F.expr(f"element_at(array_sort(array({structs})), 1)").alias("best"),
+    ).select(
+        "vec_id",
+        F.col("best.cell").alias("cell"),
+        (-F.col("best.nsim")).alias("cent_sim"),
+    )
+    # candidate pairs = co-membership in the (single) nearest cell —
+    # the ids-only equi-join reuses asim's zero-shuffle assignment
+    # instead of re-deriving it (cosine_pairs_ivf's window pass)
+    cand = (
+        asim.select(F.col("vec_id").alias("vec_a"), "cell")
+        .join(asim.select(F.col("vec_id").alias("vec_b"), "cell"), "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+    )
+    va = emb.select(
+        F.col("vec_id").alias("vec_a"),
+        F.col("embedding").alias("va"),
+        F.sqrt(S.dot("embedding", "embedding")).alias("na"),
+    )
+    vb = emb.select(
+        F.col("vec_id").alias("vec_b"),
+        F.col("embedding").alias("vb"),
+        F.sqrt(S.dot("embedding", "embedding")).alias("nb"),
+    )
+    pairs = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .select(
+            "vec_a",
+            "vec_b",
+            quantize(S.dot("va", "vb") / (F.col("na") * F.col("nb")), 6).alias("sim"),
+        )
+        .filter(F.col("sim") >= SIM_THRESHOLD)
+    )
     cc = DD.connected_components(
         pairs.select(
             F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
         )
-    )
-    asim = (
-        emb.crossJoin(
-            F.broadcast(cents.select(F.col("vec_id").alias("cell"),
-                                     F.col("embedding").alias("cent")))
-        )
-        .select(
-            "vec_id",
-            "cell",
-            quantize(S.cosine("embedding", "cent"), 6).alias("cent_sim"),
-        )
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("vec_id").orderBy(
-                    F.desc("cent_sim"), F.asc("cell")
-                )
-            ),
-        )
-        .filter(F.col("rn") == 1)
-        .drop("rn")
     )
     labeled = (
         asim.join(cc, asim["vec_id"] == cc["node"], "left")
@@ -670,6 +690,101 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         m=PQ_M,
         k=N_CENTROIDS,
         iters=KMEANS_ITERS,
+        shortlist=PQ_SHORTLIST,
+        topk=3,
+    )
+
+
+ANN_NPROBE = 2  # coarse cells probed per query in the IVF-PQ search
+
+
+def _ivfpq_topk_oracle_sql() -> str:
+    """IVF-PQ (FAISS ``IVF8,PQ4`` shape) full replay: the coarse
+    trainer + corpus/query cell assignment (the ann_ivf_topk chain),
+    the four PQ sub-trainers + coding + per-query LUTs (the ann_pq_topk
+    chain), ADC scoring restricted to each query's ANN_NPROBE probed
+    cells, shortlist by ADC, exact-cosine re-rank."""
+    d = PQ_DIM // PQ_M
+    luts = []
+    for sI in range(PQ_M):
+        lo, hi = sI * d + 1, sI * d + d
+        luts.append(
+            f"""lut{sI} AS (
+            SELECT q.vec_id AS query_id, c.cell,
+                   {quantize_sql(_cos_sql(f'q.embedding[{lo}:{hi}]', 'c.cent'), 6)} AS sim
+            FROM embeddings q CROSS JOIN s{sI}c{KMEANS_ITERS} c
+            WHERE q.vec_id < {N_QUERIES})"""
+        )
+    lut_joins = " ".join(
+        f"JOIN lut{sI} l{sI} ON l{sI}.cell = e.code_{sI} "
+        f"AND l{sI}.query_id = p.query_id"
+        for sI in range(PQ_M)
+    )
+    adc_sum = " + ".join(f"l{sI}.sim" for sI in range(PQ_M))
+    return f"""
+    WITH {_kmeans_ctes()},
+    {_pq_cte_block()},
+    ascore AS (
+        SELECT e.vec_id, cell,
+               {quantize_sql(_cos_sql('e.embedding', 'c.cent'), 6)} AS sim
+        FROM embeddings e CROSS JOIN {KMEANS_FINAL} c),
+    assign AS (
+        SELECT vec_id, cell FROM ascore
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell) = 1),
+    qprobe AS (
+        SELECT vec_id AS query_id, cell FROM ascore
+        WHERE vec_id < {N_QUERIES}
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                                   ORDER BY sim DESC, cell) <= {ANN_NPROBE}),
+    {','.join(luts)},
+    adc AS (
+        SELECT p.query_id, e.vec_id AS neighbor_id, {adc_sum} AS adc
+        FROM pqcodes e
+        JOIN assign a USING (vec_id)
+        JOIN qprobe p ON p.cell = a.cell
+        {lut_joins}
+        WHERE e.vec_id <> p.query_id),
+    short AS (
+        SELECT query_id, neighbor_id FROM adc
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                                   ORDER BY adc DESC, neighbor_id)
+                <= {PQ_SHORTLIST})
+    SELECT query_id, neighbor_id,
+           {quantize_sql(_cos_sql('qe.embedding', 'ne.embedding'), 6)} AS sim
+    FROM short
+    JOIN embeddings qe ON qe.vec_id = query_id
+    JOIN embeddings ne ON ne.vec_id = neighbor_id
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id) <= 3
+    """
+
+
+@_q("ann_ivfpq_topk", _ivfpq_topk_oracle_sql())
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN search (the FAISS ``IVF8,PQ4`` production shape):
+    the coarse IVF partition prunes candidates to each query's
+    ANN_NPROBE(=2) nearest cells, ADC scores survivors with four array
+    lookups per row, the exact cosine re-ranks only the shortlist. The
+    corpus side is ONE zero-shuffle projection — coarse cell AND the
+    four PQ codes all come from literal-embedded codebooks — followed
+    by a broadcast hash equi-join on cell; there is no nested-loop join
+    anywhere in the plan (pinned). The oracle replays coarse trainer,
+    PQ trainers, both assignments, LUTs, ADC and both rank stages
+    bit-for-bit."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.ivfpq_topk(
+        spark,
+        sf_dir,
+        emb,
+        emb.filter(F.col("vec_id") < N_QUERIES),
+        train=emb.filter(F.col("vec_id") < TRAIN_N),
+        dim=PQ_DIM,
+        m=PQ_M,
+        k=N_CENTROIDS,
+        iters=KMEANS_ITERS,
+        coarse_k=N_CENTROIDS,
+        nprobe=ANN_NPROBE,
         shortlist=PQ_SHORTLIST,
         topk=3,
     )

@@ -125,6 +125,70 @@ def test_ivf_multiprobe_recall_dial(spark):
             assert got == exact, "full probe must equal brute force"
 
 
+def test_ivfpq_full_probe_full_shortlist_equals_brute_force(spark):
+    """IVF-PQ degenerate bound: probing every coarse cell with a
+    shortlist >= the corpus makes the ADC stage a no-op filter and the
+    exact re-rank the whole answer — the result must EQUAL brute force
+    exactly. (The production dial then only ever removes candidates.)"""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 6)
+    n = emb.count()
+    exact = sorted(
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in S.brute_force_topk(emb, queries, k=3).collect()
+    )
+    got = sorted(
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in S.ivfpq_topk(
+            spark, SF, emb, queries,
+            train=emb.filter(F.col("vec_id") < TRAIN_N),
+            dim=64, m=4, k=N_CENTROIDS, iters=KMEANS_ITERS,
+            coarse_k=N_CENTROIDS, nprobe=N_CENTROIDS, shortlist=n, topk=3,
+        ).collect()
+    )
+    assert got == exact
+
+
+def test_ivfpq_subset_of_pq_at_same_shortlist(spark):
+    """At the same shortlist, IVF-PQ's answer rows must come from the
+    same ADC scoring as pq_topk — the coarse partition only restricts
+    the candidate set, so every (query, neighbor, sim) IVF-PQ returns
+    for a fully-probed query matches the PQ answer."""
+    emb = _emb(spark)
+    queries = emb.filter(F.col("vec_id") < 4)
+    kwargs = dict(
+        train=emb.filter(F.col("vec_id") < TRAIN_N),
+        dim=64, m=4, k=N_CENTROIDS, iters=KMEANS_ITERS,
+        shortlist=50, topk=3,
+    )
+    pq = sorted(
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in S.pq_topk(spark, SF, emb, queries, **kwargs).collect()
+    )
+    ivfpq = sorted(
+        (r.query_id, r.neighbor_id, r.sim)
+        for r in S.ivfpq_topk(
+            spark, SF, emb, queries, coarse_k=N_CENTROIDS,
+            nprobe=N_CENTROIDS, **kwargs,
+        ).collect()
+    )
+    assert ivfpq == pq  # full probe -> same candidates -> same ADC path
+
+
+def test_ivfpq_plan_no_nested_loop(spark):
+    """The ann_ivfpq_topk plan: coarse cell + PQ codes are
+    literal-codebook projections and the probe join is a broadcast
+    hash equi-join on cell — no CartesianProduct, no
+    BroadcastNestedLoopJoin anywhere (the LUTs are literals, unlike
+    pq_topk's crossJoin-broadcast of the query frame)."""
+    qs = workload.queries(include_local=True)
+    plan = (qs["ann_ivfpq_topk"](spark, SF)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
 def test_two_phase_topk_is_lossless(spark):
     """brute_force_topk / ivf_topk prune per input partition before
     the global rank (the partition-count window was the sf30 8.2x
