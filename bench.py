@@ -58,7 +58,10 @@ HEADLINE = [
     "decontaminate_ngram",
     "pii_scrub_events",
     "dedup_substring_spans",
+    "dedup_substring_removal",
     "corpus_vocab_topk",
+    "doc_tfidf_topterms",
+    "unigram_logprob_scores",
     "semantic_dedup",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",

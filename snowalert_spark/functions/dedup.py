@@ -809,3 +809,98 @@ def repeated_substring_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def remove_repeated_substrings(
+    docs: DataFrame,
+    window: int = 40,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """The cleaning counterpart of :func:`repeated_substring_spans` —
+    Lee et al. (arXiv:2107.06499) REMOVE every duplicated substring,
+    keeping exactly one occurrence corpus-wide. At the window
+    granularity: every length-``window`` sliding window whose
+    fingerprint occurs ``min_count``+ times is cut from the text
+    UNLESS it is the globally-first occurrence of that fingerprint
+    (ordered by (doc_id, pos) — deterministic, engine-replayable);
+    per-doc cut ranges are merged and excised in one sorted fold that
+    stitches the kept segments back together.
+
+    Returns one row per input doc:
+    (doc_id, clean_text, removed_chars, n_removed_windows).
+
+    Scale shape: one corpus-chars exchange keyed on the fingerprint
+    (the count AND the first-occurrence rank share a single window
+    pass over it), the flagged subset joins back on doc_id, and the
+    excision is a per-doc fold — no second window pass, no O(n^2)
+    step. Identical work profile to the detection operator.
+    """
+    L = int(window)
+    wins = docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(
+            F.when(
+                F.length(text_col) >= L,
+                F.expr(
+                    f"transform(sequence(1, length({text_col}) - {L} + 1), "
+                    f"i -> struct(i AS pos, md5(substring({text_col}, i, {L})) AS h))"
+                ),
+            ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:string>>"))
+        ).alias("w"),
+    ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
+    wh = W.partitionBy("h")
+    flagged = (
+        wins.withColumn(
+            "rnk",
+            F.row_number().over(wh.orderBy(F.asc("doc_id"), F.asc("pos"))),
+        )
+        .withColumn("n_occ", F.count(F.lit(1)).over(wh))
+        .filter((F.col("n_occ") >= min_count) & (F.col("rnk") > 1))
+        .select("doc_id", "pos")
+    )
+    cuts = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed_windows"),
+        F.array_sort(F.collect_list("pos")).alias("ps"),
+    )
+    # excision fold: walk the sorted flagged positions; `nk` is the
+    # next keep-start (1-based). For each pos: emit the kept gap
+    # [nk, pos-1] if non-empty, then advance nk past the cut window.
+    clean = F.expr(
+        f"""aggregate(
+            ps,
+            struct(CAST(1 AS BIGINT) AS nk, CAST('' AS STRING) AS out),
+            (acc, p) -> struct(
+                CAST(greatest(acc.nk, CAST(p AS BIGINT) + {L}) AS BIGINT) AS nk,
+                CASE WHEN CAST(p AS BIGINT) > acc.nk
+                     THEN concat(acc.out,
+                                 substring(text, CAST(acc.nk AS INT),
+                                           CAST(CAST(p AS BIGINT) - acc.nk AS INT)))
+                     ELSE acc.out END AS out),
+            acc -> concat(acc.out,
+                          substring(text, CAST(acc.nk AS INT), length(text)))
+        )"""
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("ps").isNull(), F.col("text"))
+            .otherwise(clean)
+            .alias("clean_text"),
+            F.coalesce("n_removed_windows", F.lit(0))
+            .cast("long")
+            .alias("n_removed_windows"),
+        )
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.length("text") - F.length("clean_text"))
+            .cast("long")
+            .alias("removed_chars"),
+            "n_removed_windows",
+        )
+    )

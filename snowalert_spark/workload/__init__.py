@@ -118,6 +118,12 @@ LOCAL_ONLY = {
     "dedup_substring_spans",
     "corpus_vocab_topk",
     "ann_ivfpq_topk",
+    # ... plus the cleaning/scoring trio of the training-data layer:
+    # substring removal (the cut form of the spans detector), TF-IDF
+    # top terms, and the self-trained unigram-LM perplexity score.
+    "dedup_substring_removal",
+    "doc_tfidf_topterms",
+    "unigram_logprob_scores",
 }
 
 DRIVER_QUERY_CAP = 50

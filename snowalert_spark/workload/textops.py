@@ -400,6 +400,219 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "dedup_substring_removal",
+    f"""
+    WITH wins AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(substr(text, CAST(i AS INT), {_SSW})) AS h
+        FROM documents,
+             unnest(range(1, greatest(len(text) - {_SSW} + 1, 0) + 1)) AS t(i)
+    ),
+    flags AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rnk,
+                   COUNT(*) OVER (PARTITION BY h) AS n_occ
+            FROM wins)
+        WHERE n_occ >= 2 AND rnk > 1),
+    marks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SSW}
+                    THEN 0 ELSE 1 END AS brk
+        FROM flags),
+    grp AS (SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM marks),
+    spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + {_SSW} - 1 AS e
+              FROM grp GROUP BY doc_id, g),
+    kept AS (
+        SELECT doc_id,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+               s - 1 AS ke
+        FROM spans
+        UNION ALL
+        SELECT doc_id, MAX(e) + 1 AS ks, NULL AS ke
+        FROM spans GROUP BY doc_id),
+    cleaned AS (
+        SELECT k.doc_id,
+               string_agg(
+                   CASE WHEN ks > len(d.text) THEN ''
+                        WHEN ke IS NULL THEN substr(d.text, CAST(ks AS INT))
+                        WHEN ke >= ks THEN substr(d.text, CAST(ks AS INT),
+                                                  CAST(ke - ks + 1 AS INT))
+                        ELSE '' END,
+                   '' ORDER BY ks) AS clean_text
+        FROM kept k JOIN documents d USING (doc_id)
+        GROUP BY k.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_removed_windows
+            FROM flags GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(c.clean_text, d.text) AS clean_text,
+           CAST(len(d.text) - len(COALESCE(c.clean_text, d.text)) AS BIGINT)
+               AS removed_chars,
+           CAST(COALESCE(n.n_removed_windows, 0) AS BIGINT)
+               AS n_removed_windows
+    FROM documents d
+    LEFT JOIN cleaned c USING (doc_id)
+    LEFT JOIN cnt n USING (doc_id)
+    """,
+)
+def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level dedup, removal form (Lee et al.
+    arXiv:2107.06499 remove every duplicated substring, keeping one
+    occurrence corpus-wide): windows whose fingerprint recurs are cut
+    from the text unless they are the globally-first occurrence
+    (ordered by doc_id, pos); kept segments are stitched back by a
+    per-doc sorted fold (functions/dedup.py:remove_repeated_substrings).
+    The oracle replays the same cut set and rebuilds the text with a
+    gaps-and-islands complement + ordered string_agg."""
+    d = table(spark, sf_dir, "documents")
+    return D.remove_repeated_substrings(d, window=_SSW, min_count=2)
+
+
+TFIDF_TOPK = 5
+
+
+@_q(
+    "doc_tfidf_topterms",
+    f"""
+    WITH {TOK_CTE},
+    words AS (SELECT doc_id, unnest(w) AS token FROM tok),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf
+           FROM words WHERE token <> '' GROUP BY doc_id, token),
+    df AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT t.doc_id, t.token, t.tf,
+               {quantize_sql(
+                   't.tf * (ln((n.n_docs + 1.0) / (f.df + 1.0)) + 1.0)', 6)}
+                   AS tfidf
+        FROM tf t JOIN df f USING (token) CROSS JOIN n)
+    SELECT doc_id, token, CAST(tf AS BIGINT) AS tf, tfidf,
+           CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, token) AS BIGINT)
+               AS rnk
+    FROM scored
+    QUALIFY rnk <= {TFIDF_TOPK}
+    """,
+)
+def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-5 terms by smoothed TF-IDF (tf ·
+    (ln((N+1)/(df+1)) + 1), the sklearn-style smooth idf) — the
+    feature-extraction step of classifier-based quality filtering.
+
+    100 TB shape: term frequencies partial-aggregate on (doc, token);
+    document frequencies reuse that output with a second token-keyed
+    partial agg; the corpus size joins in as a broadcast scalar; the
+    final top-k is a per-doc window over the doc's own (bounded)
+    vocabulary — no global sort anywhere."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(X.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    tf = words.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "token")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "token",
+            F.col("tf").cast("long").alias("tf"),
+            quantize(
+                F.col("tf")
+                * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0)) + 1.0),
+                6,
+            ).alias("tfidf"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TFIDF_TOPK)
+        .select("doc_id", "token", "tf", "tfidf", "rnk")
+    )
+
+
+LM_VOCAB = 1024  # unigram LM vocabulary cap (broadcastable at any SF)
+
+
+@_q(
+    "unigram_logprob_scores",
+    f"""
+    WITH {TOK_CTE},
+    words AS (SELECT doc_id, unnest(w) AS token FROM tok
+              WHERE len(w) > 0),
+    words_ne AS (SELECT doc_id, token FROM words WHERE token <> ''),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM words_ne GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS t FROM counts),
+    vocab AS (SELECT token, cnt FROM counts
+              ORDER BY cnt DESC, token LIMIT {LM_VOCAB}),
+    toklp AS (
+        SELECT w.doc_id,
+               {quantize_sql(
+                   'ln((COALESCE(v.cnt, 0) + 1.0) / '
+                   f'(tot.t + {LM_VOCAB} + 1.0))', 6)} AS logp
+        FROM words_ne w
+        LEFT JOIN vocab v USING (token)
+        CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           {quantize_sql(
+               'CAST(SUM(CAST(-logp AS DECIMAL(25,12))) AS DOUBLE) '
+               '/ COUNT(*)', 6)} AS avg_nll
+    FROM toklp
+    GROUP BY doc_id
+    """,
+)
+def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-model quality scoring with a corpus-trained add-one
+    unigram model (the CCNet/KenLM-perplexity shape, self-trained):
+    vocabulary = the top-1024 tokens by count, every token scores
+    ln((cnt+1)/(T+V+1)) (out-of-vocabulary tokens hit the +1 floor),
+    and each document reports its mean negative log-likelihood — high
+    avg_nll = improbable text, the quality-filter signal.
+
+    100 TB shape: one token-keyed partial agg trains the model; the
+    bounded vocabulary (top-LM_VOCAB via TakeOrdered) and the scalar
+    total broadcast to the scoring scan; per-token log-probs quantize
+    to 6dp BEFORE the per-doc mean so the exact-decimal sum is
+    order-independent across engines and partitionings."""
+    d = table(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(X.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = words.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("t"))
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(LM_VOCAB)
+    toklp = (
+        words.join(F.broadcast(vocab), "token", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            quantize(
+                F.log(
+                    (F.coalesce("cnt", F.lit(0)) + 1.0)
+                    / (F.col("t") + LM_VOCAB + 1.0)
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    return toklp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tokens"),
+        quantize(
+            F.sum((-F.col("logp")).cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
+@_q(
     "dedup_clusters",
     f"""
     WITH RECURSIVE {TOK_CTE}, {SH_CTE}, {SIZES_CTE},

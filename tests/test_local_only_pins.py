@@ -170,3 +170,34 @@ def test_substring_spans_no_product_and_partial_agg(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert plan.count("HashAggregate") >= 2
+
+
+def test_substring_removal_single_fingerprint_exchange(spark):
+    """The removal form ranks and counts occurrences in ONE window
+    pass over the fingerprint exchange (no separate groupBy+join), and
+    nothing in the plan is a product join."""
+    plan = _plan(spark, "dedup_substring_removal")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan
+
+
+def test_tfidf_broadcast_scalar_and_no_product(spark):
+    """TF-IDF: tf/df are partial-aggregated hash exchanges; the corpus
+    size joins as a broadcast scalar (1-row BNLJ is the legitimate
+    scalar-broadcast shape); the top-k is a per-doc window, never a
+    global sort."""
+    plan = _plan(spark, "doc_tfidf_topterms")
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+
+
+def test_unigram_lm_vocab_broadcast(spark):
+    """The unigram scorer joins the bounded vocabulary via broadcast
+    hash join (the corpus-sized words frame never shuffles for the
+    lookup) and the model-training agg partial-aggregates."""
+    plan = _plan(spark, "unigram_logprob_scores")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan  # bounded top-V vocabulary

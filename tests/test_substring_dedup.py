@@ -99,3 +99,63 @@ def test_exact_dup_docs_fully_covered(spark):
         assert got[d].n_spans == 1
         assert got[d].dup_chars == 300
         assert got[d].dup_frac == 1.0
+
+
+# --- removal form (keep the globally-first occurrence) ---------------
+
+from snowalert_spark.functions.dedup import remove_repeated_substrings
+
+
+def test_removal_keeps_first_occurrence_cross_doc(spark):
+    block = string.ascii_letters + "0123456789"  # 62 chars
+    a = _uniq("a", 100) + "!" + block + "@" + _uniq("b", 100)
+    b = _uniq("c", 100) + "#" + block + "$" + _uniq("d", 100)
+    got = _rows(
+        remove_repeated_substrings(
+            _docs(spark, [(1, a), (2, b), (3, _uniq("e", 260))]), window=L
+        )
+    )
+    # doc 1 holds every window's first occurrence -> untouched
+    assert got[1].clean_text == a
+    assert got[1].removed_chars == 0 and got[1].n_removed_windows == 0
+    # doc 2's copy of the block is excised exactly
+    assert got[2].clean_text == _uniq("c", 100) + "#" + "$" + _uniq("d", 100)
+    assert got[2].removed_chars == 62
+    assert got[2].n_removed_windows == 62 - L + 1
+    assert got[3].clean_text == _uniq("e", 260)
+
+
+def test_removal_intra_doc_second_copy_cut(spark):
+    block = string.ascii_uppercase + string.ascii_lowercase  # 52
+    text = (
+        _uniq("a", 60) + "!" + block + "@" + _uniq("b", 60)
+        + "#" + block + "$" + _uniq("c", 60)
+    )
+    got = _rows(remove_repeated_substrings(_docs(spark, [(7, text)]), window=L))
+    want = (
+        _uniq("a", 60) + "!" + block + "@" + _uniq("b", 60)
+        + "#" + "$" + _uniq("c", 60)
+    )
+    assert got[7].clean_text == want
+    assert got[7].removed_chars == 52
+
+
+def test_removal_identical_docs_one_survives_whole(spark):
+    text = _uniq("a", 300)
+    got = _rows(
+        remove_repeated_substrings(_docs(spark, [(1, text), (2, text)]), window=L)
+    )
+    assert got[1].clean_text == text  # first occurrence of every window
+    assert got[2].clean_text == ""  # full excision
+    assert got[2].removed_chars == 300
+
+
+def test_removal_short_docs_untouched(spark):
+    got = _rows(
+        remove_repeated_substrings(
+            _docs(spark, [(1, "tiny"), (2, ""), (3, "x" * (L - 1))]), window=L
+        )
+    )
+    for d in (1, 2, 3):
+        assert got[d].removed_chars == 0
+        assert got[d].n_removed_windows == 0
