@@ -62,6 +62,7 @@ HEADLINE = [
     "corpus_vocab_topk",
     "doc_tfidf_topterms",
     "unigram_logprob_scores",
+    "dsir_select",
     "semantic_dedup",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",

@@ -108,3 +108,97 @@ def mixture_plan(
         rate.alias("rate_pct"),
         F.floor(F.col("n_docs") * rate / 100.0).cast("long").alias("planned_docs"),
     )
+
+
+def dsir_logweights(
+    docs: DataFrame,
+    target: DataFrame,
+    n_buckets: int = 4096,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection with Importance Resampling (Xie et al.,
+    arXiv:2302.03169) — the hashed n-gram importance weights: build
+    bag-of-hashed-ngram (unigram + bigram) distributions for the raw
+    corpus and the target domain, smooth add-one over ``n_buckets``
+    buckets, and score every raw document with
+    ``log w = Σ_features [ln p_target(bucket) - ln p_raw(bucket)]``.
+    Returns (doc_id, n_feats, logw) for every input doc (docs with no
+    features score 0).
+
+    Deterministic and engine-replayable: buckets come from the md5
+    hash-bucket idiom above, per-bucket log-ratios are quantized to
+    6dp before the per-doc sum runs through exact DECIMAL accumulation
+    (order-independent across engines and partitionings).
+
+    100 TB shape: two partial-aggregated bucket-count exchanges (raw +
+    target) collapse to ≤ ``n_buckets`` rows each; the log-ratio table
+    is bucket-bounded and BROADCASTS to the per-doc scoring scan, so
+    the corpus-sized feature stream shuffles exactly once — the
+    groupBy(doc_id) sum."""
+    from snowalert_spark.functions import text as X
+
+    def feats(df: DataFrame) -> DataFrame:
+        tok = X.tokens(text_col)
+        return (
+            df.select(
+                F.col(id_col).alias("doc_id"),
+                F.explode(F.concat(tok, X.shingles(tok, 2))).alias("f"),
+            )
+            .filter(F.col("f") != "")
+            .select("doc_id", hash_bucket(F.col("f"), n_buckets).alias("b"))
+        )
+
+    fr = feats(docs)
+    ft = feats(target)
+    raw = fr.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+    tgt = ft.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+    tr = fr.agg(F.count(F.lit(1)).alias("tr"))
+    tt = ft.agg(F.count(F.lit(1)).alias("tt"))
+    lr = (
+        raw.join(tgt, "b", "full")
+        .crossJoin(F.broadcast(tr))
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "b",
+            quantize(
+                F.log(
+                    ((F.coalesce("ct", F.lit(0)) + 1.0) / (F.col("tt") + n_buckets))
+                    / ((F.coalesce("cr", F.lit(0)) + 1.0) / (F.col("tr") + n_buckets))
+                ),
+                6,
+            ).alias("lr"),
+        )
+    )
+    perdoc = (
+        fr.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.sum(F.col("lr").cast("decimal(25,12)")).cast("double").alias("logw"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"))
+        .join(perdoc, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            quantize(F.coalesce("logw", F.lit(0.0)), 6).alias("logw"),
+        )
+    )
+
+
+def gumbel_key(id_col: Column, salt: str = "dsir") -> Column:
+    """Deterministic Gumbel(0,1) noise from the id's md5: the standard
+    Gumbel-top-k trick turns weighted sampling-without-replacement into
+    a deterministic top-k by ``logw + g``. u = (h32 + 1) / (2^32 + 1)
+    is uniform in (0,1) on the 32-bit hash lattice; g = -ln(-ln(u)).
+    DuckDB replays the identical arithmetic (quantized to 6dp)."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt + "|"), id_col.cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    u = (h + 1.0) / 4294967297.0
+    return quantize(-F.log(-F.log(u)), 6)

@@ -124,6 +124,8 @@ LOCAL_ONLY = {
     "dedup_substring_removal",
     "doc_tfidf_topterms",
     "unigram_logprob_scores",
+    # ... and DSIR importance resampling (Xie et al. arXiv:2302.03169).
+    "dsir_select",
 }
 
 DRIVER_QUERY_CAP = 50

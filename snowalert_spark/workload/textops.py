@@ -612,6 +612,90 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+DSIR_B = 4096  # hashed n-gram buckets
+DSIR_K = 100  # documents selected
+
+
+@_q(
+    "dsir_select",
+    f"""
+    WITH {TOK_CTE},
+    feats AS (
+        SELECT doc_id, f FROM (
+            SELECT doc_id, unnest(w) AS f FROM tok
+            UNION ALL
+            SELECT doc_id,
+                   unnest(list_transform(range(0, len(w) - 1),
+                          i -> array_to_string(w[i+1:i+2], ' '))) AS f
+            FROM tok WHERE len(w) >= 2)
+        WHERE f <> ''),
+    fb AS (SELECT doc_id,
+                  ('0x' || substr(md5(f), 1, 8))::UBIGINT % {DSIR_B} AS b
+           FROM feats),
+    raw AS (SELECT b, COUNT(*) AS cr FROM fb GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS ct
+            FROM fb JOIN documents USING (doc_id)
+            WHERE lang = 'en' GROUP BY b),
+    traw AS (SELECT COUNT(*) AS tr FROM fb),
+    ttgt AS (SELECT COUNT(*) AS tt
+             FROM fb JOIN documents USING (doc_id) WHERE lang = 'en'),
+    lr AS (
+        SELECT COALESCE(r.b, t.b) AS b,
+               {quantize_sql(
+                   'ln(((COALESCE(ct, 0) + 1.0) / (tt + ' + str(DSIR_B) + ')) '
+                   '/ ((COALESCE(cr, 0) + 1.0) / (tr + ' + str(DSIR_B) + ')))',
+                   6)} AS lr
+        FROM raw r FULL JOIN tgt t ON r.b = t.b
+        CROSS JOIN traw CROSS JOIN ttgt),
+    perdoc AS (
+        SELECT fb.doc_id, COUNT(*) AS n_feats,
+               CAST(SUM(CAST(lr AS DECIMAL(25,12))) AS DOUBLE) AS logw
+        FROM fb JOIN lr USING (b) GROUP BY fb.doc_id),
+    scoredq AS (
+        SELECT d.doc_id,
+               CAST(COALESCE(p.n_feats, 0) AS BIGINT) AS n_feats,
+               {quantize_sql('COALESCE(p.logw, 0.0)', 6)} AS logw,
+               {quantize_sql(
+                   "-ln(-ln((('0x' || substr(md5('dsir|' || "
+                   "CAST(d.doc_id AS VARCHAR)), 1, 8))::UBIGINT + 1.0) "
+                   "/ 4294967297.0))", 6)} AS gq
+        FROM documents d LEFT JOIN perdoc p USING (doc_id)),
+    keyed AS (
+        SELECT doc_id, n_feats, logw,
+               {quantize_sql('logw + gq', 6)} AS gkey
+        FROM scoredq)
+    SELECT doc_id, n_feats, logw, gkey
+    FROM keyed
+    ORDER BY gkey DESC, doc_id
+    LIMIT {DSIR_K}
+    """,
+)
+def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data Selection with Importance Resampling (DSIR, Xie et al.
+    arXiv:2302.03169): score every document with hashed-ngram
+    importance log-weights toward a target domain (here: the corpus's
+    English documents), add deterministic Gumbel noise (the
+    Gumbel-top-k trick = weighted sampling without replacement), and
+    select the top-100. The weight model, noise, and selection all
+    replay bit-for-bit in the oracle.
+
+    100 TB shape: the bucket-count model collapses to <= 4096 rows per
+    side and broadcasts to the scoring scan; the corpus-sized feature
+    stream shuffles once (the per-doc sum); selection is a
+    TakeOrderedAndProject top-k, never a global sort."""
+    d = table(spark, sf_dir, "documents")
+    lw = SMP.dsir_logweights(d, d.filter(F.col("lang") == "en"), n_buckets=DSIR_B)
+    return (
+        lw.withColumn(
+            "gkey",
+            quantize(F.col("logw") + SMP.gumbel_key(F.col("doc_id")), 6),
+        )
+        .orderBy(F.desc("gkey"), F.asc("doc_id"))
+        .limit(DSIR_K)
+        .select("doc_id", "n_feats", "logw", "gkey")
+    )
+
+
 @_q(
     "dedup_clusters",
     f"""

@@ -201,3 +201,13 @@ def test_unigram_lm_vocab_broadcast(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan  # bounded top-V vocabulary
+
+
+def test_dsir_select_take_ordered_and_broadcast_model(spark):
+    """DSIR: the bucket model broadcasts to the scoring scan (never a
+    corpus shuffle for the lookup) and the selection is a bounded
+    TakeOrderedAndProject, never a global sort."""
+    plan = _plan(spark, "dsir_select")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
