@@ -286,7 +286,13 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
             return
         runs[name] = rs
-        timings[name] = rs[1]  # median
+        timings[name] = rs[len(rs) // 2]  # median
+
+    # measured runs per query (median reported). Default 3; the heavy
+    # scale sidecars (sf10/sf30, where single runs take minutes) may
+    # set SPARK_GRAFT_BENCH_RUNS=1 — the warm-up run still happens, so
+    # a single measured run is a warmed steady-state sample.
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     for name in names:
         def triple(name=name) -> list[float]:
@@ -300,7 +306,7 @@ def main() -> None:
                 return time.perf_counter() - t0
 
             one()  # warm-up, discarded
-            return [one() for _ in range(3)]
+            return [one() for _ in range(n_runs)]
 
         record(name, triple)
 

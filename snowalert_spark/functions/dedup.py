@@ -727,12 +727,12 @@ def repeated_substring_spans(
     no window function). Returns one row per input doc:
     (doc_id, n_dup_windows, n_spans, dup_chars, dup_frac).
 
-    Scale shape: the position explode shuffles (hash, 1) pairs with
-    map-side combine into the global count — O(corpus chars) rows of
-    ~24 bytes, the same order of work as the published suffix-array
-    build, and the dominant cost by design. The duplicate-hash set that
-    joins back is only the repeated windows (in real corpora a small
-    fraction), and the per-doc merge is one hash exchange on doc_id.
+    Scale shape: ONE exchange of the O(corpus chars) fingerprint
+    stream keyed on the hash (a count-over-partition window marks the
+    repeated positions in the same pass — the stream is computed and
+    shuffled exactly once), then the per-doc merge is one hash
+    exchange on doc_id. That is the same order of work as the
+    published suffix-array build, and the dominant cost by design.
     The fold-based interval merge is O(positions per doc), not
     O(n^2).
     """
@@ -749,13 +749,15 @@ def repeated_substring_spans(
             ).otherwise(F.expr("array()").cast("array<struct<pos:int,h:string>>"))
         ).alias("w"),
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
-    dup_h = (
-        wins.groupBy("h")
-        .agg(F.count(F.lit(1)).alias("n_occ"))
+    # global occurrence count via ONE window pass over the fingerprint
+    # exchange: the earlier groupBy+join-back form evaluated the md5
+    # explode subtree twice (the agg branch and the probe branch don't
+    # share an exchange) — 2x the dominant cost at every SF
+    hits = (
+        wins.withColumn("n_occ", F.count(F.lit(1)).over(W.partitionBy("h")))
         .filter(F.col("n_occ") >= min_count)
-        .select("h")
+        .select("doc_id", "pos")
     )
-    hits = wins.join(dup_h, "h").select("doc_id", "pos")
     # merge sorted positions into maximal spans: window at pos covers
     # [pos, pos+L-1]; a window starts a new span iff pos > prev_end + 1
     merged = hits.groupBy("doc_id").agg(

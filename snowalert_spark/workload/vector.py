@@ -417,6 +417,29 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+SEM_GATE_N = 1 << 16  # corpora up to this size keep the oracle shape
+SEM_TARGET_CELL = 1024  # expected cell size past the gate shape
+
+
+def semantic_kmeans_params(n: int) -> tuple[int, int]:
+    """Corpus-size-aware k-means shape for SemDeDup (the same policy
+    :func:`~snowalert_spark.functions.similarity.rplsh_params_for_corpus`
+    applies to LSH bands): the driver-gate corpora (n <= 2^16,
+    covering sf0.001 through sf1) keep EXACTLY the static
+    oracle-pinned (k=8, train_n=64); past that, k grows with n so the
+    expected cell size stays ~SEM_TARGET_CELL — a fixed k makes the
+    within-cell candidate/verify step quadratic in the corpus
+    (n^2/k pairs), which is the scale killer the r6 fixed-band LSH
+    had. k ≈ n/1024 also balances assignment cost (n·k cosines)
+    against verify cost (n·cell/2), which meet at k ≈ sqrt(n/2).
+    train_n = 8k keeps the Lloyd sample ≥ k seed vectors and bounded.
+    """
+    if n <= SEM_GATE_N:
+        return N_CENTROIDS, TRAIN_N
+    k = min(4096, max(N_CENTROIDS, int(n) // SEM_TARGET_CELL))
+    return k, 8 * k
+
+
 @_q(
     "semantic_dedup",
     f"""
@@ -463,54 +486,100 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id). Returns every vector with its cell, duplicate group,
     group size, centroid similarity, and the keep decision.
 
-    100 TB shape: the cell AND the centroid similarity come from ONE
-    zero-shuffle literal-codebook argmax projection (the k×dims
-    centroids are embedded in the plan — no broadcast, no window, no
-    exchange; the same trick as the PQ coder). The only corpus-sized
-    exchanges are the cell equi-join on candidate ids, the O(diameter)
-    component rounds over the pair list (near-clique groups → a
-    handful), and one hash partition by group_id for the keeper
-    window."""
+    100 TB shape: k follows the corpus-size schedule
+    (:func:`semantic_kmeans_params` — gate corpora keep the
+    oracle-pinned k=8; larger corpora bound cells at ~1024 so the
+    within-cell verify stays O(n·cell), never O(n²/8)). At gate shape
+    the cell AND the centroid similarity come from ONE zero-shuffle
+    literal-codebook argmax projection (the same trick as the PQ
+    coder); at scheduled shape the codebook broadcasts and a
+    map-side-combining min-struct aggregate exchanges only n rows.
+    The remaining corpus-sized exchanges are the cell equi-join on
+    candidate ids, the O(diameter) component rounds over the pair
+    list (near-clique groups → a handful), and one hash partition by
+    group_id for the keeper window."""
     from pyspark.sql import Window
 
     from snowalert_spark.functions import dedup as DD
 
     emb = table(spark, sf_dir, "embeddings")
+    k, train_n = semantic_kmeans_params(emb.count())
     cents_rows = S.trained_centroid_rows(
-        spark, sf_dir, emb.filter(F.col("vec_id") < TRAIN_N),
-        k=N_CENTROIDS, iters=KMEANS_ITERS,
+        spark, sf_dir, emb.filter(F.col("vec_id") < train_n),
+        k=k, iters=KMEANS_ITERS,
     )
-    structs = S._cell_structs_sql(cents_rows, "embedding")
-    asim = emb.select(
+    if k <= 64:
+        # gate shape: literal-codebook argmax — zero-shuffle projection
+        structs = S._cell_structs_sql(cents_rows, "embedding")
+        asim = emb.select(
+            "vec_id",
+            F.expr(f"element_at(array_sort(array({structs})), 1)").alias("best"),
+        ).select(
+            "vec_id",
+            F.col("best.cell").alias("cell"),
+            (-F.col("best.nsim")).alias("cent_sim"),
+        )
+    else:
+        # scheduled shape: k too large for plan literals — broadcast
+        # the codebook and take the per-vector min struct with a
+        # map-side-combining aggregate (same (sim DESC, cell ASC)
+        # order; one n-row exchange, never n×k)
+        cent_df = spark.createDataFrame(
+            cents_rows, "cell int, cent array<double>"
+        )
+        scored = emb.crossJoin(F.broadcast(cent_df)).select(
+            "vec_id",
+            F.struct(
+                (-quantize(S.cosine("embedding", "cent"), 6)).alias("nsim"),
+                F.col("cell").alias("cell"),
+            ).alias("sc"),
+        )
+        asim = (
+            scored.groupBy("vec_id")
+            .agg(F.min("sc").alias("best"))
+            .select(
+                "vec_id",
+                F.col("best.cell").alias("cell"),
+                (-F.col("best.nsim")).alias("cent_sim"),
+            )
+            # n small rows, consumed by THREE branches (both pair
+            # sides + the keeper join): materialize once instead of
+            # re-running the n×k assignment scan per branch
+            .localCheckpoint()
+        )
+    # candidate verify with O(n) shuffle: ship each VECTOR to its cell
+    # once per side and let the within-cell pairs materialize inside
+    # the equi-join, filtered to ids immediately — never exchange a
+    # pair-level row carrying arrays (the ids-then-join-back form
+    # shuffled |pairs| vector rows ≈ n·cell/2, which is what timed out
+    # at sf10). The salt splits each cell's pair block SALT ways so a
+    # big cell's quadratic work spreads across tasks: the a-side
+    # replicates per salt value, the b-side lands on its hash salt, so
+    # every (a, b) pair meets exactly once.
+    SALT = 8
+    emb_n = emb.select(
         "vec_id",
-        F.expr(f"element_at(array_sort(array({structs})), 1)").alias("best"),
-    ).select(
-        "vec_id",
-        F.col("best.cell").alias("cell"),
-        (-F.col("best.nsim")).alias("cent_sim"),
+        "embedding",
+        F.sqrt(S.dot("embedding", "embedding")).alias("nrm"),
     )
-    # candidate pairs = co-membership in the (single) nearest cell —
-    # the ids-only equi-join reuses asim's zero-shuffle assignment
-    # instead of re-deriving it (cosine_pairs_ivf's window pass)
-    cand = (
-        asim.select(F.col("vec_id").alias("vec_a"), "cell")
-        .join(asim.select(F.col("vec_id").alias("vec_b"), "cell"), "cell")
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-    )
-    va = emb.select(
+    sided = asim.select("vec_id", "cell").join(emb_n, "vec_id")
+    a = sided.select(
         F.col("vec_id").alias("vec_a"),
         F.col("embedding").alias("va"),
-        F.sqrt(S.dot("embedding", "embedding")).alias("na"),
-    )
-    vb = emb.select(
+        F.col("nrm").alias("na"),
+        "cell",
+    ).withColumn("r", F.explode(F.sequence(F.lit(0), F.lit(SALT - 1))))
+    b = sided.select(
         F.col("vec_id").alias("vec_b"),
         F.col("embedding").alias("vb"),
-        F.sqrt(S.dot("embedding", "embedding")).alias("nb"),
+        F.col("nrm").alias("nb"),
+        "cell",
+    ).withColumn(
+        "r", F.pmod(F.xxhash64(F.col("vec_b")), F.lit(SALT)).cast("int")
     )
     pairs = (
-        cand.join(va, "vec_a")
-        .join(vb, "vec_b")
+        a.join(b, ["cell", "r"])
+        .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
             "vec_b",

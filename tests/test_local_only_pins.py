@@ -162,14 +162,14 @@ def test_corpus_vocab_topk_is_take_ordered(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_substring_spans_no_product_and_partial_agg(spark):
-    """The window-fingerprint count must partial-aggregate map-side
-    (two HashAggregate phases around the token exchange) and the
-    dup-hash join-back must be an equi hash join, never a product."""
+def test_substring_spans_single_fingerprint_exchange(spark):
+    """The global occurrence count must come from ONE window pass over
+    the fingerprint exchange (the groupBy+join-back form evaluated the
+    md5 explode twice); no product join anywhere."""
     plan = _plan(spark, "dedup_substring_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("HashAggregate") >= 2
+    assert "Window" in plan
 
 
 def test_substring_removal_single_fingerprint_exchange(spark):

@@ -445,3 +445,20 @@ def test_pq_topk_recall_vs_bruteforce(spark):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf_sims:
             assert abs(r["sim"] - bf_sims[key]) < 1e-9
+
+
+def test_semantic_kmeans_params_schedule():
+    """Gate corpora (n <= 2^16) keep EXACTLY the static-oracle (8, 64)
+    shape; beyond, k grows with n (bounded) and train_n = 8k."""
+    from snowalert_spark.workload.vector import (
+        SEM_GATE_N,
+        semantic_kmeans_params,
+    )
+
+    assert semantic_kmeans_params(500) == (N_CENTROIDS, TRAIN_N)
+    assert semantic_kmeans_params(SEM_GATE_N) == (N_CENTROIDS, TRAIN_N)
+    ks = [semantic_kmeans_params(n)[0] for n in (1 << 17, 1 << 19, 1 << 21)]
+    assert ks == sorted(ks) and ks[0] < ks[-1]  # monotone growth
+    k, tn = semantic_kmeans_params(600_000)
+    assert k == 600_000 // 1024 and tn == 8 * k
+    assert semantic_kmeans_params(10**9)[0] == 4096  # bounded
