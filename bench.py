@@ -56,6 +56,7 @@ HEADLINE = [
     "curation_funnel_stats",
     "quality_percentile_filter",
     "decontaminate_ngram",
+    "decontaminate_semantic",
     "pii_scrub_events",
     "dedup_substring_spans",
     "dedup_substring_removal",

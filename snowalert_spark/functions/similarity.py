@@ -1023,3 +1023,55 @@ def ivf_topk(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", "sim")
     )
+
+
+def decontaminate_semantic(
+    corpus: DataFrame,
+    eval_set: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag every corpus
+    vector whose max cosine to ANY eval-set vector reaches
+    ``threshold`` (the semantic companion to
+    ``dedup.decontaminate_ngram`` — n-gram overlap misses paraphrased
+    or template-rewritten eval leakage; embedding similarity catches
+    it; production pipelines run both).
+
+    Returns (id, nearest_eval_id, max_sim, contaminated) for every
+    corpus row — callers filter or audit; the full per-doc score is
+    what makes threshold sweeps free.
+
+    100 TB shape: an eval suite is MBs against the corpus, so the eval
+    side broadcasts (BroadcastNestedLoopJoin — no corpus shuffle); the
+    per-corpus-row max is a map-side-combining struct aggregate whose
+    only exchange is n result rows. The scored n×m intermediate
+    pipelines inside the join stage and never lands. Determinism: the
+    max orders on (quantized sim, then LOWEST eval id) via a
+    (sim, -eval_id) struct max, so ties pick a stable witness.
+    """
+    ev = eval_set.select(
+        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+    )
+    c = corpus.select(
+        id_col,
+        F.col(vec_col).alias("cv"),
+        F.sqrt(dot(vec_col, vec_col)).alias("cn"),
+    )
+    scored = c.crossJoin(F.broadcast(ev)).select(
+        id_col,
+        F.struct(
+            quantize(
+                dot("cv", "ev") / (F.col("cn") * F.sqrt(dot("ev", "ev"))), 6
+            ).alias("sim"),
+            (-F.col("eval_id")).alias("neg_id"),
+        ).alias("sc"),
+    )
+    best = scored.groupBy(id_col).agg(F.max("sc").alias("best"))
+    return best.select(
+        id_col,
+        (-F.col("best.neg_id")).alias("nearest_eval_id"),
+        F.col("best.sim").alias("max_sim"),
+        (F.col("best.sim") >= threshold).alias("contaminated"),
+    )

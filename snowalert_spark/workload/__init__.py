@@ -126,6 +126,10 @@ LOCAL_ONLY = {
     "unigram_logprob_scores",
     # ... and DSIR importance resampling (Xie et al. arXiv:2302.03169).
     "dsir_select",
+    # Round-8 session-2: semantic decontamination (embedding-space
+    # eval-leak detection — the paraphrase-robust companion to the
+    # declared decontaminate_ngram row, same % 17 split convention).
+    "decontaminate_semantic",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -614,6 +614,50 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Semantic decontamination: the embedding-space companion to
+# decontaminate_ngram — n-gram overlap misses paraphrased eval
+# leakage; max-cosine-to-eval-set catches it. Same held-out split
+# convention as the n-gram op (id % 17 == 0 is the benchmark).
+# ---------------------------------------------------------------------------
+
+
+SEMDECON_THRESHOLD = 0.35  # same calibration note as SIM_THRESHOLD
+
+
+@_q(
+    "decontaminate_semantic",
+    f"""
+    WITH ev AS (SELECT vec_id AS eval_id, embedding AS evv
+                FROM embeddings WHERE vec_id % 17 = 0),
+    tr AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 17 <> 0),
+    scored AS (
+        SELECT t.vec_id, e.eval_id,
+               {quantize_sql(_cos_sql('t.embedding', 'e.evv'), 6)} AS sim
+        FROM tr t CROSS JOIN ev e)
+    SELECT vec_id, eval_id AS nearest_eval_id, sim AS max_sim,
+           sim >= {SEMDECON_THRESHOLD} AS contaminated
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id
+                               ORDER BY sim DESC, eval_id) = 1
+    """,
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) decontamination: held-out eval
+    vectors = ``vec_id % 17 == 0``; every other vector is scored by
+    its max cosine to the eval set and flagged contaminated at
+    threshold. The eval side broadcasts (an eval suite is MBs against
+    100 TB), the corpus never shuffles its vectors, and the per-row
+    max is a map-side-combining struct aggregate — the only exchange
+    is n result rows (plan-pinned in test_plans.py)."""
+    emb = table(spark, sf_dir, "embeddings")
+    return S.decontaminate_semantic(
+        emb.filter(F.col("vec_id") % 17 != 0),
+        emb.filter(F.col("vec_id") % 17 == 0),
+        SEMDECON_THRESHOLD,
+    )
+
+
 _MSE_SQL = (
     "list_reduce(list_transform(range(1, len(v) + 1), "
     "i -> (v[i] - dq[i]) * (v[i] - dq[i])), (x, y) -> x + y) / len(v)"

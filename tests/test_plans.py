@@ -173,3 +173,15 @@ def test_pq_topk_scoring_stage_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "hashpartitioning(pid" in plan
+
+
+def test_decontaminate_semantic_shape(spark):
+    """Eval vectors broadcast (BroadcastNestedLoopJoin — no corpus
+    shuffle of vectors); the only exchange is the n-row partial-agg
+    result of the per-corpus-row max."""
+    plan = _plan(spark, "decontaminate_semantic")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "SortMergeJoin" not in plan
+    # exactly one exchange: the hash partition feeding the final max agg
+    assert plan.count("Exchange hashpartitioning") == 1
