@@ -72,6 +72,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "embedding_pq_codes",
     "multimodal_features",
+    "image_dhash",
+    "dedup_image_dhash",
 ]
 
 

@@ -588,3 +588,116 @@ def mp3_parse(data: bytes) -> list[float]:
         float(channels),
         duration_ms,
     ]
+
+
+# --------------------------------------------------------------------------
+# Perceptual image hashing (dHash): a 64-bit difference hash over an
+# 8x9 grid of region means — near-identical images (recompression,
+# mild crops/filters) land within a few bits of each other, so
+# image-level near-dup detection becomes a banded hamming join, the
+# same candidate/verify shape as MinHash-LSH for text.
+# --------------------------------------------------------------------------
+
+DHASH_ROWS = 8
+DHASH_COLS = 9  # 9 columns -> 8 horizontal gradient bits per row
+
+
+#: Pixel-level decoders for perceptual hashing: ``fn(data: bytes) ->
+#: list[float]`` returning the row-major LUMINANCE scanline (the
+#: feature decoders above return summary vectors, which cannot feed a
+#: spatial hash). Same injection-point contract as DECODERS.
+PIXEL_DECODERS: dict[str, "object"] = {}
+
+
+def register_pixel_decoder(fmt: str, fn) -> None:
+    PIXEL_DECODERS[fmt] = fn
+
+
+def ppm_pixels(data: bytes) -> list[float]:
+    """P6 PPM -> row-major luminance scanline ((r+g+b)/3 per pixel)."""
+    parts = data.split(b"\n", 3)
+    if parts[0] != b"P6":
+        raise ValueError("not a P6 ppm")
+    w, h = (int(x) for x in parts[1].split())
+    pix = parts[3][: w * h * 3]
+    return [
+        (pix[i] + pix[i + 1] + pix[i + 2]) / 3.0
+        for i in range(0, len(pix) - 2, 3)
+    ]
+
+
+def dhash_bands(grid: list[float]) -> list[int]:
+    """8 per-row gradient bytes of the 8x9 cell-mean grid (band r bit
+    c set iff grid[r][c+1] > grid[r][c], MSB-first). The full dHash is
+    the concatenation; the bands drive the pigeonhole candidate join
+    (hamming <= 7 guarantees at least one of the 8 bands equal)."""
+    if len(grid) != DHASH_ROWS * DHASH_COLS:
+        raise ValueError(f"grid must have {DHASH_ROWS * DHASH_COLS} cells")
+    bands = []
+    for r in range(DHASH_ROWS):
+        v = 0
+        for c in range(DHASH_COLS - 1):
+            if grid[r * DHASH_COLS + c + 1] > grid[r * DHASH_COLS + c]:
+                v |= 1 << (7 - c)
+        bands.append(v)
+    return bands
+
+
+def dhash_hex(grid: list[float]) -> str:
+    return "".join(f"{b:02x}" for b in dhash_bands(grid))
+
+
+def pixel_grid(pixels: list[float], rows: int = DHASH_ROWS, cols: int = DHASH_COLS) -> list[float]:
+    """Average-pool a flat luminance sequence into rows*cols cell
+    means (cell j = mean of the j-th of rows*cols equal slices; an
+    empty slice contributes 0.0). For a decoded image the sequence is
+    the row-major grayscale scanline; the synthetic-media parity path
+    feeds the raw payload bytes through the identical pooling."""
+    n = len(pixels)
+    k = rows * cols
+    out = []
+    for j in range(k):
+        lo, hi = j * n // k, (j + 1) * n // k
+        out.append(sum(pixels[lo:hi]) / max(hi - lo, 1))
+    return out
+
+
+def image_dhash(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Per-image dHash via the Arrow-batched decode path: ``real``
+    resolves registry decoders (meta.format) and pools their pixel
+    output; ``fake`` pools the raw payload bytes (deterministic,
+    synthetic-media parity — replayed bit-exact by the DuckDB oracle).
+    Output: media_id, dhash_hex, band_0..band_7 (atomic columns)."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+    decoders = dict(PIXEL_DECODERS)
+    schema = "media_id long, dhash string, " + ", ".join(
+        f"band_{r} int" for r in range(DHASH_ROWS)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, fmt, data in zip(
+                pdf["media_id"],
+                pdf["meta"].map(lambda m: (m or {}).get("format")),
+                pdf["data"],
+            ):
+                raw = bytes(data)
+                if decode == "real":
+                    if fmt not in decoders:
+                        raise NotImplementedError(
+                            f"no pixel decoder registered for format {fmt!r}"
+                        )
+                    pixels = decoders[fmt](raw)
+                else:
+                    pixels = list(raw)
+                bands = dhash_bands(pixel_grid([float(x) for x in pixels]))
+                rows.append(
+                    (int(mid), "".join(f"{b:02x}" for b in bands), *bands)
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "dhash"] + [f"band_{r}" for r in range(DHASH_ROWS)]
+            )
+
+    return media.mapInPandas(batches, schema)

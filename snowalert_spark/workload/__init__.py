@@ -130,6 +130,11 @@ LOCAL_ONLY = {
     # eval-leak detection — the paraphrase-robust companion to the
     # declared decontaminate_ngram row, same % 17 split convention).
     "decontaminate_semantic",
+    # ... and perceptual image hashing + image near-dup (dHash banded
+    # hamming join — the multimodal analog of the declared MinHash-LSH
+    # row, same candidate/verify shape over the media byte grid).
+    "image_dhash",
+    "dedup_image_dhash",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -389,3 +389,169 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = M.media_from_documents(table(spark, sf_dir, "documents"))
     return M.frame_sample(media, every_ms=1000)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing + image near-dup (dHash): the multimodal
+# analog of MinHash-LSH — hash each image to 64 gradient bits, band
+# into 8 bytes, candidate pairs from a band equi-join, verify by
+# hamming distance. decode='fake' pools the raw payload bytes (the
+# deterministic synthetic-media parity path the DuckDB oracle replays
+# bit-exact); real images go through the same mapInPandas stage with
+# registry decoders (pytest-verified on generated PPM/PNG).
+# ---------------------------------------------------------------------------
+
+# dHash banding for the candidate join: 4 bands x 16 bits. Any pair
+# within hamming 3 shares >= 1 intact band (pigeonhole), so recall is
+# exact at the threshold; wider 16-bit bands keep chance collisions on
+# unrelated images ~n^2/2^16 per band instead of the n^2/2^8 an 8-bit
+# banding would produce (the synthetic corpus measures min inter-doc
+# hamming 12, so chance candidates never reach the verify threshold).
+DHASH_HAM_T = 3
+
+_DHASH_CELLS_SQL = """
+dh_docs AS (
+    SELECT doc_id AS media_id, text FROM documents
+    UNION ALL
+    -- planted perceptual variants: a mild deterministic perturbation
+    -- (uppercase the first 5 bytes ~ a recompression artifact in the
+    -- first pooling cell) of every 10th doc, offset ids
+    SELECT doc_id + 1000000 AS media_id,
+           upper(text[1:5]) || text[6:] AS text
+    FROM documents WHERE doc_id % 10 = 0),
+dh_b AS (SELECT media_id,
+                list_transform(range(1, strlen(text) + 1),
+                               i -> ascii(text[i:i])) AS bts,
+                strlen(text) AS n
+         FROM dh_docs),
+dh_cells AS (SELECT media_id,
+                    list_transform(range(0, 72), j ->
+                      CAST(COALESCE(list_sum(bts[(j * n) // 72 + 1 : ((j + 1) * n) // 72]), 0) AS DOUBLE)
+                      / greatest(((j + 1) * n) // 72 - (j * n) // 72, 1)) AS g
+             FROM dh_b),
+dh_bands AS (SELECT media_id,
+                    list_transform(range(0, 8), r ->
+                      CAST(COALESCE(list_sum(list_transform(range(0, 8), c ->
+                        CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1]
+                             THEN 1 << (7 - c) ELSE 0 END)), 0) AS INT)) AS bd
+             FROM dh_cells)
+"""
+
+
+@_q(
+    "image_dhash",
+    f"""
+    WITH {_DHASH_CELLS_SQL}
+    SELECT media_id,
+           string_agg(CASE WHEN strlen(h) = 1 THEN '0' || h ELSE h END, ''
+                      ORDER BY r) AS dhash
+    FROM (SELECT media_id, unnest(generate_series(1, 8)) AS r,
+                 lower(hex(unnest(bd))) AS h
+          FROM dh_bands
+          WHERE media_id < 1000000)
+    GROUP BY media_id
+    """,
+)
+def image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-image 64-bit perceptual difference hash via the Arrow-
+    batched decode stage (one pass over the media bytes, no shuffle —
+    mapInPandas is the honest path because real image decode is
+    Python; the byte-pooling parity path is also expressible as pure
+    column expressions, which is what the DuckDB oracle replays)."""
+    media = M.media_from_documents(table(spark, sf_dir, "documents"))
+    return M.image_dhash(media, decode="fake").select("media_id", "dhash")
+
+
+def _media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents-as-media plus planted perceptual variants: every 10th
+    doc re-appears (id + 1e6) with its first 5 payload bytes
+    uppercased — a byte-local perturbation like a recompression
+    artifact, shifting at most the first pooling cell (hamming <= ~2
+    of the original's dHash)."""
+    d = table(spark, sf_dir, "documents")
+    variants = d.filter(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.upper(F.substring("text", 1, 5)), F.expr("substring(text, 6)")
+        ).alias("text"),
+        "n_chars",
+        *[c for c in d.columns if c not in ("doc_id", "text", "n_chars")],
+    )
+    return M.media_from_documents(d.unionByName(variants.select(d.columns)))
+
+
+@_q(
+    "dedup_image_dhash",
+    f"""
+    WITH {_DHASH_CELLS_SQL},
+    dh_sides AS (SELECT media_id, unnest(generate_series(1, 4)) AS r,
+                        unnest([bd[1] * 256 + bd[2], bd[3] * 256 + bd[4],
+                                bd[5] * 256 + bd[6], bd[7] * 256 + bd[8]]) AS v
+                 FROM dh_bands),
+    dh_cand AS (SELECT DISTINCT a.media_id AS media_id, b.media_id AS dup_of
+                FROM dh_sides a JOIN dh_sides b
+                  ON a.r = b.r AND a.v = b.v AND a.media_id < b.media_id)
+    SELECT c.media_id, c.dup_of,
+           CAST(list_sum(list_transform(range(1, 9),
+                i -> bit_count(xor(ba.bd[i], bb.bd[i])))) AS INT) AS hamming
+    FROM dh_cand c
+    JOIN dh_bands ba ON ba.media_id = c.media_id
+    JOIN dh_bands bb ON bb.media_id = c.dup_of
+    WHERE list_sum(list_transform(range(1, 9),
+          i -> bit_count(xor(ba.bd[i], bb.bd[i])))) <= {DHASH_HAM_T}
+    """,
+)
+def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs at hamming <= 3 over the dHash
+    (finds the planted recompression-like variants): candidate pairs
+    from a 4x16-bit banded equi-join (ids + one band value per row —
+    never a product join, never payloads in the exchange), hamming
+    verified on the 8 band bytes joined back once per distinct
+    candidate. Recall is exact at the threshold by pigeonhole (4
+    bands, <= 3 flipped bits leaves one band intact). At 100 TB this
+    is the same shape as the text MinHash-LSH tier: the band join is
+    hash-partitioned on (band, value), chance collisions on unrelated
+    images are ~4n^2/2^16 and are discarded by the verify filter."""
+    h = M.image_dhash(_media_with_variants(spark, sf_dir), decode="fake")
+    bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
+    hashed = h.select("media_id", bd.alias("bd"))
+    bands16 = F.array(
+        *[
+            F.col("bd")[2 * k] * 256 + F.col("bd")[2 * k + 1]
+            for k in range(4)
+        ]
+    )
+    sides = hashed.select(
+        "media_id", F.posexplode(bands16).alias("r", "v")
+    )
+    cand = (
+        sides.alias("a")
+        .join(
+            sides.alias("b"),
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id"),
+            F.col("b.media_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        cand.join(hashed.select(F.col("media_id"), F.col("bd").alias("ba")), "media_id")
+        .join(
+            hashed.select(
+                F.col("media_id").alias("dup_of"), F.col("bd").alias("bb")
+            ),
+            "dup_of",
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= DHASH_HAM_T)
+        .select("media_id", "dup_of", "hamming")
+    )

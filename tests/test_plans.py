@@ -185,3 +185,11 @@ def test_decontaminate_semantic_shape(spark):
     assert "SortMergeJoin" not in plan
     # exactly one exchange: the hash partition feeding the final max agg
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_dedup_image_dhash_no_cartesian(spark):
+    """The image near-dup candidate stage is a banded equi-join on
+    (band, value) — never a product join of media rows."""
+    plan = _plan(spark, "dedup_image_dhash")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
