@@ -64,6 +64,7 @@ HEADLINE = [
     "doc_tfidf_topterms",
     "unigram_logprob_scores",
     "dsir_select",
+    "bpe_merges",
     "semantic_dedup",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",

@@ -135,6 +135,9 @@ LOCAL_ONLY = {
     # row, same candidate/verify shape over the media byte grid).
     "image_dhash",
     "dedup_image_dhash",
+    # ... and BPE merge training (tokenizer-training support —
+    # corpus-touched-once, vocab-table iterations; Sennrich et al.).
+    "bpe_merges",
 }
 
 DRIVER_QUERY_CAP = 50

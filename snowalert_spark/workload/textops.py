@@ -1414,3 +1414,86 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank.alias("q_rank"),
         ((rank >= 0.2) | (n_src < 5)).alias("kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge training (tokenizer-training support; Sennrich et al.
+# arXiv:1508.07909). The oracle unrolls every merge round in SQL:
+# pair-count aggregate -> best pair (count DESC, pair ASC) -> greedy
+# re-segmentation via run-parity window logic (equivalent to the
+# engine's left-to-right fold; overlapping matches only arise when
+# lhs == rhs, where both take alternate positions of each run).
+# ---------------------------------------------------------------------------
+
+BPE_MERGES = 6
+
+
+def _bpe_oracle_sql(m: int = BPE_MERGES) -> str:
+    ctes = [
+        r"""w1 AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
+               list_transform(range(1, strlen(word) + 1), i -> word[i:i]) AS syms
+        FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+              FROM documents)
+        WHERE word <> '' GROUP BY word)"""
+    ]
+    for i in range(1, m + 1):
+        ctes.append(
+            f"""p{i} AS MATERIALIZED (
+            SELECT syms[j] AS lhs, syms[j+1] AS rhs,
+                   CAST(SUM(cnt) AS BIGINT) AS pair_count
+            FROM (SELECT cnt, syms, unnest(range(1, len(syms))) AS j FROM w{i})
+            GROUP BY 1, 2),
+        b{i} AS MATERIALIZED (SELECT lhs, rhs, pair_count FROM p{i}
+                 ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+        pos{i} AS MATERIALIZED (
+            SELECT word, cnt, j, syms[j] AS s,
+                   syms[j] = (SELECT lhs FROM b{i})
+                   AND COALESCE(syms[j+1] = (SELECT rhs FROM b{i}), FALSE) AS mraw
+            FROM (SELECT word, cnt, syms, unnest(range(1, len(syms) + 1)) AS j
+                  FROM w{i})),
+        g{i} AS (
+            SELECT *, CASE WHEN mraw THEN
+                   j - ROW_NUMBER() OVER (PARTITION BY word, mraw ORDER BY j)
+                   END AS grp
+            FROM pos{i}),
+        k{i} AS (
+            SELECT *, mraw AND (j - MIN(j) OVER (PARTITION BY word, grp)) % 2 = 0
+                   AS keep
+            FROM g{i}),
+        e{i} AS (
+            SELECT word, cnt, j,
+                   CASE WHEN keep THEN s || (SELECT rhs FROM b{i})
+                        WHEN COALESCE(LAG(keep) OVER (PARTITION BY word ORDER BY j),
+                                      FALSE) THEN NULL
+                        ELSE s END AS es
+            FROM k{i}),
+        w{i + 1} AS MATERIALIZED (
+            SELECT word, cnt, list(es ORDER BY j) FILTER (WHERE es IS NOT NULL)
+                   AS syms
+            FROM e{i} GROUP BY word, cnt)"""
+        )
+    union = "\n    UNION ALL\n    ".join(
+        f"SELECT {i} AS merge_rank, lhs, rhs, pair_count FROM b{i}"
+        for i in range(1, m + 1)
+    )
+    return "WITH " + ",\n".join(ctes) + "\n    " + union
+
+
+@_q("bpe_merges", _bpe_oracle_sql())
+def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First 6 BPE merges trained on the corpus (merge_rank, lhs, rhs,
+    pair_count at selection). The corpus is touched once (the word-
+    frequency aggregate); every round then runs on the vocab table —
+    a pair-count aggregate, a 1-row bounded collect (driver protocol,
+    as the k-means trainer), and a map-only greedy re-segmentation
+    fold with localCheckpoint lineage truncation. At 100 TB the vocab
+    table is O(distinct words), so training cost is independent of
+    corpus size after the first scan."""
+    from snowalert_spark.functions import bpe as B
+
+    d = table(spark, sf_dir, "documents")
+    merges = B.bpe_train(d, BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )

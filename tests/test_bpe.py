@@ -1,0 +1,74 @@
+"""BPE merge training: greedy re-segmentation semantics (the fold must
+match the reference left-to-right merge, including overlapping runs)
+and trainer determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from snowalert_spark.functions import bpe as B
+
+
+def _apply(spark, word, left, right):
+    df = spark.createDataFrame([(word,)], "word string").select(
+        B.merge_pair(F.split("word", ""), left, right).alias("syms")
+    )
+    return df.collect()[0].syms
+
+
+def _ref_merge(syms, left, right):
+    """Reference greedy left-to-right merge (plain python)."""
+    out, i = [], 0
+    while i < len(syms):
+        if i + 1 < len(syms) and syms[i] == left and syms[i + 1] == right:
+            out.append(left + right)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def test_merge_pair_basic(spark):
+    assert _apply(spark, "aber", "b", "e") == ["a", "be", "r"]
+    assert _apply(spark, "xyz", "a", "b") == ["x", "y", "z"]
+
+
+def test_merge_pair_overlapping_run(spark):
+    # "aaa" with (a,a): greedy takes positions 1-2, leaves the third
+    assert _apply(spark, "aaa", "a", "a") == ["aa", "a"]
+    assert _apply(spark, "aaaa", "a", "a") == ["aa", "aa"]
+    assert _apply(spark, "aaaaa", "a", "a") == ["aa", "aa", "a"]
+
+
+def test_merge_pair_matches_reference_randomized(spark):
+    import random
+
+    rng = random.Random(42)
+    words = [
+        "".join(rng.choice("ab") for _ in range(rng.randint(1, 9)))
+        for _ in range(60)
+    ]
+    rows = spark.createDataFrame([(w,) for w in words], "word string")
+    for left, right in [("a", "a"), ("a", "b"), ("b", "a"), ("b", "b")]:
+        got = {
+            r.word: list(r.syms)
+            for r in rows.select(
+                "word", B.merge_pair(F.split("word", ""), left, right).alias("syms")
+            ).collect()
+        }
+        for w in words:
+            assert got[w] == _ref_merge(list(w), left, right), (w, left, right)
+
+
+def test_bpe_train_deterministic_and_monotone(spark):
+    from snowalert_spark.tables import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    m1 = B.bpe_train(d, 3)
+    m2 = B.bpe_train(d, 3)
+    assert m1 == m2
+    assert [r[0] for r in m1] == [1, 2, 3]
+    # merged pair counts never exceed an earlier selection's count
+    counts = [r[3] for r in m1]
+    assert counts == sorted(counts, reverse=True)
