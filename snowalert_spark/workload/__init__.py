@@ -118,26 +118,46 @@ LOCAL_ONLY = {
     "dedup_substring_spans",
     "corpus_vocab_topk",
     "ann_ivfpq_topk",
-    # ... plus the cleaning/scoring trio of the training-data layer:
-    # substring removal (the cut form of the spans detector), TF-IDF
-    # top terms, and the self-trained unigram-LM perplexity score.
-    "dedup_substring_removal",
+    # ... plus TF-IDF top terms (its sibling dedup_substring_removal
+    # and unigram_logprob_scores were promoted in the round-8 session-2
+    # rotation below; the TF-IDF agg shape ⊂ corpus_vocab_topk's token
+    # aggregate + the declared doc-level scoring rows).
     "doc_tfidf_topterms",
-    "unigram_logprob_scores",
-    # ... and DSIR importance resampling (Xie et al. arXiv:2302.03169).
-    "dsir_select",
-    # Round-8 session-2: semantic decontamination (embedding-space
-    # eval-leak detection — the paraphrase-robust companion to the
-    # declared decontaminate_ngram row, same % 17 split convention).
-    "decontaminate_semantic",
-    # ... and perceptual image hashing + image near-dup (dHash banded
-    # hamming join — the multimodal analog of the declared MinHash-LSH
-    # row, same candidate/verify shape over the media byte grid).
+    # ... and the per-image dHash projection (subsumed by the promoted
+    # dedup_image_dhash, which computes the same hashes internally
+    # before the band join).
     "image_dhash",
-    "dedup_image_dhash",
     # ... and BPE merge training (tokenizer-training support —
-    # corpus-touched-once, vocab-table iterations; Sennrich et al.).
+    # corpus-touched-once, vocab-table iterations; Sennrich et al.;
+    # local oracle replays all six rounds bit-exact).
     "bpe_merges",
+    # Round-8 session-2 gate rotation: promote the newest operator
+    # families into the driver gate (dsir_select,
+    # dedup_substring_removal, unigram_logprob_scores,
+    # decontaminate_semantic, dedup_image_dhash). The five rows demoted
+    # to make room keep their local oracles + plan pins and are each
+    # subsumed by declared siblings:
+    # not_in_subquery_orders (P7) executes as the identical LeftAnti
+    # plan as the declared anti_join_parts_no_bulk_orders (J3), and
+    # the pack corpus exercises NOT IN verbatim;
+    "not_in_subquery_orders",
+    # try_cast_coercion ⊂ conditional_functions (same §2.8
+    # conditional/null compat family: IFF/IFNULL/TRY_* share the
+    # rewrite path; TRY_CAST also runs verbatim in the pack corpus);
+    "try_cast_coercion",
+    # embedding_label_stats ⊂ q1_pricing_summary (the same
+    # decimal-exact SUM/AVG groupBy shape) + every declared ANN row
+    # verifies the identical norm fold arithmetic;
+    "embedding_label_stats",
+    # correlation_sessions (J10) ⊂ the alert_processor e2e suites
+    # (test_pipeline_e2e + test_sp1099_regression drive the same
+    # sessionization path end-to-end) + the declared W1 window row;
+    "correlation_sessions",
+    # count_distinct_users_by_type (A3) ⊂ user_profile_rollup's
+    # distinct-aggregate plan (ARRAY_AGG(DISTINCT) expands through the
+    # same distinct-hash shape) + the exact-vs-approx COUNT(DISTINCT)
+    # pair stays locally oracle-checked in approx_aggregates.
+    "count_distinct_users_by_type",
 }
 
 DRIVER_QUERY_CAP = 50
