@@ -38,13 +38,15 @@ def test_edge_direction_is_irrelevant(spark):
 
 def test_unconverged_raises(spark):
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1, escalate=False)
+        _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1,
+            escalate=False, driver_max_edges=0)
 
 
 def test_unconverged_escalates_to_star_by_default(spark):
     # same exhausted round budget, but escalate=True (default) hands
     # the graph to the alternating-star contraction instead of failing
-    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1)
+    got = _cc(spark, [(1, 2), (2, 3), (3, 4), (4, 5)], max_iter=1,
+              driver_max_edges=0)
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
 
 
@@ -141,7 +143,8 @@ def test_star_handles_long_chain_in_log_rounds(spark):
     in practice O(log n) ~ 8."""
     chain = [(i, i + 1) for i in range(199)]
     with pytest.raises(RuntimeError, match="no fixpoint"):
-        _cc(spark, chain, escalate=False)  # min-label: diameter > max_iter
+        # min-label: diameter > max_iter (distributed path forced)
+        _cc(spark, chain, escalate=False, driver_max_edges=0)
     got = _cc_star(spark, chain)
     assert got == {i: 0 for i in range(200)}
 
@@ -175,3 +178,19 @@ def test_star_random_graphs_match_union_find(spark):
             comp_min[r] = min(comp_min.get(r, n), n)
         want = {n: comp_min[find(n)] for n in touched}
         assert _cc_star(spark, edges) == want
+
+
+def test_driver_and_distributed_paths_agree(spark):
+    """The graph-size-aware schedule must be invisible in results: the
+    driver union-find (default for bounded edge lists) and the forced
+    distributed propagation return identical labels."""
+    import random
+
+    rng = random.Random(5)
+    edges = [
+        (rng.randrange(80), rng.randrange(80)) for _ in range(60)
+    ]
+    edges = [(a, b) for a, b in edges if a != b]
+    fast = _cc(spark, edges)
+    dist = _cc(spark, edges, driver_max_edges=0)
+    assert fast == dist
