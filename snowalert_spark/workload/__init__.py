@@ -158,6 +158,14 @@ LOCAL_ONLY = {
     # same distinct-hash shape) + the exact-vs-approx COUNT(DISTINCT)
     # pair stays locally oracle-checked in approx_aggregates.
     "count_distinct_users_by_type",
+    # Round-8 session-3 addition beyond the gate cap: document topic
+    # clustering (hashed-TF feature vectors -> deterministic k-means ->
+    # literal-codebook argmax assignment). Local oracle replays the
+    # featurizer + both Lloyd rounds + assignment bit-exact; the
+    # corpus-wide assignment plan shares the declared semantic_dedup
+    # gate-shape (zero-shuffle literal-codebook projection) and the
+    # trainer ⊂ the declared kmeans_centroids row.
+    "doc_topic_clusters",
 }
 
 DRIVER_QUERY_CAP = 50

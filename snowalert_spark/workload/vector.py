@@ -52,6 +52,8 @@ def _kmeans_ctes(
     iters: int = KMEANS_ITERS,
     vec_expr: str = "embedding",
     p: str = "",
+    src: str = "embeddings",
+    id_col: str = "vec_id",
 ) -> str:
     """DuckDB CTE chain replaying kmeans_fit bit-for-bit: ``ktrain``,
     ``c0`` … ``c{iters}`` (final centroids in ``c{iters}(cell, cent)``).
@@ -60,9 +62,14 @@ def _kmeans_ctes(
     cells keep their previous centroid — matching
     functions/similarity.py kmeans_fit step for step. ``vec_expr``
     selects the trained vector (a subvector slice for PQ); ``p``
-    prefixes every CTE name so several chains coexist in one query."""
+    prefixes every CTE name so several chains coexist in one query;
+    ``src``/``id_col`` retarget the trainer at any (id, vector) frame
+    (e.g. a hashed-TF feature CTE over ``documents``) — the id is
+    normalized to ``vec_id`` inside the chain so the unrolled rounds
+    stay identical."""
     ctes = [
-        f"{p}ktrain AS (SELECT vec_id, {vec_expr} AS v FROM embeddings WHERE vec_id < {train_n})",
+        f"{p}ktrain AS (SELECT {id_col} AS vec_id, {vec_expr} AS v"
+        f" FROM {src} WHERE {id_col} < {train_n})",
         f"""{p}c0 AS (SELECT CAST(vec_id AS INT) AS cell,
                       list_transform(v, x -> CAST(x AS DOUBLE)) AS cent
                FROM {p}ktrain WHERE vec_id < {k})""",
@@ -964,4 +971,109 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         quantize(F.col("scale"), 6).alias("scale_q"),
         quantize(mse, 6).alias("mse_q"),
         quantize(cos, 6).alias("cos_q"),
+    )
+
+
+# --- document topic clustering (hashed-TF k-means) -------------------
+
+TOPIC_DIM = 16  # hashed-TF feature dimensionality (md5 bucket count)
+TOPIC_K = 8  # topics
+TOPIC_TRAIN_N = 64  # trainer sample: doc_id < 64 (bounded, deterministic)
+
+# DuckDB replica of the hashed-TF featurizer: tokens = lowercased
+# whitespace split (the corpus-wide shingling convention), bucket =
+# 32-bit md5 prefix mod TOPIC_DIM, vector = per-bucket counts.
+_TOPIC_FEATS_SQL = f"""
+    dtok AS (
+        SELECT doc_id,
+               list_transform(
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               w -> w <> ''),
+                   w -> CAST(('0x' || substr(md5(w), 1, 8))::UBIGINT
+                             % {TOPIC_DIM} AS BIGINT)) AS bs
+        FROM documents),
+    dfe AS (
+        SELECT doc_id,
+               list_transform(generate_series(0, {TOPIC_DIM - 1}),
+                   d -> CAST(len(list_filter(bs, b -> b = d)) AS DOUBLE))
+                 AS v
+        FROM dtok)"""
+
+
+def _doc_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-free document vectors: a {TOPIC_DIM}-dim hashed-TF
+    (feature-hashing / "hashing trick") projection of each document —
+    token -> 32-bit md5 prefix mod TOPIC_DIM, vector = bucket counts.
+    Pure JVM array expressions in one map-only projection (tokenize
+    once via bind_array, never per-bucket), so featurization is a
+    zero-shuffle scan at any corpus size."""
+    from snowalert_spark.functions import text as T
+
+    docs = table(spark, sf_dir, "documents")
+    tok = F.filter(T.tokens(F.col("text")), lambda w: w != F.lit(""))
+    bs = T.bind_array(
+        tok, lambda t: F.transform(t, lambda w: T.base_hash32(w) % TOPIC_DIM)
+    )
+    return docs.select("doc_id", bs.alias("bs")).select(
+        "doc_id",
+        T.bind_array(
+            F.col("bs"),
+            lambda b: F.transform(
+                F.sequence(F.lit(0), F.lit(TOPIC_DIM - 1)),
+                lambda d: F.size(F.filter(b, lambda x: x == d)).cast(
+                    "double"
+                ),
+            ),
+        ).alias("v"),
+    )
+
+
+@_q(
+    "doc_topic_clusters",
+    f"""
+    WITH {_TOPIC_FEATS_SQL},
+    {_kmeans_ctes(k=TOPIC_K, train_n=TOPIC_TRAIN_N, src='dfe',
+                  id_col='doc_id', vec_expr='v', p='t')}
+    SELECT doc_id, cell AS topic FROM (
+        SELECT f.doc_id, c.cell,
+               {quantize_sql(_cos_sql('f.v', 'c.cent'), 6)} AS sim
+        FROM dfe f CROSS JOIN t{KMEANS_FINAL} c)
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                               ORDER BY sim DESC, cell) = 1
+    """,
+)
+def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unsupervised topic clustering over ``documents``: hashed-TF
+    feature vectors (no model download, pure md5 arithmetic) ->
+    deterministic k-means (k=TOPIC_K, trained on the bounded
+    doc_id < TOPIC_TRAIN_N sample) -> every document assigned to its
+    argmax-quantized-cosine topic (smaller-cell tiebreak). The standard
+    corpus-bucketing step before mixture planning: cluster shares feed
+    :func:`snowalert_spark.functions.sampling.mixture_plan` weights.
+
+    100 TB shape: featurization is a zero-shuffle map (see
+    :func:`_doc_tf_features`); training touches only the bounded
+    sample; assignment embeds the k x TOPIC_DIM centroid table as plan
+    literals (the PQ-coder trick) so the corpus-wide pass is a single
+    map-only projection - no join, no exchange, no window. The DuckDB
+    oracle replays featurizer + both Lloyd rounds + assignment
+    bit-for-bit via the retargeted ``_kmeans_ctes(src='dfe',
+    id_col='doc_id')`` chain."""
+    feats = _doc_tf_features(spark, sf_dir)
+    cent_rows = sorted(
+        S.kmeans_fit(
+            feats.filter(F.col("doc_id") < TOPIC_TRAIN_N),
+            k=TOPIC_K,
+            iters=KMEANS_ITERS,
+            id_col="doc_id",
+            vec_col="v",
+        ).collect(),
+        key=lambda r: int(r[0]),
+    )
+    structs = S._cell_structs_sql(cent_rows, "v")
+    return feats.select(
+        "doc_id",
+        F.expr(f"element_at(array_sort(array({structs})), 1).cell").alias(
+            "topic"
+        ),
     )

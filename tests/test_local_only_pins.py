@@ -211,3 +211,15 @@ def test_dsir_select_take_ordered_and_broadcast_model(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_doc_topic_assignment_is_map_only(spark):
+    """Topic clustering: once the bounded trainer finishes, the
+    corpus-wide assignment is a literal-codebook argmax projection
+    (the semantic_dedup gate shape) — scan -> project, no join, no
+    exchange, no window over the corpus."""
+    plan = _plan(spark, "doc_topic_clusters")
+    for op in ("Join", "CartesianProduct", "Exchange", "Window"):
+        assert op not in plan, f"{op} leaked into the assignment plan"
+    # column pruning reaches the scan: only (doc_id, text) are read
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
