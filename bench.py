@@ -66,6 +66,8 @@ HEADLINE = [
     "dsir_select",
     "bpe_merges",
     "semantic_dedup",
+    "doc_topic_clusters",
+    "topic_balanced_sample",
     "cosine_topk_bruteforce",
     "ann_ivf_topk",
     "ann_pq_topk",

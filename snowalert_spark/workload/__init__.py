@@ -166,6 +166,14 @@ LOCAL_ONLY = {
     # gate-shape (zero-shuffle literal-codebook projection) and the
     # trainer ⊂ the declared kmeans_centroids row.
     "doc_topic_clusters",
+    # ... and its composition with the mixture planner: equal-topic
+    # rebalance applied as a deterministic md5-bucket downsample
+    # (plan-collect bounded at k rows, keep-filter map-only). Oracle
+    # replays clustering + plan arithmetic + bucket predicate end to
+    # end; the plan/sample halves each hold declared siblings
+    # (corpus_mixture_plan ⊂ the same count-agg + broadcast-totals
+    # shape, stratified_sample_docs ⊂ the same literal-map filter).
+    "topic_balanced_sample",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -1028,18 +1028,27 @@ def _doc_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# DuckDB replica of the full topic-assignment pipeline (featurizer +
+# Lloyd rounds + argmax assignment) as a reusable CTE suffix: callers
+# prepend `WITH` and the feature CTEs.
+_TOPIC_ASSIGN_SQL = f"""
+    {_kmeans_ctes(k=TOPIC_K, train_n=TOPIC_TRAIN_N, src='dfe',
+                  id_col='doc_id', vec_expr='v', p='t')},
+    tassign AS (
+        SELECT doc_id, cell AS topic FROM (
+            SELECT f.doc_id, c.cell,
+                   {quantize_sql(_cos_sql('f.v', 'c.cent'), 6)} AS sim
+            FROM dfe f CROSS JOIN t{KMEANS_FINAL} c)
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY sim DESC, cell) = 1)"""
+
+
 @_q(
     "doc_topic_clusters",
     f"""
     WITH {_TOPIC_FEATS_SQL},
-    {_kmeans_ctes(k=TOPIC_K, train_n=TOPIC_TRAIN_N, src='dfe',
-                  id_col='doc_id', vec_expr='v', p='t')}
-    SELECT doc_id, cell AS topic FROM (
-        SELECT f.doc_id, c.cell,
-               {quantize_sql(_cos_sql('f.v', 'c.cent'), 6)} AS sim
-        FROM dfe f CROSS JOIN t{KMEANS_FINAL} c)
-    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id
-                               ORDER BY sim DESC, cell) = 1
+    {_TOPIC_ASSIGN_SQL}
+    SELECT doc_id, topic FROM tassign
     """,
 )
 def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1059,6 +1068,13 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle replays featurizer + both Lloyd rounds + assignment
     bit-for-bit via the retargeted ``_kmeans_ctes(src='dfe',
     id_col='doc_id')`` chain."""
+    return _topic_assignments(spark, sf_dir)
+
+
+def _topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, topic) for every document — the hashed-TF k-means
+    pipeline shared by :func:`doc_topic_clusters` and
+    :func:`topic_balanced_sample`."""
     feats = _doc_tf_features(spark, sf_dir)
     cent_rows = sorted(
         S.kmeans_fit(
@@ -1077,3 +1093,57 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "topic"
         ),
     )
+
+
+@_q(
+    "topic_balanced_sample",
+    f"""
+    WITH {_TOPIC_FEATS_SQL},
+    {_TOPIC_ASSIGN_SQL},
+    plan AS (
+        SELECT topic, COUNT(*) AS n_docs FROM tassign GROUP BY topic),
+    tot AS (SELECT SUM(1.0) AS tw, SUM(n_docs) AS tn FROM plan),
+    rates AS (
+        SELECT topic,
+               LEAST(CAST(100 AS BIGINT),
+                     CAST(floor(100.0 * 1.0 / tw * tn / n_docs)
+                          AS BIGINT)) AS rate_pct
+        FROM plan CROSS JOIN tot)
+    SELECT doc_id, topic, bucket, rate_pct FROM (
+        SELECT a.doc_id, a.topic,
+               CAST(('0x' || substr(md5(CAST(a.doc_id AS VARCHAR)), 1, 8))
+                    ::UBIGINT % 100 AS BIGINT) AS bucket,
+               r.rate_pct
+        FROM tassign a JOIN rates r USING (topic))
+    WHERE bucket < rate_pct
+    """,
+)
+def topic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The topic pipeline closed end-to-end: cluster every document
+    (hashed-TF k-means), plan an EQUAL topic mixture with
+    :func:`~snowalert_spark.functions.sampling.mixture_plan`
+    (weight 1.0 per topic, rates capped at 100%, never upsampling),
+    and apply the plan as a deterministic md5-bucket downsample —
+    the standard rebalance before training-shard writes when one
+    topic dominates a crawl.
+
+    100 TB shape: the corpus is touched exactly twice — one
+    map-side-combined count aggregation (the mixture plan's only
+    shuffle, reducing the corpus to k rows collected driver-side like
+    a centroid table) and one map-only keep-filter pass (the k-row
+    rate table rides the plan as a literal map; the bucket predicate
+    is a pure column expression, so the same rows survive on any
+    cluster layout or rerun). The final per-row plan has no join,
+    exchange, or window."""
+    from snowalert_spark.functions import sampling as SMP
+
+    topics = _topic_assignments(spark, sf_dir)
+    plan = SMP.mixture_plan(topics, "topic", F.lit(1.0))
+    rates = {
+        int(r["topic"]): int(r["rate_pct"])
+        for r in plan.select("topic", "rate_pct").collect()
+    }
+    kept = SMP.stratified_sample(
+        topics, "topic", rates, "doc_id", default_pct=100
+    )
+    return kept.select("doc_id", "topic", "bucket", "rate_pct")

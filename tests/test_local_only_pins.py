@@ -223,3 +223,14 @@ def test_doc_topic_assignment_is_map_only(spark):
         assert op not in plan, f"{op} leaked into the assignment plan"
     # column pruning reaches the scan: only (doc_id, text) are read
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_topic_balanced_sample_keep_filter_is_map_only(spark):
+    """Topic rebalance: after the eager plan collect, the per-row
+    keep-filter pass is the stratified_sample_docs shape — literal
+    rate map + bucket predicate, no join/exchange/window over the
+    corpus."""
+    plan = _plan(spark, "topic_balanced_sample")
+    for op in ("Join", "CartesianProduct", "Exchange", "Window"):
+        assert op not in plan, f"{op} leaked into the keep-filter plan"
+    assert "Filter" in plan
