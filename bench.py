@@ -65,6 +65,7 @@ HEADLINE = [
     "unigram_logprob_scores",
     "dsir_select",
     "bpe_merges",
+    "bpe_encode_docs",
     "semantic_dedup",
     "doc_topic_clusters",
     "topic_balanced_sample",

@@ -100,3 +100,20 @@ def bpe_train(
             "word", "cnt", merge_pair(F.col("syms"), b.lhs, b.rhs).alias("syms")
         ).localCheckpoint()
     return out
+
+
+def encode_word(word: Column, merges: list[tuple[int, str, str, int]]) -> Column:
+    """Apply trained merges to one word (a string Column or lambda
+    variable): character split, then each merge's greedy
+    non-overlapping pass in rank order — the reference BPE apply step.
+    The merge list rides the plan as literals (the codebook trick), so
+    encoding is a pure map expression: zero shuffle at any corpus
+    size. Expression depth grows with len(merges); a production
+    tokenizer with tens of thousands of merges would instead join the
+    corpus words to the trained segmentation table (the ``w{m+1}``
+    vocabulary the oracle materializes) — same output by induction on
+    the per-round fold parity."""
+    syms = F.split(word, "")
+    for _, lhs, rhs, _ in sorted(merges):
+        syms = merge_pair(syms, lhs, rhs)
+    return syms

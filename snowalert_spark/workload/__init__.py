@@ -174,6 +174,13 @@ LOCAL_ONLY = {
     # (corpus_mixture_plan ⊂ the same count-agg + broadcast-totals
     # shape, stratified_sample_docs ⊂ the same literal-map filter).
     "topic_balanced_sample",
+    # ... and BPE application (tokenize the corpus with the trained
+    # merges): zero-shuffle literal-merge fold on the Spark side,
+    # verified against the independent vocab-join replay in DuckDB
+    # (which re-derives the trainer's whole round chain, so encode
+    # agreement also re-checks training; the bpe_merges row above
+    # keeps its own local oracle + fold-parity property tests).
+    "bpe_encode_docs",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -1480,6 +1480,37 @@ def _bpe_oracle_sql(m: int = BPE_MERGES) -> str:
     return "WITH " + ",\n".join(ctes) + "\n    " + union
 
 
+def _bpe_encode_oracle_sql(m: int = BPE_MERGES) -> str:
+    """Document encoding replayed through the training chain's final
+    segmented vocabulary ``w{m+1}`` — an INDEPENDENT formulation from
+    the Spark side's per-word literal-merge fold (vocab-join replay vs
+    greedy fold; they agree by induction on the per-round fold parity
+    the bpe_merges tests pin)."""
+    head = _bpe_oracle_sql(m)
+    # the shared CTE chain is everything before the final merge union
+    chain = head[: head.index("\n    SELECT 1 AS merge_rank")]
+    return f"""{chain},
+    dtoks AS (
+        SELECT doc_id,
+               unnest(range(1, len(ws) + 1)) AS j,
+               unnest(ws) AS word
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\s+'),
+                                 x -> x <> '') AS ws
+              FROM documents)),
+    enc AS (
+        SELECT d.doc_id, d.j, v.syms
+        FROM dtoks d JOIN w{m + 1} v USING (word)),
+    eagg AS (
+        SELECT doc_id, flatten(list(syms ORDER BY j)) AS toks,
+               CAST(COUNT(*) AS BIGINT) AS n_words
+        FROM enc GROUP BY doc_id)
+    SELECT doc_id, n_words,
+           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
+           array_to_string(toks, ' ') AS bpe_text
+    FROM eagg"""
+
+
 @_q("bpe_merges", _bpe_oracle_sql())
 def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """First 6 BPE merges trained on the corpus (merge_rank, lhs, rhs,
@@ -1496,4 +1527,53 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     merges = B.bpe_train(d, BPE_MERGES)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
+    )
+
+
+@_q("bpe_encode_docs", _bpe_encode_oracle_sql())
+def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with the corpus-trained BPE merges:
+    per word, character split + each merge's greedy non-overlapping
+    pass in rank order; per doc, the word encodings concatenated in
+    order. Emits word/BPE-token counts and the full encoded text, so
+    the oracle hash checks every symbol boundary.
+
+    100 TB shape: training reduces the corpus to the vocab table once
+    (see bpe_merges); encoding then rides the plan as literal merge
+    folds (functions/bpe.encode_word — the codebook trick), making the
+    apply pass a ZERO-SHUFFLE map over the corpus. The DuckDB oracle
+    is an independent formulation — it joins words to the training
+    chain's final segmented vocabulary ``w{m+1}`` and reassembles docs
+    with an ordered aggregate — so agreement checks fold-vs-vocab
+    parity end to end, not one implementation against itself. (A
+    production tokenizer with tens of thousands of merges flips the
+    Spark side to that same vocab-table join — one corpus-sized
+    shuffle — because expression depth grows with the merge count.)"""
+    from snowalert_spark.functions import bpe as B
+
+    d = table(spark, sf_dir, "documents")
+    merges = B.bpe_train(d, BPE_MERGES)
+    ws = F.filter(X.tokens("text"), lambda w: w != F.lit(""))
+    enc = X.bind_array(
+        ws, lambda t: F.transform(t, lambda w: B.encode_word(w, merges))
+    )
+    return (
+        d.select("doc_id", enc.alias("tw"))
+        .select(
+            "doc_id",
+            F.size("tw").cast("long").alias("n_words"),
+            X.bind_array(
+                F.flatten(F.col("tw")),
+                lambda t: F.struct(
+                    F.size(t).cast("long").alias("n"),
+                    F.array_join(t, " ").alias("s"),
+                ),
+            ).alias("st"),
+        )
+        .select(
+            "doc_id",
+            "n_words",
+            F.col("st.n").alias("n_bpe_tokens"),
+            F.col("st.s").alias("bpe_text"),
+        )
     )

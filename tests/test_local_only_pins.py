@@ -234,3 +234,13 @@ def test_topic_balanced_sample_keep_filter_is_map_only(spark):
     for op in ("Join", "CartesianProduct", "Exchange", "Window"):
         assert op not in plan, f"{op} leaked into the keep-filter plan"
     assert "Filter" in plan
+
+
+def test_bpe_encode_apply_pass_is_zero_shuffle(spark):
+    """BPE application: after training, the encode pass is a literal-
+    merge fold projection — scan -> project with no join, exchange, or
+    window over the corpus (the vocab-join alternative lives only in
+    the oracle)."""
+    plan = _plan(spark, "bpe_encode_docs")
+    for op in ("Join", "CartesianProduct", "Exchange", "Window"):
+        assert op not in plan, f"{op} leaked into the encode plan"
