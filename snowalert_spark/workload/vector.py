@@ -1127,17 +1127,20 @@ def topic_balanced_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     the standard rebalance before training-shard writes when one
     topic dominates a crawl.
 
-    100 TB shape: the corpus is touched exactly twice — one
-    map-side-combined count aggregation (the mixture plan's only
-    shuffle, reducing the corpus to k rows collected driver-side like
-    a centroid table) and one map-only keep-filter pass (the k-row
-    rate table rides the plan as a literal map; the bucket predicate
-    is a pure column expression, so the same rows survive on any
-    cluster layout or rerun). The final per-row plan has no join,
-    exchange, or window."""
+    100 TB shape: the corpus is featurized + assigned ONCE and the
+    tiny (doc_id, topic) pairs are materialized (localCheckpoint —
+    the semantic_dedup multi-consumer pattern: the mixture plan's
+    count, its totals, and the keep pass would otherwise each re-run
+    the argmax scan). The plan itself is one map-side-combined count
+    aggregation collapsing the pairs to k driver-side rows; the keep
+    pass is a map-only filter over the pairs (the k-row rate table
+    rides the plan as a literal map; the bucket predicate is a pure
+    column expression, so the same rows survive on any cluster layout
+    or rerun). The final per-row plan has no join, exchange, or
+    window."""
     from snowalert_spark.functions import sampling as SMP
 
-    topics = _topic_assignments(spark, sf_dir)
+    topics = _topic_assignments(spark, sf_dir).localCheckpoint()
     plan = SMP.mixture_plan(topics, "topic", F.lit(1.0))
     rates = {
         int(r["topic"]): int(r["rate_pct"])
