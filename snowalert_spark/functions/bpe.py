@@ -117,3 +117,61 @@ def encode_word(word: Column, merges: list[tuple[int, str, str, int]]) -> Column
     for _, lhs, rhs, _ in sorted(merges):
         syms = merge_pair(syms, lhs, rhs)
     return syms
+
+
+# process-local merge cache + optional versioned-store persistence —
+# the trained_centroids pattern (functions/similarity.py): a tokenizer
+# is train-once state, not per-session work.
+_MERGE_CACHE: dict[tuple, list] = {}
+
+
+def trained_merges(
+    spark,
+    corpus_version: str,
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    store=None,
+) -> list[tuple[int, str, str, int]]:
+    """The BPE merge table for a corpus version, trained at most once
+    per version. With ``store`` (a ResultsStore, or $SNOWALERT_MODEL_DIR
+    set), merges persist in the versioned ``trained_bpe_merges``
+    sidecar table and later sessions reload them instead of re-running
+    the trainer — the same state-in-tables shape as the k-means
+    codebooks (and as the reference's results-table-resident runner
+    state, alert_queries_runner.py:64-94)."""
+    from snowalert_spark.functions.similarity import _default_model_store
+
+    key = (corpus_version, n_merges)
+    if store is None:
+        store = _default_model_store(spark)
+    mk = f"{corpus_version}|m={n_merges}"
+    if key not in _MERGE_CACHE and store is not None:
+        persisted = [
+            (int(r["merge_rank"]), r["lhs"], r["rhs"], int(r["pair_count"]))
+            for r in store.read("trained_bpe_merges")
+            .filter(F.col("model_key") == mk)
+            .collect()
+        ]
+        if persisted:
+            _MERGE_CACHE[key] = sorted(persisted)
+    if key not in _MERGE_CACHE:
+        _MERGE_CACHE[key] = bpe_train(docs, n_merges, text_col)
+        if store is not None:
+            new = spark.createDataFrame(
+                [(mk, *m) for m in _MERGE_CACHE[key]],
+                "model_key string, merge_rank int, lhs string, "
+                "rhs string, pair_count bigint",
+            )
+            from snowalert_spark.store import ConcurrentWriteError
+
+            try:
+                store.upsert(
+                    "trained_bpe_merges", new, on=["model_key", "merge_rank"]
+                )
+            except ConcurrentWriteError:
+                # a concurrent trainer published first; the trainer is
+                # deterministic per corpus version, so the loss is
+                # harmless
+                pass
+    return _MERGE_CACHE[key]

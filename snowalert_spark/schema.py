@@ -84,6 +84,19 @@ TRAINED_CENTROIDS = T.StructType(
     ]
 )
 
+# the tokenizer analog of TRAINED_CENTROIDS: the trained BPE merge
+# table (a few rows per corpus version) persisted through the same
+# versioned CAS store so a fresh session tokenizes without retraining.
+TRAINED_BPE_MERGES = T.StructType(
+    [
+        T.StructField("model_key", T.StringType()),
+        T.StructField("merge_rank", T.IntegerType()),
+        T.StructField("lhs", T.StringType()),
+        T.StructField("rhs", T.StringType()),
+        T.StructField("pair_count", T.LongType()),
+    ]
+)
+
 RESULT_TABLES: dict[str, T.StructType] = {
     "alerts": ALERTS,
     "violations": VIOLATIONS,
@@ -91,4 +104,5 @@ RESULT_TABLES: dict[str, T.StructType] = {
     "run_metadata": METADATA,
     "ingestion_metadata": METADATA,
     "trained_centroids": TRAINED_CENTROIDS,
+    "trained_bpe_merges": TRAINED_BPE_MERGES,
 }

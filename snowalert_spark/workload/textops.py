@@ -1524,7 +1524,7 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snowalert_spark.functions import bpe as B
 
     d = table(spark, sf_dir, "documents")
-    merges = B.bpe_train(d, BPE_MERGES)
+    merges = B.trained_merges(spark, sf_dir, d, BPE_MERGES)
     return spark.createDataFrame(
         merges, "merge_rank int, lhs string, rhs string, pair_count bigint"
     )
@@ -1552,7 +1552,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from snowalert_spark.functions import bpe as B
 
     d = table(spark, sf_dir, "documents")
-    merges = B.bpe_train(d, BPE_MERGES)
+    merges = B.trained_merges(spark, sf_dir, d, BPE_MERGES)
     ws = F.filter(X.tokens("text"), lambda w: w != F.lit(""))
     enc = X.bind_array(
         ws, lambda t: F.transform(t, lambda w: B.encode_word(w, merges))

@@ -118,3 +118,38 @@ def test_pq_codebooks_persist(spark, model_dir, monkeypatch):
         lambda *a, **kw: (_ for _ in ()).throw(AssertionError("retrained")),
     )
     assert run() == first
+
+
+def test_bpe_merges_persist_and_reload_without_retraining(
+    spark, model_dir, monkeypatch
+):
+    """The tokenizer analog: trained BPE merges persist in the
+    trained_bpe_merges sidecar and a fresh session reloads them
+    without re-running the trainer."""
+    from snowalert_spark.functions import bpe as B
+
+    store = ResultsStore(spark, model_dir)
+    docs = table(spark, SF, "documents")
+
+    B._MERGE_CACHE.clear()
+    first = B.trained_merges(spark, "corpus-v1", docs, 3, store=store)
+    assert len(first) == 3
+
+    persisted = store.read("trained_bpe_merges").filter(
+        F.col("model_key") == "corpus-v1|m=3"
+    )
+    assert persisted.count() == 3
+
+    B._MERGE_CACHE.clear()
+
+    def _boom(*a, **kw):  # pragma: no cover - failure path
+        raise AssertionError("bpe_train re-ran despite persisted merges")
+
+    monkeypatch.setattr(B, "bpe_train", _boom)
+    reloaded = B.trained_merges(spark, "corpus-v1", docs, 3, store=store)
+    assert reloaded == first
+    # and the encode fold consumes the reloaded merges unchanged
+    enc = docs.limit(5).select(
+        B.encode_word(F.lit("the"), reloaded).alias("syms")
+    ).collect()
+    assert all(len(r["syms"]) >= 1 for r in enc)
