@@ -1074,17 +1074,19 @@ def doc_topic_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, topic) for every document — the hashed-TF k-means
     pipeline shared by :func:`doc_topic_clusters` and
-    :func:`topic_balanced_sample`."""
+    :func:`topic_balanced_sample`. The topic centroids ride the same
+    train-once cache + versioned-store persistence as the embedding
+    codebooks (the ``#doctf`` suffix keys them apart from the
+    embedding-table models of the same (k, iters))."""
     feats = _doc_tf_features(spark, sf_dir)
-    cent_rows = sorted(
-        S.kmeans_fit(
-            feats.filter(F.col("doc_id") < TOPIC_TRAIN_N),
-            k=TOPIC_K,
-            iters=KMEANS_ITERS,
-            id_col="doc_id",
-            vec_col="v",
-        ).collect(),
-        key=lambda r: int(r[0]),
+    cent_rows = S.trained_centroid_rows(
+        spark,
+        f"{sf_dir}#doctf{TOPIC_DIM}",
+        feats.filter(F.col("doc_id") < TOPIC_TRAIN_N),
+        k=TOPIC_K,
+        iters=KMEANS_ITERS,
+        id_col="doc_id",
+        vec_col="v",
     )
     structs = S._cell_structs_sql(cent_rows, "v")
     return feats.select(
