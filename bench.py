@@ -78,6 +78,8 @@ HEADLINE = [
     "multimodal_features",
     "image_dhash",
     "dedup_image_dhash",
+    "audio_fingerprint",
+    "dedup_audio_fp",
 ]
 
 

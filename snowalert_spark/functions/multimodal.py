@@ -701,3 +701,126 @@ def image_dhash(media: DataFrame, decode: str = "fake") -> DataFrame:
             )
 
     return media.mapInPandas(batches, schema)
+
+
+# --------------------------------------------------------------------------
+# Audio fingerprinting: a chromaprint-style TEMPORAL energy hash. Where
+# the image dHash compares adjacent pooled cells (first derivative of
+# luminance), the audio fingerprint compares adjacent energy GRADIENTS
+# (second derivative of the windowed energy envelope) — the sign of
+# d[i+1]-vs-d[i] is what survives level/gain changes in real audio.
+# --------------------------------------------------------------------------
+
+AFP_WINDOWS = 66  # energy windows -> 65 deltas -> 64 fingerprint bits
+AFP_HAM_T = 3  # near-dup verify threshold (4x16-bit bands: lossless)
+
+#: Sample-level decoders for audio fingerprinting: ``fn(data: bytes)
+#: -> list[float]`` returning the mono PCM sample sequence. Same
+#: injection-point contract as PIXEL_DECODERS; the synthetic-media
+#: parity path feeds raw payload bytes through identical pooling.
+SAMPLE_DECODERS: dict[str, "object"] = {}
+
+
+def register_sample_decoder(fmt: str, fn) -> None:
+    SAMPLE_DECODERS[fmt] = fn
+
+
+def wav_samples(data: bytes) -> list[float]:
+    """RIFF/WAVE 16-bit PCM -> mono sample sequence (channel-averaged).
+    Pure stdlib: walks the chunk list to ``fmt ``/``data`` per the
+    public RIFF spec; rejects non-PCM or non-16-bit payloads."""
+    import struct
+
+    if data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a wav")
+    pos, fmt_info, raw = 12, None, None
+    while pos + 8 <= len(data):
+        cid = data[pos : pos + 4]
+        (sz,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + sz]
+        if cid == b"fmt ":
+            audio_fmt, n_ch, _, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError("only 16-bit PCM wav supported")
+            fmt_info = n_ch
+        elif cid == b"data":
+            raw = body
+        pos += 8 + sz + (sz & 1)
+    if fmt_info is None or raw is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch = fmt_info
+    samples = struct.unpack(f"<{len(raw) // 2}h", raw[: len(raw) // 2 * 2])
+    if n_ch == 1:
+        return [float(s) for s in samples]
+    return [
+        sum(samples[i : i + n_ch]) / n_ch
+        for i in range(0, len(samples) - n_ch + 1, n_ch)
+    ]
+
+
+def afp_bands(samples: list[float]) -> list[int]:
+    """8 fingerprint bytes from the energy envelope: pool the sample
+    sequence into AFP_WINDOWS window means (the pixel_grid slicing),
+    take adjacent deltas, set bit i iff d[i+1] > d[i] (MSB-first per
+    byte, byte r covers bits 8r..8r+7). The byte array doubles as the
+    near-dup band source, exactly like dhash_bands."""
+    e = pixel_grid(samples, rows=1, cols=AFP_WINDOWS)
+    d = [e[i + 1] - e[i] for i in range(AFP_WINDOWS - 1)]
+    bands = []
+    for r in range(8):
+        v = 0
+        for c in range(8):
+            i = 8 * r + c
+            if d[i + 1] > d[i]:
+                v |= 1 << (7 - c)
+        bands.append(v)
+    return bands
+
+
+def audio_fingerprint(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Per-clip 64-bit temporal energy fingerprint via the Arrow-
+    batched decode path: ``real`` resolves SAMPLE_DECODERS by
+    meta.format (wav_samples ships); ``fake`` pools the raw payload
+    bytes (deterministic synthetic-media parity, replayed bit-exact by
+    the DuckDB oracle). Output: media_id, afp hex, band_0..band_7."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+    decoders = dict(SAMPLE_DECODERS)
+    schema = "media_id long, afp string, " + ", ".join(
+        f"band_{r} int" for r in range(8)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, fmt, data in zip(
+                pdf["media_id"],
+                pdf["meta"].map(lambda m: (m or {}).get("format")),
+                pdf["data"],
+            ):
+                raw = bytes(data)
+                if decode == "real":
+                    if fmt not in decoders:
+                        raise NotImplementedError(
+                            f"no sample decoder registered for format {fmt!r}"
+                        )
+                    samples = decoders[fmt](raw)
+                else:
+                    samples = [float(x) for x in raw]
+                bands = afp_bands(samples)
+                rows.append(
+                    (int(mid), "".join(f"{b:02x}" for b in bands), *bands)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "afp"] + [f"band_{r}" for r in range(8)],
+            )
+
+    return media.select("media_id", "meta", "data").mapInPandas(
+        batches, schema=schema
+    )
+
+
+register_sample_decoder("wav", wav_samples)

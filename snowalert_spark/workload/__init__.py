@@ -181,6 +181,15 @@ LOCAL_ONLY = {
     # agreement also re-checks training; the bpe_merges row above
     # keeps its own local oracle + fold-parity property tests).
     "bpe_encode_docs",
+    # ... and the audio arm of the multimodal family: a chromaprint-
+    # style temporal energy fingerprint (second-derivative sign bits
+    # of the windowed energy envelope; real path = 16-bit PCM WAV via
+    # SAMPLE_DECODERS, parity path byte-pooled and oracle-replayed)
+    # plus its banded near-dup tier — the dedup_image_dhash shape with
+    # a declared driver row, so the candidate/verify plan family is
+    # gate-covered.
+    "audio_fingerprint",
+    "dedup_audio_fp",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -555,3 +555,170 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("hamming") <= DHASH_HAM_T)
         .select("media_id", "dup_of", "hamming")
     )
+
+
+# --- audio fingerprint (temporal energy hash) -------------------------
+
+# DuckDB replica of the audio fingerprint parity path: the audio-kind
+# media (doc_id % 3 = 1 in media_from_documents' kind assignment) plus
+# planted variants (every 10th audio clip, 3 bytes perturbed mid-
+# payload — measured hamming <= 3, so the 4x16-bit bands recall them
+# losslessly); 66 window means over the payload bytes (the pixel_grid
+# slicing), adjacent deltas, band byte r bit c set iff d[8r+c+1] >
+# d[8r+c] (second derivative of the energy envelope — the chromaprint
+# comparison, vs dHash's first derivative).
+_AFP_CELLS_SQL = f"""
+af_docs AS (
+    SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 1
+    UNION ALL
+    SELECT doc_id + 1000000 AS media_id,
+           text[1:11] || upper(text[12:14]) || text[15:] AS text
+    FROM documents WHERE doc_id % 30 = 1),
+af_b AS (SELECT media_id,
+                list_transform(range(1, strlen(text) + 1),
+                               i -> ascii(text[i:i])) AS bts,
+                strlen(text) AS n
+         FROM af_docs),
+af_cells AS (SELECT media_id,
+                    list_transform(range(0, 66), j ->
+                      CAST(COALESCE(list_sum(bts[(j * n) // 66 + 1 : ((j + 1) * n) // 66]), 0) AS DOUBLE)
+                      / greatest(((j + 1) * n) // 66 - (j * n) // 66, 1)) AS g
+             FROM af_b),
+af_d AS (SELECT media_id,
+                list_transform(range(1, 66), i -> g[i + 1] - g[i]) AS d
+         FROM af_cells),
+af_bands AS (SELECT media_id,
+                    list_transform(range(0, 8), r ->
+                      CAST(COALESCE(list_sum(list_transform(range(0, 8), c ->
+                        CASE WHEN d[8 * r + c + 2] > d[8 * r + c + 1]
+                             THEN 1 << (7 - c) ELSE 0 END)), 0) AS INT)) AS bd
+             FROM af_d)
+"""
+
+
+@_q(
+    "audio_fingerprint",
+    f"""
+    WITH {_AFP_CELLS_SQL}
+    SELECT media_id,
+           string_agg(CASE WHEN strlen(h) = 1 THEN '0' || h ELSE h END, ''
+                      ORDER BY r) AS afp
+    FROM (SELECT media_id, unnest(generate_series(1, 8)) AS r,
+                 lower(hex(unnest(bd))) AS h
+          FROM af_bands
+          WHERE media_id < 1000000)
+    GROUP BY media_id
+    """,
+)
+def audio_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-clip 64-bit temporal energy fingerprint (chromaprint-style:
+    bits are the SECOND derivative sign of the windowed energy
+    envelope, which survives gain changes — vs dHash's first
+    derivative over space) via the Arrow-batched decode stage. The
+    real path decodes 16-bit PCM through SAMPLE_DECODERS (RIFF/WAV
+    ships); the synthetic parity path pools payload bytes and is what
+    the oracle replays bit-exact."""
+    media = M.media_from_documents(table(spark, sf_dir, "documents"))
+    return M.audio_fingerprint(
+        media.filter(F.col("kind") == "audio"), decode="fake"
+    ).select("media_id", "afp")
+
+
+def _audio_media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-kind media plus planted perceptual variants: every 10th
+    audio clip re-appears (id + 1e6) with payload bytes 12-14
+    uppercased — a mid-stream level blip confined to ~2 energy
+    windows (measured hamming <= 3 across the whole corpus, so the
+    banded join recalls every plant)."""
+    d = table(spark, sf_dir, "documents")
+    audio = d.filter(F.col("doc_id") % 3 == 1)
+    variants = audio.filter(F.col("doc_id") % 10 == 1).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 11),
+            F.upper(F.substring("text", 12, 3)),
+            F.expr("substring(text, 15)"),
+        ).alias("text"),
+        "n_chars",
+        *[c for c in d.columns if c not in ("doc_id", "text", "n_chars")],
+    )
+    both = audio.unionByName(variants.select(d.columns))
+    return M.media_from_documents(both)
+
+
+@_q(
+    "dedup_audio_fp",
+    f"""
+    WITH {_AFP_CELLS_SQL},
+    af_sides AS (SELECT media_id, unnest(generate_series(1, 4)) AS r,
+                        unnest([bd[1] * 256 + bd[2], bd[3] * 256 + bd[4],
+                                bd[5] * 256 + bd[6], bd[7] * 256 + bd[8]]) AS v
+                 FROM af_bands),
+    af_cand AS (SELECT DISTINCT a.media_id AS media_id, b.media_id AS dup_of
+                FROM af_sides a JOIN af_sides b
+                  ON a.r = b.r AND a.v = b.v AND a.media_id < b.media_id)
+    SELECT c.media_id, c.dup_of,
+           CAST(list_sum(list_transform(range(1, 9),
+                i -> bit_count(xor(ba.bd[i], bb.bd[i])))) AS INT) AS hamming
+    FROM af_cand c
+    JOIN af_bands ba ON ba.media_id = c.media_id
+    JOIN af_bands bb ON bb.media_id = c.dup_of
+    WHERE list_sum(list_transform(range(1, 9),
+          i -> bit_count(xor(ba.bd[i], bb.bd[i])))) <= {M.AFP_HAM_T}
+    """,
+)
+def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs at hamming <= 3 over the temporal
+    energy fingerprint (finds the planted level-blip variants): the
+    image-dHash candidate/verify shape — a 4x16-bit banded equi-join
+    (ids + one band value per row, never a product join, payloads
+    never shuffle) with popcount verify on the 8 fingerprint bytes
+    joined back once per distinct candidate. Recall is exact at the
+    threshold by pigeonhole; chance band collisions (~4n^2/2^16,
+    measured 30 on the gate corpus) are discarded by the verify."""
+    h = M.audio_fingerprint(
+        _audio_media_with_variants(spark, sf_dir).filter(
+            (F.col("kind") == "audio") | (F.col("media_id") >= 1000000)
+        ),
+        decode="fake",
+    )
+    bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
+    hashed = h.select("media_id", bd.alias("bd"))
+    bands16 = F.array(
+        *[F.col("bd")[2 * k] * 256 + F.col("bd")[2 * k + 1] for k in range(4)]
+    )
+    sides = hashed.select("media_id", F.posexplode(bands16).alias("r", "v"))
+    cand = (
+        sides.alias("a")
+        .join(
+            sides.alias("b"),
+            (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.v") == F.col("b.v"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("media_id"),
+            F.col("b.media_id").alias("dup_of"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        cand.join(
+            hashed.select(F.col("media_id"), F.col("bd").alias("ba")),
+            "media_id",
+        )
+        .join(
+            hashed.select(
+                F.col("media_id").alias("dup_of"), F.col("bd").alias("bb")
+            ),
+            "dup_of",
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= M.AFP_HAM_T)
+        .select("media_id", "dup_of", "hamming")
+    )

@@ -23,10 +23,10 @@ def test_registry_stats_single_source_of_truth():
     stats = workload.registry_stats()
     # the numbers quoted in README.md and PARITY.md
     assert stats == {
-        "total": 89,
+        "total": 91,
         "driver_declared": 50,
-        "local_only": 39,
-        "with_oracle": 89,
+        "local_only": 41,
+        "with_oracle": 91,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
     assert stats["local_only"] == len(workload.LOCAL_ONLY)

@@ -244,3 +244,13 @@ def test_bpe_encode_apply_pass_is_zero_shuffle(spark):
     plan = _plan(spark, "bpe_encode_docs")
     for op in ("Join", "CartesianProduct", "Exchange", "Window"):
         assert op not in plan, f"{op} leaked into the encode plan"
+
+
+def test_dedup_audio_fp_same_shape_as_image_dhash(spark):
+    """The audio near-dup tier must keep the declared image sibling's
+    candidate/verify shape: banded equi-join (no product join) and a
+    popcount verify — never a cartesian of media rows."""
+    for name in ("dedup_audio_fp", "audio_fingerprint"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
