@@ -142,10 +142,10 @@ def trained_merges(
     state, alert_queries_runner.py:64-94)."""
     from snowalert_spark.functions.similarity import _default_model_store
 
-    key = (corpus_version, n_merges)
+    key = (corpus_version, n_merges, text_col)
     if store is None:
         store = _default_model_store(spark)
-    mk = f"{corpus_version}|m={n_merges}"
+    mk = f"{corpus_version}|m={n_merges}|col={text_col}"
     if key not in _MERGE_CACHE and store is not None:
         persisted = [
             (int(r["merge_rank"]), r["lhs"], r["rhs"], int(r["pair_count"]))

@@ -480,25 +480,35 @@ def _media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
     return M.media_from_documents(d.unionByName(variants.select(d.columns)))
 
 
-@_q(
-    "dedup_image_dhash",
-    f"""
-    WITH {_DHASH_CELLS_SQL},
-    dh_sides AS (SELECT media_id, unnest(generate_series(1, 4)) AS r,
+def _banded_pairs_sql(bands_cte: str, pfx: str, threshold: int) -> str:
+    """The band-join/verify oracle block shared by the image-dHash and
+    audio-fingerprint near-dup oracles: 4x16-bit banded candidates +
+    popcount verify over the 8 band bytes in ``{bands_cte}(media_id,
+    bd)``. Callers prepend WITH + their cells CTEs."""
+    return f"""
+    {pfx}sides AS (SELECT media_id, unnest(generate_series(1, 4)) AS r,
                         unnest([bd[1] * 256 + bd[2], bd[3] * 256 + bd[4],
                                 bd[5] * 256 + bd[6], bd[7] * 256 + bd[8]]) AS v
-                 FROM dh_bands),
-    dh_cand AS (SELECT DISTINCT a.media_id AS media_id, b.media_id AS dup_of
-                FROM dh_sides a JOIN dh_sides b
+                 FROM {bands_cte}),
+    {pfx}cand AS (SELECT DISTINCT a.media_id AS media_id, b.media_id AS dup_of
+                FROM {pfx}sides a JOIN {pfx}sides b
                   ON a.r = b.r AND a.v = b.v AND a.media_id < b.media_id)
     SELECT c.media_id, c.dup_of,
            CAST(list_sum(list_transform(range(1, 9),
                 i -> bit_count(xor(ba.bd[i], bb.bd[i])))) AS INT) AS hamming
-    FROM dh_cand c
-    JOIN dh_bands ba ON ba.media_id = c.media_id
-    JOIN dh_bands bb ON bb.media_id = c.dup_of
+    FROM {pfx}cand c
+    JOIN {bands_cte} ba ON ba.media_id = c.media_id
+    JOIN {bands_cte} bb ON bb.media_id = c.dup_of
     WHERE list_sum(list_transform(range(1, 9),
-          i -> bit_count(xor(ba.bd[i], bb.bd[i])))) <= {DHASH_HAM_T}
+          i -> bit_count(xor(ba.bd[i], bb.bd[i])))) <= {threshold}
+    """
+
+
+@_q(
+    "dedup_image_dhash",
+    f"""
+    WITH {_DHASH_CELLS_SQL},
+    {_banded_pairs_sql('dh_bands', 'dh_', DHASH_HAM_T)}
     """,
 )
 def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -513,8 +523,21 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-partitioned on (band, value), chance collisions on unrelated
     images are ~4n^2/2^16 and are discarded by the verify filter."""
     h = M.image_dhash(_media_with_variants(spark, sf_dir), decode="fake")
+    return _banded_hamming_pairs(h, DHASH_HAM_T)
+
+
+def _banded_hamming_pairs(hashed8: DataFrame, threshold: int) -> DataFrame:
+    """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
+    ``band_0..band_7`` (+ ``media_id``): candidate pairs from a
+    4x16-bit banded equi-join (ids + one band value per row — never a
+    product join, payloads never shuffle), popcount-verified on the 8
+    band bytes joined back once per distinct candidate. Recall is
+    exact at ``threshold`` <= 3 by pigeonhole (4 bands, <= 3 flipped
+    bits leaves one band intact). Shared by the image-dHash and
+    audio-fingerprint tiers so the candidate/verify shape can't
+    diverge between the siblings."""
     bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
-    hashed = h.select("media_id", bd.alias("bd"))
+    hashed = hashed8.select("media_id", bd.alias("bd"))
     bands16 = F.array(
         *[
             F.col("bd")[2 * k] * 256 + F.col("bd")[2 * k + 1]
@@ -552,7 +575,7 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dup_of",
         )
         .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= DHASH_HAM_T)
+        .filter(F.col("hamming") <= threshold)
         .select("media_id", "dup_of", "hamming")
     )
 
@@ -643,28 +666,20 @@ def _audio_media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         *[c for c in d.columns if c not in ("doc_id", "text", "n_chars")],
     )
     both = audio.unionByName(variants.select(d.columns))
-    return M.media_from_documents(both)
+    # media_from_documents derives kind from media_id % 3, which the
+    # +1e6 id offset would shift to 'video' for the variants — every
+    # row here IS audio, so pin the kind explicitly (a per-kind sweep
+    # downstream must see the variants as audio).
+    return M.media_from_documents(both).withColumn(
+        "kind", F.lit("audio")
+    )
 
 
 @_q(
     "dedup_audio_fp",
     f"""
     WITH {_AFP_CELLS_SQL},
-    af_sides AS (SELECT media_id, unnest(generate_series(1, 4)) AS r,
-                        unnest([bd[1] * 256 + bd[2], bd[3] * 256 + bd[4],
-                                bd[5] * 256 + bd[6], bd[7] * 256 + bd[8]]) AS v
-                 FROM af_bands),
-    af_cand AS (SELECT DISTINCT a.media_id AS media_id, b.media_id AS dup_of
-                FROM af_sides a JOIN af_sides b
-                  ON a.r = b.r AND a.v = b.v AND a.media_id < b.media_id)
-    SELECT c.media_id, c.dup_of,
-           CAST(list_sum(list_transform(range(1, 9),
-                i -> bit_count(xor(ba.bd[i], bb.bd[i])))) AS INT) AS hamming
-    FROM af_cand c
-    JOIN af_bands ba ON ba.media_id = c.media_id
-    JOIN af_bands bb ON bb.media_id = c.dup_of
-    WHERE list_sum(list_transform(range(1, 9),
-          i -> bit_count(xor(ba.bd[i], bb.bd[i])))) <= {M.AFP_HAM_T}
+    {_banded_pairs_sql('af_bands', 'af_', M.AFP_HAM_T)}
     """,
 )
 def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -677,48 +692,6 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold by pigeonhole; chance band collisions (~4n^2/2^16,
     measured 30 on the gate corpus) are discarded by the verify."""
     h = M.audio_fingerprint(
-        _audio_media_with_variants(spark, sf_dir).filter(
-            (F.col("kind") == "audio") | (F.col("media_id") >= 1000000)
-        ),
-        decode="fake",
+        _audio_media_with_variants(spark, sf_dir), decode="fake"
     )
-    bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
-    hashed = h.select("media_id", bd.alias("bd"))
-    bands16 = F.array(
-        *[F.col("bd")[2 * k] * 256 + F.col("bd")[2 * k + 1] for k in range(4)]
-    )
-    sides = hashed.select("media_id", F.posexplode(bands16).alias("r", "v"))
-    cand = (
-        sides.alias("a")
-        .join(
-            sides.alias("b"),
-            (F.col("a.r") == F.col("b.r"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_id"),
-            F.col("b.media_id").alias("dup_of"),
-        )
-        .distinct()
-    )
-    ham = F.aggregate(
-        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("int")
-    return (
-        cand.join(
-            hashed.select(F.col("media_id"), F.col("bd").alias("ba")),
-            "media_id",
-        )
-        .join(
-            hashed.select(
-                F.col("media_id").alias("dup_of"), F.col("bd").alias("bb")
-            ),
-            "dup_of",
-        )
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= M.AFP_HAM_T)
-        .select("media_id", "dup_of", "hamming")
-    )
+    return _banded_hamming_pairs(h, M.AFP_HAM_T)

@@ -1505,10 +1505,13 @@ def _bpe_encode_oracle_sql(m: int = BPE_MERGES) -> str:
         SELECT doc_id, flatten(list(syms ORDER BY j)) AS toks,
                CAST(COUNT(*) AS BIGINT) AS n_words
         FROM enc GROUP BY doc_id)
-    SELECT doc_id, n_words,
-           CAST(len(toks) AS BIGINT) AS n_bpe_tokens,
-           array_to_string(toks, ' ') AS bpe_text
-    FROM eagg"""
+    -- LEFT JOIN from documents: a zero-word doc has no dtoks/eagg row
+    -- but the Spark side still emits (0, 0, '') for it
+    SELECT d.doc_id,
+           CAST(COALESCE(e.n_words, 0) AS BIGINT) AS n_words,
+           CAST(COALESCE(len(e.toks), 0) AS BIGINT) AS n_bpe_tokens,
+           COALESCE(array_to_string(e.toks, ' '), '') AS bpe_text
+    FROM documents d LEFT JOIN eagg e USING (doc_id)"""
 
 
 @_q("bpe_merges", _bpe_oracle_sql())

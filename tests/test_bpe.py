@@ -72,3 +72,39 @@ def test_bpe_train_deterministic_and_monotone(spark):
     # merged pair counts never exceed an earlier selection's count
     counts = [r[3] for r in m1]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_bpe_encode_parity_with_empty_docs(spark, tmp_path):
+    """Zero-word documents (empty / whitespace-only text) must round
+    through BOTH formulations identically: the Spark fold emits
+    (0, 0, '') and the oracle's LEFT JOIN from documents preserves the
+    row (review finding r8: the original inner-join oracle dropped
+    it)."""
+    import shutil
+
+    import pandas as pd
+
+    from snowalert_spark import workload
+    from tests.oracle_harness import compare
+
+    import os
+
+    sf = str(tmp_path / "sf_empty")
+    shutil.copytree("/root/testdata/sf0.001", sf)
+    os.remove(f"{sf}/documents.parquet")
+    rows = [
+        (0, "the fast scan join merge", "en", "web", 24),
+        (1, "", "en", "web", 0),
+        (2, "   ", "en", "web", 3),
+        (3, "merge scan the the the fast", "en", "web", 27),
+        (4, "fast fast join join scan", "en", "web", 24),
+        (5, "the merge merge scan join fast", "en", "web", 30),
+        (6, "scan the join", "en", "web", 13),
+        (7, "join fast the merge", "en", "web", 19),
+    ]
+    pd.DataFrame(
+        rows, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).to_parquet(f"{sf}/documents.parquet")
+    qs = workload.queries(include_local=True)
+    os_ = workload.oracle_sql(include_local=True)
+    compare(qs["bpe_encode_docs"](spark, sf), os_["bpe_encode_docs"], sf, "bpe")

@@ -136,7 +136,7 @@ def test_bpe_merges_persist_and_reload_without_retraining(
     assert len(first) == 3
 
     persisted = store.read("trained_bpe_merges").filter(
-        F.col("model_key") == "corpus-v1|m=3"
+        F.col("model_key") == "corpus-v1|m=3|col=text"
     )
     assert persisted.count() == 3
 
