@@ -193,3 +193,30 @@ def test_dedup_image_dhash_no_cartesian(spark):
     plan = _plan(spark, "dedup_image_dhash")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_registry_wide_no_cartesian_or_per_row_python(spark):
+    """Registry-wide guardrail (r8): EVERY query in the full
+    include_local registry — current and future — must execute with
+    no CartesianProduct (the intentional tiny cross joins resolve to
+    BroadcastNestedLoopJoin) and no row-at-a-time Python stage
+    (BatchEvalPython; Arrow-batched MapInPandas/ArrowEvalPython are
+    the sanctioned Python paths). A new operator that trips either
+    needs an explicit argument, not a silent merge."""
+    from snowalert_spark import workload
+
+    qs = workload.queries(include_local=True)
+    flagged = {}
+    for name, fn in qs.items():
+        plan = (
+            fn(spark, "/root/testdata/sf0.001")
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        flags = [
+            f for f in ("CartesianProduct", "BatchEvalPython") if f in plan
+        ]
+        if flags:
+            flagged[name] = flags
+    assert flagged == {}, f"scale red flags in executed plans: {flagged}"
