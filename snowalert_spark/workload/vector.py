@@ -1000,32 +1000,57 @@ _TOPIC_FEATS_SQL = f"""
         FROM dtok)"""
 
 
-def _doc_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-free document vectors: a {TOPIC_DIM}-dim hashed-TF
-    (feature-hashing / "hashing trick") projection of each document —
-    token -> 32-bit md5 prefix mod TOPIC_DIM, vector = bucket counts.
-    Pure JVM array expressions in one map-only projection (tokenize
-    once via bind_array, never per-bucket), so featurization is a
-    zero-shuffle scan at any corpus size."""
+def doc_tf_vector(text_col) -> "F.Column":
+    """The hashed-TF document vector as a pure Column expression over
+    any ``text`` column (batch OR streaming frame): token -> 32-bit
+    md5 prefix mod TOPIC_DIM, vector = bucket counts. Tokenize-once
+    and bucket-once via bind_array — a zero-shuffle map at any scale,
+    and stream-compatible because it is stateless."""
     from snowalert_spark.functions import text as T
 
-    docs = table(spark, sf_dir, "documents")
-    tok = F.filter(T.tokens(F.col("text")), lambda w: w != F.lit(""))
+    tok = F.filter(T.tokens(text_col), lambda w: w != F.lit(""))
     bs = T.bind_array(
         tok, lambda t: F.transform(t, lambda w: T.base_hash32(w) % TOPIC_DIM)
     )
-    return docs.select("doc_id", bs.alias("bs")).select(
-        "doc_id",
-        T.bind_array(
-            F.col("bs"),
-            lambda b: F.transform(
-                F.sequence(F.lit(0), F.lit(TOPIC_DIM - 1)),
-                lambda d: F.size(F.filter(b, lambda x: x == d)).cast(
-                    "double"
-                ),
-            ),
-        ).alias("v"),
+    return T.bind_array(
+        bs,
+        lambda b: F.transform(
+            F.sequence(F.lit(0), F.lit(TOPIC_DIM - 1)),
+            lambda d: F.size(F.filter(b, lambda x: x == d)).cast("double"),
+        ),
     )
+
+
+def topic_assign_col(cent_rows, sub: str = "v") -> "F.Column":
+    """Literal-codebook argmax topic assignment as a Column over the
+    feature-vector expression ``sub`` — the PQ-coder trick, map-only
+    and stream-compatible (the trained centroids are plan literals,
+    so a streaming micro-batch classifies with zero state)."""
+    structs = S._cell_structs_sql(cent_rows, sub)
+    return F.expr(f"element_at(array_sort(array({structs})), 1).cell")
+
+
+def topic_centroid_rows(spark: SparkSession, sf_dir: str):
+    """Train-once topic centroids for a corpus version (process cache
+    + versioned-store persistence, keyed apart from the embedding
+    models by the ``#doctf`` suffix)."""
+    feats = _doc_tf_features(spark, sf_dir)
+    return S.trained_centroid_rows(
+        spark,
+        f"{sf_dir}#doctf{TOPIC_DIM}",
+        feats.filter(F.col("doc_id") < TOPIC_TRAIN_N),
+        k=TOPIC_K,
+        iters=KMEANS_ITERS,
+        id_col="doc_id",
+        vec_col="v",
+    )
+
+
+def _doc_tf_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, v) for the corpus — :func:`doc_tf_vector` over the
+    documents table."""
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", doc_tf_vector(F.col("text")).alias("v"))
 
 
 # DuckDB replica of the full topic-assignment pipeline (featurizer +
@@ -1079,21 +1104,9 @@ def _topic_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks (the ``#doctf`` suffix keys them apart from the
     embedding-table models of the same (k, iters))."""
     feats = _doc_tf_features(spark, sf_dir)
-    cent_rows = S.trained_centroid_rows(
-        spark,
-        f"{sf_dir}#doctf{TOPIC_DIM}",
-        feats.filter(F.col("doc_id") < TOPIC_TRAIN_N),
-        k=TOPIC_K,
-        iters=KMEANS_ITERS,
-        id_col="doc_id",
-        vec_col="v",
-    )
-    structs = S._cell_structs_sql(cent_rows, "v")
+    cent_rows = topic_centroid_rows(spark, sf_dir)
     return feats.select(
-        "doc_id",
-        F.expr(f"element_at(array_sort(array({structs})), 1).cell").alias(
-            "topic"
-        ),
+        "doc_id", topic_assign_col(cent_rows, "v").alias("topic")
     )
 
 
