@@ -80,6 +80,8 @@ HEADLINE = [
     "dedup_image_dhash",
     "audio_fingerprint",
     "dedup_audio_fp",
+    "video_framehash",
+    "dedup_video_framehash",
 ]
 
 

@@ -824,3 +824,87 @@ def audio_fingerprint(media: DataFrame, decode: str = "fake") -> DataFrame:
 
 
 register_sample_decoder("wav", wav_samples)
+
+
+# --------------------------------------------------------------------------
+# Video frame hashing: per-frame perceptual hashes + sequence-aware
+# near-dup. A video is a SEQUENCE of frames, so near-duplication is
+# "most aligned frames perceptually match", not one global hash —
+# robust to a single re-encoded/inserted segment.
+# --------------------------------------------------------------------------
+
+VIDEO_FRAMES = 4  # fixed-stride frame sample per clip
+VIDEO_MIN_FRAMES = 3  # near-dup rule: >= 3 of 4 aligned frames close
+
+#: Frame decoders for video hashing: ``fn(data: bytes, frames: int) ->
+#: list[list[float]]`` (one luminance scanline per sampled frame). No
+#: decoder ships (video codecs are out of scope — the honest stub
+#: policy); the synthetic parity path slices the payload bytes into
+#: ``frames`` equal segments and pools each like a frame.
+FRAME_PIXEL_DECODERS: dict[str, "object"] = {}
+
+
+def register_frame_pixel_decoder(fmt: str, fn) -> None:
+    FRAME_PIXEL_DECODERS[fmt] = fn
+
+
+def video_framehash(media: DataFrame, decode: str = "fake") -> DataFrame:
+    """Per-frame 64-bit dHash for every clip: VIDEO_FRAMES fixed-stride
+    frames, each pooled to the 8x9 grid and gradient-hashed exactly
+    like a still image. Output: media_id, frame_no, fh hex,
+    band_0..band_7 — one row per frame, ready for the aligned-frame
+    banded near-dup join."""
+    if decode not in ("fake", "real"):
+        raise ValueError(decode)
+    decoders = dict(FRAME_PIXEL_DECODERS)
+    schema = "media_id long, frame_no int, fh string, " + ", ".join(
+        f"band_{r} int" for r in range(DHASH_ROWS)
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for mid, fmt, data in zip(
+                pdf["media_id"],
+                pdf["meta"].map(lambda m: (m or {}).get("format")),
+                pdf["data"],
+            ):
+                raw = bytes(data)
+                if decode == "real":
+                    if fmt not in decoders:
+                        raise NotImplementedError(
+                            f"no frame decoder registered for format {fmt!r}"
+                        )
+                    frames = decoders[fmt](raw, VIDEO_FRAMES)
+                else:
+                    n = len(raw)
+                    frames = [
+                        [
+                            float(x)
+                            for x in raw[
+                                f * n // VIDEO_FRAMES : (f + 1)
+                                * n
+                                // VIDEO_FRAMES
+                            ]
+                        ]
+                        for f in range(VIDEO_FRAMES)
+                    ]
+                for f, px in enumerate(frames):
+                    bands = dhash_bands(pixel_grid(px))
+                    rows.append(
+                        (
+                            int(mid),
+                            f,
+                            "".join(f"{b:02x}" for b in bands),
+                            *bands,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "frame_no", "fh"]
+                + [f"band_{r}" for r in range(DHASH_ROWS)],
+            )
+
+    return media.select("media_id", "meta", "data").mapInPandas(
+        batches, schema=schema
+    )

@@ -190,6 +190,13 @@ LOCAL_ONLY = {
     # gate-covered.
     "audio_fingerprint",
     "dedup_audio_fp",
+    # ... and the video arm: per-frame dHash rows + the sequence-aware
+    # near-dup (>= 3 of 4 ALIGNED frames within hamming 3 — robust to
+    # one re-encoded segment). The candidate/verify plan is the same
+    # shared banded helper the declared dedup_image_dhash row covers,
+    # keyed per frame.
+    "video_framehash",
+    "dedup_video_framehash",
 }
 
 DRIVER_QUERY_CAP = 50

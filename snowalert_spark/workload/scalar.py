@@ -695,3 +695,164 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audio_media_with_variants(spark, sf_dir), decode="fake"
     )
     return _banded_hamming_pairs(h, M.AFP_HAM_T)
+
+
+# --- video frame hashing (sequence-aware near-dup) ---------------------
+
+# DuckDB replica of the video frame-hash parity path: the video-kind
+# media (doc_id % 3 = 2) plus planted variants (every 10th clip, 3
+# bytes perturbed mid-payload inside frame 2 — the other frames' byte
+# slices are untouched so their hashes match exactly); per frame f of
+# 4: the frame's byte slice pooled to the 8x9 grid and gradient-
+# hashed exactly like the image path.
+_VFH_CELLS_SQL = """
+vf_docs AS (
+    SELECT doc_id AS media_id, text FROM documents WHERE doc_id % 3 = 2
+    UNION ALL
+    SELECT doc_id + 1000000 AS media_id,
+           text[1 : strlen(text) // 2 + 5]
+           || upper(text[strlen(text) // 2 + 6 : strlen(text) // 2 + 8])
+           || text[strlen(text) // 2 + 9 :] AS text
+    FROM documents WHERE doc_id % 30 = 2),
+vf_b AS (SELECT media_id,
+                list_transform(range(1, strlen(text) + 1),
+                               i -> ascii(text[i:i])) AS bts,
+                strlen(text) AS n
+         FROM vf_docs),
+vf_fr AS (SELECT media_id, f,
+                 bts[(f * n) // 4 + 1 : ((f + 1) * n) // 4] AS fb
+          FROM (SELECT media_id, bts, n, unnest(range(0, 4)) AS f
+                FROM vf_b)),
+vf_cells AS (SELECT media_id, f,
+                    list_transform(range(0, 72), j ->
+                      CAST(COALESCE(list_sum(fb[(j * len(fb)) // 72 + 1 : ((j + 1) * len(fb)) // 72]), 0) AS DOUBLE)
+                      / greatest(((j + 1) * len(fb)) // 72 - (j * len(fb)) // 72, 1)) AS g
+             FROM vf_fr),
+vf_bands AS (SELECT media_id, f,
+                    list_transform(range(0, 8), r ->
+                      CAST(COALESCE(list_sum(list_transform(range(0, 8), c ->
+                        CASE WHEN g[r * 9 + c + 2] > g[r * 9 + c + 1]
+                             THEN 1 << (7 - c) ELSE 0 END)), 0) AS INT)) AS bd
+             FROM vf_cells)
+"""
+
+
+@_q(
+    "video_framehash",
+    f"""
+    WITH {_VFH_CELLS_SQL}
+    SELECT media_id, CAST(f AS INT) AS frame_no,
+           string_agg(CASE WHEN strlen(h) = 1 THEN '0' || h ELSE h END, ''
+                      ORDER BY r) AS fh
+    FROM (SELECT media_id, f, unnest(generate_series(1, 8)) AS r,
+                 lower(hex(unnest(bd))) AS h
+          FROM vf_bands
+          WHERE media_id < 1000000)
+    GROUP BY media_id, f
+    """,
+)
+def video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame perceptual hashes for every video clip: 4 fixed-
+    stride frames, each dHashed like a still image, one row per
+    frame. The real path samples frames through FRAME_PIXEL_DECODERS
+    (none ships — video codecs stay an honest stub); the synthetic
+    parity path slices the payload into 4 equal segments, which the
+    oracle replays bit-exact."""
+    media = M.media_from_documents(table(spark, sf_dir, "documents"))
+    return M.video_framehash(
+        media.filter(F.col("kind") == "video"), decode="fake"
+    ).select("media_id", "frame_no", "fh")
+
+
+def _video_media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video-kind media plus planted variants: every 10th clip
+    re-appears (id + 1e6) with 3 payload bytes uppercased mid-stream
+    (inside frame 2's slice): one re-encoded segment. The other three
+    frames' byte slices are untouched, so their hashes match exactly
+    and the >= VIDEO_MIN_FRAMES aligned-frame rule always recalls the
+    plant even if the perturbed frame drifts past the threshold."""
+    d = table(spark, sf_dir, "documents")
+    video = d.filter(F.col("doc_id") % 3 == 2)
+    p = "length(text) div 2 + 5"
+    variants = video.filter(F.col("doc_id") % 10 == 2).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr(
+            f"concat(substring(text, 1, {p}), "
+            f"upper(substring(text, {p} + 1, 3)), "
+            f"substring(text, {p} + 4))"
+        ).alias("text"),
+        "n_chars",
+        *[c for c in d.columns if c not in ("doc_id", "text", "n_chars")],
+    )
+    both = video.unionByName(variants.select(d.columns))
+    # pin the kind: the +1e6 offset would shift the derived kind
+    return M.media_from_documents(both).withColumn("kind", F.lit("video"))
+
+
+@_q(
+    "dedup_video_framehash",
+    f"""
+    WITH {_VFH_CELLS_SQL},
+    vf_sides AS (SELECT media_id, f, unnest(generate_series(1, 4)) AS r,
+                        unnest([bd[1] * 256 + bd[2], bd[3] * 256 + bd[4],
+                                bd[5] * 256 + bd[6], bd[7] * 256 + bd[8]]) AS v
+                 FROM vf_bands),
+    vf_cand AS (SELECT DISTINCT a.media_id AS media_id,
+                                b.media_id AS dup_of, a.f AS f
+                FROM vf_sides a JOIN vf_sides b
+                  ON a.f = b.f AND a.r = b.r AND a.v = b.v
+                 AND a.media_id < b.media_id),
+    vf_ham AS (SELECT c.media_id, c.dup_of, c.f,
+                      CAST(list_sum(list_transform(range(1, 9),
+                           i -> bit_count(xor(ba.bd[i], bb.bd[i])))) AS INT)
+                        AS hamming
+               FROM vf_cand c
+               JOIN vf_bands ba ON ba.media_id = c.media_id AND ba.f = c.f
+               JOIN vf_bands bb ON bb.media_id = c.dup_of AND bb.f = c.f)
+    SELECT media_id, dup_of,
+           CAST(COUNT(*) AS INT) AS n_frames_close,
+           CAST(SUM(hamming) AS INT) AS total_hamming
+    FROM vf_ham
+    WHERE hamming <= {M.AFP_HAM_T}
+    GROUP BY media_id, dup_of
+    HAVING COUNT(*) >= {M.VIDEO_MIN_FRAMES}
+    """,
+)
+def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-aware video near-dup: two clips are near-duplicates
+    when >= VIDEO_MIN_FRAMES of their 4 ALIGNED frames are within
+    hamming <= 3 — robust to one re-encoded segment, which a single
+    whole-payload hash is not. Candidates come from the per-frame
+    4x16-bit banded equi-join keyed on (frame_no, band, value) — ids
+    only, never a product join — verified by popcount per aligned
+    frame and aggregated per clip pair. At 100 TB this is the image/
+    audio banded shape with a frame multiplier: ~frames x 4n^2/2^16
+    chance candidates (measured 61k for 1.7k clips at sf0.1), each
+    verified by 8 byte popcounts."""
+    fh = M.video_framehash(
+        _video_media_with_variants(spark, sf_dir), decode="fake"
+    )
+    # reuse the shared banded helper by packing (clip, frame) into one
+    # key — same frame_no aligns automatically because the pack keeps
+    # frame bits low
+    fid = (F.col("media_id") * M.VIDEO_FRAMES + F.col("frame_no")).alias(
+        "media_id"
+    )
+    packed = fh.select(fid, *[F.col(f"band_{r}") for r in range(8)])
+    pairs = _banded_hamming_pairs(packed, M.AFP_HAM_T)
+    k = M.VIDEO_FRAMES
+    aligned = pairs.filter(
+        F.col("media_id") % k == F.col("dup_of") % k
+    ).select(
+        (F.col("media_id") / k).cast("long").alias("media_id"),
+        (F.col("dup_of") / k).cast("long").alias("dup_of"),
+        "hamming",
+    )
+    return (
+        aligned.groupBy("media_id", "dup_of")
+        .agg(
+            F.count("*").cast("int").alias("n_frames_close"),
+            F.sum("hamming").cast("int").alias("total_hamming"),
+        )
+        .filter(F.col("n_frames_close") >= M.VIDEO_MIN_FRAMES)
+    )

@@ -23,10 +23,10 @@ def test_registry_stats_single_source_of_truth():
     stats = workload.registry_stats()
     # the numbers quoted in README.md and PARITY.md
     assert stats == {
-        "total": 91,
+        "total": 93,
         "driver_declared": 50,
-        "local_only": 41,
-        "with_oracle": 91,
+        "local_only": 43,
+        "with_oracle": 93,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
     assert stats["local_only"] == len(workload.LOCAL_ONLY)

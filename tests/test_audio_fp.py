@@ -99,3 +99,25 @@ def test_dedup_audio_fp_recall(spark):
         r.dup_of == r.media_id + 1000000 and r.hamming <= M.AFP_HAM_T
         for r in rows
     )
+
+
+def test_dedup_video_framehash_recall(spark):
+    """Every planted video variant (17 at sf0.01) is recovered; the
+    3 untouched frames guarantee recall even if the perturbed frame
+    drifts past the threshold."""
+    from snowalert_spark import workload
+
+    rows = workload.queries(include_local=True)["dedup_video_framehash"](
+        spark, "/root/testdata/sf0.01"
+    ).collect()
+    planted = [r for r in rows if r.dup_of == r.media_id + 1000000]
+    assert len(planted) == 17
+    assert all(r.n_frames_close >= 3 for r in rows)
+
+
+def test_video_framehash_real_requires_decoder(spark):
+    from snowalert_spark.functions import multimodal as M
+
+    rows = [(1, "video", b"\x00" * 64, _meta("mystery"))]
+    with pytest.raises(Exception, match="no frame decoder registered"):
+        M.video_framehash(_media(spark, rows), decode="real").collect()

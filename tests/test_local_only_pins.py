@@ -254,3 +254,13 @@ def test_dedup_audio_fp_same_shape_as_image_dhash(spark):
         plan = _plan(spark, name)
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_dedup_video_framehash_banded_shape(spark):
+    """The video tier reuses the shared banded candidate/verify helper
+    (keyed per frame) — no product join anywhere, and the pair
+    aggregation is a hash aggregate, not a window."""
+    for name in ("dedup_video_framehash", "video_framehash"):
+        plan = _plan(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
