@@ -164,8 +164,8 @@ LOCAL_ONLY = {
     # featurizer + both Lloyd rounds + assignment bit-exact; the
     # corpus-wide assignment plan shares the declared semantic_dedup
     # gate-shape (zero-shuffle literal-codebook projection) and the
-    # trainer ⊂ the declared kmeans_centroids row.
-    "doc_topic_clusters",
+    # (doc_topic_clusters was promoted into the declared gate in the
+    # session-3 rotation below.)
     # ... and its composition with the mixture planner: equal-topic
     # rebalance applied as a deterministic md5-bucket downsample
     # (plan-collect bounded at k rows, keep-filter map-only). Oracle
@@ -180,7 +180,8 @@ LOCAL_ONLY = {
     # (which re-derives the trainer's whole round chain, so encode
     # agreement also re-checks training; the bpe_merges row above
     # keeps its own local oracle + fold-parity property tests).
-    "bpe_encode_docs",
+    # (bpe_encode_docs was promoted into the declared gate in the
+    # session-3 rotation below.)
     # ... and the audio arm of the multimodal family: a chromaprint-
     # style temporal energy fingerprint (second-derivative sign bits
     # of the windowed energy envelope; real path = 16-bit PCM WAV via
@@ -189,7 +190,10 @@ LOCAL_ONLY = {
     # a declared driver row, so the candidate/verify plan family is
     # gate-covered.
     "audio_fingerprint",
-    "dedup_audio_fp",
+    # (dedup_audio_fp was promoted into the declared gate in the
+    # session-3 rotation below; the per-clip fingerprint projection
+    # stays local, subsumed by the declared near-dup row which
+    # computes the same hashes before the band join.)
     # ... and the video arm: per-frame dHash rows + the sequence-aware
     # near-dup (>= 3 of 4 ALIGNED frames within hamming 3 — robust to
     # one re-encoded segment). The candidate/verify plan is the same
@@ -197,6 +201,25 @@ LOCAL_ONLY = {
     # keyed per frame.
     "video_framehash",
     "dedup_video_framehash",
+    # Round-8 session-3 gate rotation: promote the newest operator
+    # families into the driver gate (doc_topic_clusters,
+    # bpe_encode_docs, dedup_audio_fp — topic clustering, tokenizer
+    # application, and the audio near-dup tier get CORRECTNESS rows).
+    # The three rows demoted to make room keep their local oracles +
+    # plan pins and are each subsumed by declared siblings:
+    # cosine_topk_bruteforce ⊂ ann_ivf_topk (the IVF oracle verifies
+    # the identical exact-cosine ranking; the PQ/IVF recall tests keep
+    # comparing against the brute-force baseline in pytest);
+    "cosine_topk_bruteforce",
+    # json_path_extract ⊂ recursive_flatten_paths +
+    # object_construct_canonical (the same variant machinery) and the
+    # pack corpus exercises col:path extraction verbatim across its
+    # views;
+    "json_path_extract",
+    # text_token_stats ⊂ text_quality_scores (the same tokenizer
+    # featurizer feeds both) + corpus_vocab_topk's token aggregate and
+    # the now-declared bpe_encode_docs count every token end to end.
+    "text_token_stats",
 }
 
 DRIVER_QUERY_CAP = 50
