@@ -517,6 +517,162 @@ def exact_dup_pairs(docs: DataFrame, id_col: str = "doc_id", text_col: str = "te
     )
 
 
+# ---------------------------------------------------------------------------
+# Multi-block hamming search (Manku, Jain & Sarma, "Detecting
+# Near-Duplicates for Web Crawling", WWW 2007 §3): all pairs within
+# hamming ``t`` of a 64-bit perceptual hash, at corpus scale. Split
+# the hash into ``b`` blocks; <= t flipped bits corrupt <= t blocks,
+# so every qualifying pair agrees on some (b - t)-subset of blocks —
+# candidates are an equi-join on C(b, r) composite block keys
+# (r = b - t), verified by exact popcount. The key width r*(64/b)
+# bits is the collision lever: the corpus-size schedule widens keys
+# (more, narrower blocks) so chance candidates stay O(n) without
+# touching the hash or the verify — OUTPUT IS IDENTICAL ACROSS
+# SHAPES, so the DuckDB oracles pin every shape at once.
+#
+# Why not longer fingerprints instead (256-bit dHash)? Measured on
+# the byte-pooled synthetic corpus: finer grids OVERSAMPLE short
+# payloads (≈300 bytes) — at 128-bit, 11 of C(500,2) unrelated doc
+# pairs land within hamming 3 (0 at 64-bit), and at 256-bit two
+# distinct 63-byte docs hash IDENTICALLY. Real images (>=10^5 px)
+# would support wider hashes, but the multi-block scheme scales the
+# candidate join with NO precision cost on any payload entropy.
+# ---------------------------------------------------------------------------
+
+#: Media near-dup corpora at or below this many hash rows keep the
+#: gate shape (4 single 16-bit blocks — the 4x16 banding the static
+#: DuckDB oracles replay as their candidate CTE; output is
+#: shape-independent so this is a perf pin, not a correctness one).
+MEDIA_GATE_N = 8192
+
+# per-shape block bit widths: 64/b bits, rounded up to the slot size
+# used when packing combo keys (so distinct block tuples can't alias)
+_BLOCK_SLOT_BITS = {4: 16, 6: 11, 8: 8}
+
+
+def hamming_block_schedule(n: int, ham_t: int = 3) -> tuple[int, int]:
+    """Corpus-size-aware ``(blocks, combo_r)`` for
+    :func:`hamming_pairs_multiblock` — the media-tier analog of
+    ``similarity.rplsh_params_for_corpus``. Expected chance candidates
+    are ``C(b,r) * n^2 / 2^(r*64/b)``; each step widens the composite
+    key so that stays O(n):
+
+    - n <= MEDIA_GATE_N: (4, 1) — 4 keys/row, 16-bit keys (the
+      oracle-pinned gate banding; fine to ~2^13 rows).
+    - n <= 2^26: (6, 3) — C(6,3)=20 keys/row, 32-bit keys (~10-11 bit
+      blocks); chance candidates 20*n^2/2^32 stay under n to ~10^8.
+    - else: (8, 5) — C(8,5)=56 keys/row, 40-bit keys; holds past
+      10^10 rows (a 100 TB multimodal corpus).
+
+    Every shape satisfies blocks - combo_r >= ham_t, so recall at the
+    verify threshold is pigeonhole-exact and the OUTPUT is identical
+    across shapes — the schedule only changes candidate volume."""
+    if ham_t > 3:
+        raise ValueError(
+            f"hamming_block_schedule shapes guarantee recall to t=3; "
+            f"got t={ham_t} (add wider shapes for larger thresholds)"
+        )
+    if n <= MEDIA_GATE_N:
+        return (4, 1)
+    if n <= 1 << 26:
+        return (6, 3)
+    return (8, 5)
+
+
+def hamming_pairs_multiblock(
+    hashed8: DataFrame,
+    threshold: int,
+    blocks: int = 4,
+    combo: int = 1,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
+    ``band_0..band_7`` (+ ``id_col``): candidate pairs share one of
+    the C(blocks, combo) composite block keys (an equi-join on
+    (combo_id, key) — ids + one long per row, never a product join,
+    payloads never shuffle), then exact popcount over the 8 hash
+    bytes verifies ``hamming <= threshold``. Recall is exact by
+    pigeonhole whenever ``blocks - combo >= threshold``; the
+    (blocks, combo) choice only trades candidate volume (see
+    :func:`hamming_block_schedule`). Shared by the image-dHash,
+    audio-fingerprint, and video frame-hash tiers so the
+    candidate/verify shape can't diverge between siblings."""
+    import itertools
+
+    if blocks - combo < threshold:
+        raise ValueError(
+            f"(blocks={blocks}, combo={combo}) loses recall at "
+            f"hamming {threshold}: need blocks - combo >= threshold"
+        )
+    if blocks not in _BLOCK_SLOT_BITS:
+        raise ValueError(f"unsupported block count {blocks}")
+    bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
+    hashed = hashed8.select(id_col, bd.alias("bd"))
+    byte = [F.col("bd")[i].cast("long") for i in range(8)]
+    hi = ((byte[0] * 256 + byte[1]) * 256 + byte[2]) * 256 + byte[3]
+    lo = ((byte[4] * 256 + byte[5]) * 256 + byte[6]) * 256 + byte[7]
+    if blocks == 4:
+        blk = [
+            F.shiftright(hi, 16),
+            hi.bitwiseAND(F.lit(0xFFFF)),
+            F.shiftright(lo, 16),
+            lo.bitwiseAND(F.lit(0xFFFF)),
+        ]
+    elif blocks == 6:
+        mask11 = F.lit(0x7FF)
+        blk = [
+            F.shiftright(hi, 22),
+            F.shiftright(hi, 11).bitwiseAND(mask11),
+            hi.bitwiseAND(mask11),
+            F.shiftright(lo, 22),
+            F.shiftright(lo, 11).bitwiseAND(mask11),
+            lo.bitwiseAND(mask11),
+        ]
+    else:  # blocks == 8: the hash bytes themselves
+        blk = byte
+    slot = _BLOCK_SLOT_BITS[blocks]
+    keys = []
+    for sel in itertools.combinations(range(blocks), combo):
+        key = F.lit(0).cast("long")
+        for i in sel:
+            key = F.shiftleft(key, slot) + blk[i]
+        keys.append(key)
+    sides = hashed.select(
+        id_col, F.posexplode(F.array(*keys)).alias("ci", "kv")
+    )
+    cand = (
+        sides.alias("a")
+        .join(
+            sides.alias("b"),
+            (F.col("a.ci") == F.col("b.ci"))
+            & (F.col("a.kv") == F.col("b.kv"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias(id_col),
+            F.col(f"b.{id_col}").alias("dup_of"),
+        )
+        .distinct()
+    )
+    ham = F.aggregate(
+        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+    return (
+        cand.join(hashed.select(F.col(id_col), F.col("bd").alias("ba")), id_col)
+        .join(
+            hashed.select(
+                F.col(id_col).alias("dup_of"), F.col("bd").alias("bb")
+            ),
+            "dup_of",
+        )
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= threshold)
+        .select(id_col, "dup_of", "hamming")
+    )
+
+
 #: Verified-duplicate edge lists at or below this many (symmetrized)
 #: id pairs are resolved driver-side (~32 MB of longs); larger graphs
 #: take the distributed propagation path.

@@ -824,6 +824,9 @@ def audio_fingerprint(media: DataFrame, decode: str = "fake") -> DataFrame:
 
 
 register_sample_decoder("wav", wav_samples)
+# the PPM luminance decoder ships registered, like wav above — the
+# image path works on format 'ppm' out of the box (round-8 advice)
+register_pixel_decoder("ppm", ppm_pixels)
 
 
 # --------------------------------------------------------------------------

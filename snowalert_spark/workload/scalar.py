@@ -8,6 +8,7 @@ import datetime as dt
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from snowalert_spark.functions import dedup as DD
 from snowalert_spark.functions import multimodal as M
 from snowalert_spark.functions import time_slices as TS
 from snowalert_spark.functions import variant as V
@@ -514,69 +515,35 @@ def _banded_pairs_sql(bands_cte: str, pfx: str, threshold: int) -> str:
 def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-duplicate pairs at hamming <= 3 over the dHash
     (finds the planted recompression-like variants): candidate pairs
-    from a 4x16-bit banded equi-join (ids + one band value per row —
-    never a product join, never payloads in the exchange), hamming
-    verified on the 8 band bytes joined back once per distinct
-    candidate. Recall is exact at the threshold by pigeonhole (4
-    bands, <= 3 flipped bits leaves one band intact). At 100 TB this
-    is the same shape as the text MinHash-LSH tier: the band join is
-    hash-partitioned on (band, value), chance collisions on unrelated
-    images are ~4n^2/2^16 and are discarded by the verify filter."""
-    h = M.image_dhash(_media_with_variants(spark, sf_dir), decode="fake")
-    return _banded_hamming_pairs(h, DHASH_HAM_T)
+    from a multi-block composite-key equi-join (ids + one long per
+    row — never a product join, never payloads in the exchange),
+    hamming verified on the 8 hash bytes joined back once per
+    distinct candidate. Recall is exact at the threshold by
+    pigeonhole (blocks - combo >= 3 in every shape). At 100 TB the
+    corpus-size schedule (``DD.hamming_block_schedule``) widens the
+    composite keys — (6,3): 20 keys of 32 bits, (8,5): 56 keys of 40
+    bits — so chance candidates stay O(n) instead of the gate
+    banding's 4n^2/2^16; output is shape-independent, so the static
+    oracle pins every shape (the count() sizing the corpus is a
+    parquet-metadata aggregate)."""
+    media = _media_with_variants(spark, sf_dir)
+    h = M.image_dhash(media, decode="fake")
+    blocks, combo = DD.hamming_block_schedule(media.count(), DHASH_HAM_T)
+    return _banded_hamming_pairs(h, DHASH_HAM_T, blocks, combo)
 
 
-def _banded_hamming_pairs(hashed8: DataFrame, threshold: int) -> DataFrame:
+def _banded_hamming_pairs(
+    hashed8: DataFrame, threshold: int, blocks: int = 4, combo: int = 1
+) -> DataFrame:
     """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
-    ``band_0..band_7`` (+ ``media_id``): candidate pairs from a
-    4x16-bit banded equi-join (ids + one band value per row — never a
-    product join, payloads never shuffle), popcount-verified on the 8
-    band bytes joined back once per distinct candidate. Recall is
-    exact at ``threshold`` <= 3 by pigeonhole (4 bands, <= 3 flipped
-    bits leaves one band intact). Shared by the image-dHash and
-    audio-fingerprint tiers so the candidate/verify shape can't
-    diverge between the siblings."""
-    bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
-    hashed = hashed8.select("media_id", bd.alias("bd"))
-    bands16 = F.array(
-        *[
-            F.col("bd")[2 * k] * 256 + F.col("bd")[2 * k + 1]
-            for k in range(4)
-        ]
-    )
-    sides = hashed.select(
-        "media_id", F.posexplode(bands16).alias("r", "v")
-    )
-    cand = (
-        sides.alias("a")
-        .join(
-            sides.alias("b"),
-            (F.col("a.r") == F.col("b.r"))
-            & (F.col("a.v") == F.col("b.v"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
-        )
-        .select(
-            F.col("a.media_id").alias("media_id"),
-            F.col("b.media_id").alias("dup_of"),
-        )
-        .distinct()
-    )
-    ham = F.aggregate(
-        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("int")
-    return (
-        cand.join(hashed.select(F.col("media_id"), F.col("bd").alias("ba")), "media_id")
-        .join(
-            hashed.select(
-                F.col("media_id").alias("dup_of"), F.col("bd").alias("bb")
-            ),
-            "dup_of",
-        )
-        .withColumn("hamming", ham)
-        .filter(F.col("hamming") <= threshold)
-        .select("media_id", "dup_of", "hamming")
+    ``band_0..band_7`` (+ ``media_id``) — the shared multi-block
+    candidate/verify engine (``functions/dedup.hamming_pairs_
+    multiblock``, Manku et al. WWW'07). The (4, 1) default is the
+    gate banding the static DuckDB oracles replay as their candidate
+    CTE; the corpus-size schedule passes wider shapes with identical
+    output."""
+    return DD.hamming_pairs_multiblock(
+        hashed8, threshold, blocks=blocks, combo=combo
     )
 
 
@@ -685,16 +652,17 @@ def _audio_media_with_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio near-duplicate pairs at hamming <= 3 over the temporal
     energy fingerprint (finds the planted level-blip variants): the
-    image-dHash candidate/verify shape — a 4x16-bit banded equi-join
-    (ids + one band value per row, never a product join, payloads
+    image-dHash candidate/verify shape — a multi-block composite-key
+    equi-join (ids + one long per row, never a product join, payloads
     never shuffle) with popcount verify on the 8 fingerprint bytes
     joined back once per distinct candidate. Recall is exact at the
-    threshold by pigeonhole; chance band collisions (~4n^2/2^16,
-    measured 30 on the gate corpus) are discarded by the verify."""
-    h = M.audio_fingerprint(
-        _audio_media_with_variants(spark, sf_dir), decode="fake"
-    )
-    return _banded_hamming_pairs(h, M.AFP_HAM_T)
+    threshold by pigeonhole; chance key collisions (4n^2/2^16 at the
+    gate shape, measured 30 on the gate corpus; O(n) past it via
+    ``DD.hamming_block_schedule``) are discarded by the verify."""
+    media = _audio_media_with_variants(spark, sf_dir)
+    h = M.audio_fingerprint(media, decode="fake")
+    blocks, combo = DD.hamming_block_schedule(media.count(), M.AFP_HAM_T)
+    return _banded_hamming_pairs(h, M.AFP_HAM_T, blocks, combo)
 
 
 # --- video frame hashing (sequence-aware near-dup) ---------------------
@@ -823,29 +791,36 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
     when >= VIDEO_MIN_FRAMES of their 4 ALIGNED frames are within
     hamming <= 3 — robust to one re-encoded segment, which a single
     whole-payload hash is not. Candidates come from the per-frame
-    4x16-bit banded equi-join keyed on (frame_no, band, value) — ids
-    only, never a product join — verified by popcount per aligned
-    frame and aggregated per clip pair. At 100 TB this is the image/
-    audio banded shape with a frame multiplier: ~frames x 4n^2/2^16
-    chance candidates (measured 61k for 1.7k clips at sf0.1), each
-    verified by 8 byte popcounts."""
-    fh = M.video_framehash(
-        _video_media_with_variants(spark, sf_dir), decode="fake"
-    )
-    # reuse the shared banded helper by packing (clip, frame) into one
-    # key — same frame_no aligns automatically because the pack keeps
-    # frame bits low
+    multi-block composite-key equi-join keyed on (frame, combo, key)
+    — ids only, never a product join — verified by popcount per
+    aligned frame and aggregated per clip pair. At 100 TB this is the
+    image/audio multi-block shape with a frame multiplier: the
+    corpus-size schedule (sized on FRAME rows = 4x clips) holds
+    chance candidates O(n) — the gate 4x16 banding measured 61k
+    candidates for 1.7k clips at sf0.1, quadratic in clips; the
+    (6,3)/(8,5) shapes replace that n^2/2^16 term with n^2/2^32 /
+    n^2/2^40 at identical output."""
+    media = _video_media_with_variants(spark, sf_dir)
+    fh = M.video_framehash(media, decode="fake")
+    # reuse the shared multi-block helper by packing (clip, frame)
+    # into one key — same frame_no aligns automatically because the
+    # pack keeps frame bits low
     fid = (F.col("media_id") * M.VIDEO_FRAMES + F.col("frame_no")).alias(
         "media_id"
     )
     packed = fh.select(fid, *[F.col(f"band_{r}") for r in range(8)])
-    pairs = _banded_hamming_pairs(packed, M.AFP_HAM_T)
     k = M.VIDEO_FRAMES
+    blocks, combo = DD.hamming_block_schedule(
+        media.count() * k, M.AFP_HAM_T
+    )
+    pairs = _banded_hamming_pairs(packed, M.AFP_HAM_T, blocks, combo)
+    # integer DIV unpack: exact for any long id (float division would
+    # silently lose exactness above 2^53)
     aligned = pairs.filter(
         F.col("media_id") % k == F.col("dup_of") % k
     ).select(
-        (F.col("media_id") / k).cast("long").alias("media_id"),
-        (F.col("dup_of") / k).cast("long").alias("dup_of"),
+        F.expr(f"media_id DIV {k}").alias("media_id"),
+        F.expr(f"dup_of DIV {k}").alias("dup_of"),
         "hamming",
     )
     return (
