@@ -66,6 +66,7 @@ HEADLINE = [
     "dsir_select",
     "bpe_merges",
     "bpe_encode_docs",
+    "bpe_encode_1k",
     "semantic_dedup",
     "doc_topic_clusters",
     "topic_balanced_sample",

@@ -119,6 +119,125 @@ def encode_word(word: Column, merges: list[tuple[int, str, str, int]]) -> Column
     return syms
 
 
+#: Above this many merges the literal-fold encode (one nested
+#: aggregate expression per merge) is expression-depth-bound — the
+#: encode switches to the vocab-join path (the PPJoin-style
+#: cost-based strategy choice, functions/dedup.py ngram_jaccard).
+BPE_FOLD_MAX = 64
+
+
+def segmentation_vocab(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    text_col: str = "text",
+    batch: int = 16,
+) -> DataFrame:
+    """(word, syms) for every distinct corpus word after applying ALL
+    merges in rank order — the trained segmentation table (the DuckDB
+    oracle's ``w{m+1}`` CTE). The corpus is touched once (the
+    word-frequency collapse); the merge folds then run on the vocab
+    table — O(distinct words) rows regardless of corpus size — in
+    bounded-depth batches of ``batch`` merges with localCheckpoint
+    lineage truncation between batches, so a 30k-merge production
+    tokenizer is ~2k cheap vocab-table passes instead of one plan of
+    30k nested expressions."""
+    cur = word_freqs(docs, text_col).select(
+        "word", F.split("word", "").alias("syms")
+    )
+    ms = sorted(merges)
+    for i in range(0, len(ms), batch):
+        for _, lhs, rhs, _ in ms[i : i + batch]:
+            cur = cur.select(
+                "word", merge_pair(F.col("syms"), lhs, rhs).alias("syms")
+            )
+        cur = cur.localCheckpoint()
+    return cur
+
+
+def encode_docs_via_vocab(
+    docs: DataFrame,
+    merges: list[tuple[int, str, str, int]],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    batch: int = 16,
+) -> DataFrame:
+    """BPE-apply at production merge counts: join corpus words to the
+    trained segmentation vocabulary instead of unrolling one greedy
+    fold per merge into the plan (``encode_word``, which cannot grow
+    past ~:data:`BPE_FOLD_MAX` merges — expression depth). Returns
+    ``(id_col, n_words bigint, toks array<string>)``, one row per
+    input doc (zero-word docs keep an empty array).
+
+    Scale shape: the segmentation vocab is built on the word-freq
+    table (corpus touched once, merge folds on O(distinct words)
+    rows); encoding is then ONE corpus-sized exchange — words join
+    the vocab on the word key (AQE broadcasts a small vocab) and
+    reassemble per doc via an ordered collect keyed on word position.
+    Same output as the literal fold by induction on the per-round
+    fold parity (pinned by test_bpe's path-equality tests)."""
+    vocab = segmentation_vocab(docs, merges, text_col, batch)
+    words = docs.select(
+        id_col,
+        F.posexplode(
+            F.filter(
+                F.split(F.lower(F.col(text_col)), r"\s+"),
+                lambda w: w != F.lit(""),
+            )
+        ).alias("j", "word"),
+    )
+    agg = (
+        words.join(vocab, "word")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("j", "syms"))),
+                    lambda s: s["syms"],
+                )
+            ).alias("toks"),
+        )
+    )
+    return (
+        docs.select(id_col)
+        .join(agg, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
+            F.coalesce(
+                "toks", F.expr("CAST(array() AS array<string>)")
+            ).alias("toks"),
+        )
+    )
+
+
+def frequency_ranked_merges(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """A deterministic ``n_merges``-entry merge table from ONE pass
+    over the character-split vocabulary: the top adjacent symbol
+    pairs by (count DESC, lhs, rhs). Rank 1 coincides with true BPE's
+    first merge; later ranks are round-0 frequencies rather than the
+    sequentially-retrained counts, so this is NOT a trained tokenizer
+    — it exists to exercise the encode path at production merge
+    counts (true BPE training is inherently sequential: n_merges
+    driver rounds; see ``bpe_train``). Applying it through
+    ``encode_docs_via_vocab`` is a valid greedy tokenizer
+    application either way."""
+    vocab = word_freqs(docs, text_col).select(
+        "cnt", F.split("word", "").alias("syms")
+    )
+    top = (
+        _pair_counts(vocab)
+        .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+        .limit(n_merges)
+        .collect()
+    )
+    return [
+        (i + 1, r.lhs, r.rhs, int(r.pair_count)) for i, r in enumerate(top)
+    ]
+
+
 # process-local merge cache + optional versioned-store persistence —
 # the trained_centroids pattern (functions/similarity.py): a tokenizer
 # is train-once state, not per-session work.

@@ -201,6 +201,13 @@ LOCAL_ONLY = {
     # keyed per frame.
     "video_framehash",
     "dedup_video_framehash",
+    # Round-9: tokenizer application at a production merge count
+    # (1024 frequency-ranked merges through the vocab-join encode
+    # path, which the literal-fold plan cannot reach). Bench row; no
+    # unrollable SQL oracle — correctness pinned by the fold-vs-vocab
+    # path-equality tests (test_bpe) and the declared
+    # bpe_encode_docs sibling.
+    "bpe_encode_1k",
     # Round-8 session-3 gate rotation: promote the newest operator
     # families into the driver gate (doc_topic_clusters,
     # bpe_encode_docs, dedup_audio_fp — topic clustering, tokenizer

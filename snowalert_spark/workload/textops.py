@@ -1429,6 +1429,14 @@ BPE_MERGES = 6
 
 
 def _bpe_oracle_sql(m: int = BPE_MERGES) -> str:
+    chain, union = _bpe_oracle_parts(m)
+    return chain + "\n    " + union
+
+
+def _bpe_oracle_parts(m: int = BPE_MERGES) -> tuple[str, str]:
+    """(CTE chain, final merge-table union) as separate strings so the
+    two consumers — the merge-table oracle and the encode oracle —
+    compose them without string surgery (round-8 advice)."""
     ctes = [
         r"""w1 AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
@@ -1477,7 +1485,7 @@ def _bpe_oracle_sql(m: int = BPE_MERGES) -> str:
         f"SELECT {i} AS merge_rank, lhs, rhs, pair_count FROM b{i}"
         for i in range(1, m + 1)
     )
-    return "WITH " + ",\n".join(ctes) + "\n    " + union
+    return "WITH " + ",\n".join(ctes), union
 
 
 def _bpe_encode_oracle_sql(m: int = BPE_MERGES) -> str:
@@ -1486,9 +1494,7 @@ def _bpe_encode_oracle_sql(m: int = BPE_MERGES) -> str:
     the Spark side's per-word literal-merge fold (vocab-join replay vs
     greedy fold; they agree by induction on the per-round fold parity
     the bpe_merges tests pin)."""
-    head = _bpe_oracle_sql(m)
-    # the shared CTE chain is everything before the final merge union
-    chain = head[: head.index("\n    SELECT 1 AS merge_rank")]
+    chain, _ = _bpe_oracle_parts(m)
     return f"""{chain},
     dtoks AS (
         SELECT doc_id,
@@ -1542,41 +1548,71 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oracle hash checks every symbol boundary.
 
     100 TB shape: training reduces the corpus to the vocab table once
-    (see bpe_merges); encoding then rides the plan as literal merge
-    folds (functions/bpe.encode_word — the codebook trick), making the
-    apply pass a ZERO-SHUFFLE map over the corpus. The DuckDB oracle
-    is an independent formulation — it joins words to the training
-    chain's final segmented vocabulary ``w{m+1}`` and reassembles docs
-    with an ordered aggregate — so agreement checks fold-vs-vocab
-    parity end to end, not one implementation against itself. (A
-    production tokenizer with tens of thousands of merges flips the
-    Spark side to that same vocab-table join — one corpus-sized
-    shuffle — because expression depth grows with the merge count.)"""
+    (see bpe_merges); the apply step is COST-BASED on merge count
+    (the PPJoin precedent): at or below BPE_FOLD_MAX merges it rides
+    the plan as literal merge folds (functions/bpe.encode_word — the
+    codebook trick, a ZERO-SHUFFLE map over the corpus); past that —
+    a production tokenizer has tens of thousands of merges, and
+    expression depth grows with the count — it joins corpus words to
+    the trained segmentation vocabulary (encode_docs_via_vocab, one
+    corpus-sized exchange). The DuckDB oracle is an independent
+    formulation — it joins words to the training chain's final
+    segmented vocabulary ``w{m+1}`` and reassembles docs with an
+    ordered aggregate — so agreement checks fold-vs-vocab parity end
+    to end, not one implementation against itself."""
     from snowalert_spark.functions import bpe as B
 
     d = table(spark, sf_dir, "documents")
     merges = B.trained_merges(spark, sf_dir, d, BPE_MERGES)
-    ws = F.filter(X.tokens("text"), lambda w: w != F.lit(""))
-    enc = X.bind_array(
-        ws, lambda t: F.transform(t, lambda w: B.encode_word(w, merges))
-    )
-    return (
-        d.select("doc_id", enc.alias("tw"))
-        .select(
+    return _bpe_apply(d, merges)
+
+
+def _bpe_apply(d: DataFrame, merges: list) -> DataFrame:
+    """Shape the cost-based BPE application into the oracle schema
+    (doc_id, n_words, n_bpe_tokens, bpe_text)."""
+    from snowalert_spark.functions import bpe as B
+
+    if len(merges) <= B.BPE_FOLD_MAX:
+        # bind_array pins the deep fold expression to a lambda
+        # variable so both consumers evaluate it ONCE (the r8
+        # substring double-evaluation lesson)
+        ws = F.filter(X.tokens("text"), lambda w: w != F.lit(""))
+        enc = X.bind_array(
+            ws, lambda t: F.transform(t, lambda w: B.encode_word(w, merges))
+        )
+        toked = d.select("doc_id", enc.alias("tw")).select(
             "doc_id",
             F.size("tw").cast("long").alias("n_words"),
-            X.bind_array(
-                F.flatten(F.col("tw")),
-                lambda t: F.struct(
-                    F.size(t).cast("long").alias("n"),
-                    F.array_join(t, " ").alias("s"),
-                ),
-            ).alias("st"),
+            F.flatten("tw").alias("toks"),
         )
-        .select(
-            "doc_id",
-            "n_words",
-            F.col("st.n").alias("n_bpe_tokens"),
-            F.col("st.s").alias("bpe_text"),
-        )
+    else:
+        toked = B.encode_docs_via_vocab(d, merges)
+    # toks here is a materialized column (one projection step above),
+    # so the two consumers below are cheap column references
+    return toked.select(
+        "doc_id",
+        "n_words",
+        F.size("toks").cast("long").alias("n_bpe_tokens"),
+        F.array_join("toks", " ").alias("bpe_text"),
     )
+
+
+@_q("bpe_encode_1k")
+def bpe_encode_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application at a production merge count (1024): the
+    vocab-join encode path, which the literal-fold plan cannot reach
+    (expression depth). The merge table is the deterministic
+    frequency-ranked round-0 table (functions/bpe.frequency_ranked_
+    merges — true BPE training is inherently sequential, n driver
+    rounds, so a 1k-merge TRAINED table is out of bench scope; the
+    application semantics are identical either way). No SQL oracle —
+    a 1024-round CTE chain is infeasible to unroll — correctness of
+    the path comes from the fold-vs-vocab equality tests at gate
+    merge counts (test_bpe) plus the driver-green bpe_encode_docs
+    sibling; this row exists for the bench (LOCAL_ONLY)."""
+    from snowalert_spark.functions import bpe as B
+
+    d = table(spark, sf_dir, "documents")
+    merges = B.frequency_ranked_merges(d, 1024)
+    assert len(merges) > B.BPE_FOLD_MAX
+    return _bpe_apply(d, merges)

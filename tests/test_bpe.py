@@ -108,3 +108,71 @@ def test_bpe_encode_parity_with_empty_docs(spark, tmp_path):
     qs = workload.queries(include_local=True)
     os_ = workload.oracle_sql(include_local=True)
     compare(qs["bpe_encode_docs"](spark, sf), os_["bpe_encode_docs"], sf, "bpe")
+
+
+def test_encode_paths_agree_trained_merges(spark):
+    """Vocab-join encode == literal-fold encode, bit for bit, on the
+    gate corpus with the trained 6-merge table (the cost-based branch
+    must be a pure strategy choice, never a semantics one)."""
+    from snowalert_spark.tables import table
+    from snowalert_spark.workload.textops import BPE_MERGES, _bpe_apply
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    merges = B.bpe_train(d, BPE_MERGES)
+    lit = _bpe_apply(d, merges)
+    via = (
+        B.encode_docs_via_vocab(d, merges)
+        .select(
+            "doc_id",
+            "n_words",
+            F.size("toks").cast("long").alias("n_bpe_tokens"),
+            F.array_join("toks", " ").alias("bpe_text"),
+        )
+    )
+    a = sorted(tuple(r) for r in lit.collect())
+    b = sorted(tuple(r) for r in via.collect())
+    assert a == b
+
+
+def test_encode_paths_agree_many_merges(spark):
+    """Same equality with a 48-entry frequency-ranked merge table
+    (well past the trained-gate count, still under BPE_FOLD_MAX so
+    the literal fold can run) — exercises merge interactions the
+    6-merge table can't (chained merges, lhs == rhs runs)."""
+    from snowalert_spark.tables import table
+    from snowalert_spark.workload.textops import _bpe_apply
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    merges = B.frequency_ranked_merges(d, 48)
+    assert len(merges) == 48 <= B.BPE_FOLD_MAX
+    lit = _bpe_apply(d, merges)  # literal fold (cost-based branch)
+    via = B.encode_docs_via_vocab(d, merges).select(
+        "doc_id",
+        "n_words",
+        F.size("toks").cast("long").alias("n_bpe_tokens"),
+        F.array_join("toks", " ").alias("bpe_text"),
+    )
+    assert sorted(map(tuple, lit.collect())) == sorted(
+        map(tuple, via.collect())
+    )
+
+
+def test_bpe_encode_1k_runs_vocab_path(spark):
+    """The 1024-merge bench row must take the vocab-join branch and
+    produce one row per document with every token accounted for."""
+    from snowalert_spark import workload
+    from snowalert_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    out = workload.queries(include_local=True)["bpe_encode_1k"](spark, sf)
+    # no literal fold: the plan would need >1000 nested aggregates —
+    # presence of the word-position join is the cheap witness
+    plan = out._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" in plan
+    rows = out.collect()
+    n_docs = table(spark, sf, "documents").count()
+    assert len(rows) == n_docs
+    for r in rows:
+        toks = r.bpe_text.split(" ") if r.bpe_text else []
+        assert r.n_bpe_tokens == len(toks)
+        assert r.n_words <= r.n_bpe_tokens or r.n_bpe_tokens == 0
