@@ -582,8 +582,8 @@ def hamming_block_schedule(n: int, ham_t: int = 3) -> tuple[int, int]:
 def hamming_pairs_multiblock(
     hashed8: DataFrame,
     threshold: int,
-    blocks: int = 4,
-    combo: int = 1,
+    blocks: int | None = None,
+    combo: int | None = None,
     id_col: str = "media_id",
 ) -> DataFrame:
     """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
@@ -593,21 +593,35 @@ def hamming_pairs_multiblock(
     payloads never shuffle), then exact popcount over the 8 hash
     bytes verifies ``hamming <= threshold``. Recall is exact by
     pigeonhole whenever ``blocks - combo >= threshold``; the
-    (blocks, combo) choice only trades candidate volume (see
-    :func:`hamming_block_schedule`). Shared by the image-dHash,
-    audio-fingerprint, and video frame-hash tiers so the
-    candidate/verify shape can't diverge between siblings."""
+    (blocks, combo) choice only trades candidate volume and defaults
+    to :func:`hamming_block_schedule` sized on the hash-row count.
+    Shared by the image-dHash, audio-fingerprint, and video
+    frame-hash tiers so the candidate/verify shape can't diverge
+    between siblings.
+
+    The hash table is localCheckpoint-materialized first: it has
+    FOUR consumers (both candidate sides + both verify join-backs),
+    and without the cut each re-runs the Arrow decode/hash stage —
+    at 9 bytes per row the materialization is ~0.1% of the media
+    bytes, the standard fingerprint-table shape at 100 TB. The
+    count() that sizes the schedule then reads the checkpoint, not
+    the corpus."""
     import itertools
 
-    if blocks - combo < threshold:
-        raise ValueError(
-            f"(blocks={blocks}, combo={combo}) loses recall at "
-            f"hamming {threshold}: need blocks - combo >= threshold"
-        )
-    if blocks not in _BLOCK_SLOT_BITS:
-        raise ValueError(f"unsupported block count {blocks}")
+    if (blocks is None) != (combo is None):
+        raise ValueError("pass both blocks and combo, or neither")
+    if blocks is not None:
+        if blocks - combo < threshold:
+            raise ValueError(
+                f"(blocks={blocks}, combo={combo}) loses recall at "
+                f"hamming {threshold}: need blocks - combo >= threshold"
+            )
+        if blocks not in _BLOCK_SLOT_BITS:
+            raise ValueError(f"unsupported block count {blocks}")
     bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
-    hashed = hashed8.select(id_col, bd.alias("bd"))
+    hashed = hashed8.select(id_col, bd.alias("bd")).localCheckpoint()
+    if blocks is None:
+        blocks, combo = hamming_block_schedule(hashed.count(), threshold)
     byte = [F.col("bd")[i].cast("long") for i in range(8)]
     hi = ((byte[0] * 256 + byte[1]) * 256 + byte[2]) * 256 + byte[3]
     lo = ((byte[4] * 256 + byte[5]) * 256 + byte[6]) * 256 + byte[7]

@@ -526,22 +526,23 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     banding's 4n^2/2^16; output is shape-independent, so the static
     oracle pins every shape (the count() sizing the corpus is a
     parquet-metadata aggregate)."""
-    media = _media_with_variants(spark, sf_dir)
-    h = M.image_dhash(media, decode="fake")
-    blocks, combo = DD.hamming_block_schedule(media.count(), DHASH_HAM_T)
-    return _banded_hamming_pairs(h, DHASH_HAM_T, blocks, combo)
+    h = M.image_dhash(_media_with_variants(spark, sf_dir), decode="fake")
+    return _banded_hamming_pairs(h, DHASH_HAM_T)
 
 
 def _banded_hamming_pairs(
-    hashed8: DataFrame, threshold: int, blocks: int = 4, combo: int = 1
+    hashed8: DataFrame,
+    threshold: int,
+    blocks: int | None = None,
+    combo: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
     ``band_0..band_7`` (+ ``media_id``) — the shared multi-block
     candidate/verify engine (``functions/dedup.hamming_pairs_
-    multiblock``, Manku et al. WWW'07). The (4, 1) default is the
-    gate banding the static DuckDB oracles replay as their candidate
-    CTE; the corpus-size schedule passes wider shapes with identical
-    output."""
+    multiblock``, Manku et al. WWW'07). The default corpus-size
+    schedule keeps gate corpora on the (4, 1) banding the static
+    DuckDB oracles replay as their candidate CTE and widens the
+    composite keys past it, with identical output."""
     return DD.hamming_pairs_multiblock(
         hashed8, threshold, blocks=blocks, combo=combo
     )
@@ -659,10 +660,10 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
     threshold by pigeonhole; chance key collisions (4n^2/2^16 at the
     gate shape, measured 30 on the gate corpus; O(n) past it via
     ``DD.hamming_block_schedule``) are discarded by the verify."""
-    media = _audio_media_with_variants(spark, sf_dir)
-    h = M.audio_fingerprint(media, decode="fake")
-    blocks, combo = DD.hamming_block_schedule(media.count(), M.AFP_HAM_T)
-    return _banded_hamming_pairs(h, M.AFP_HAM_T, blocks, combo)
+    h = M.audio_fingerprint(
+        _audio_media_with_variants(spark, sf_dir), decode="fake"
+    )
+    return _banded_hamming_pairs(h, M.AFP_HAM_T)
 
 
 # --- video frame hashing (sequence-aware near-dup) ---------------------
@@ -800,20 +801,19 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidates for 1.7k clips at sf0.1, quadratic in clips; the
     (6,3)/(8,5) shapes replace that n^2/2^16 term with n^2/2^32 /
     n^2/2^40 at identical output."""
-    media = _video_media_with_variants(spark, sf_dir)
-    fh = M.video_framehash(media, decode="fake")
+    fh = M.video_framehash(
+        _video_media_with_variants(spark, sf_dir), decode="fake"
+    )
     # reuse the shared multi-block helper by packing (clip, frame)
     # into one key — same frame_no aligns automatically because the
-    # pack keeps frame bits low
+    # pack keeps frame bits low; the auto-schedule sizes on FRAME
+    # rows (= 4x clips), which is the collision-bearing count
     fid = (F.col("media_id") * M.VIDEO_FRAMES + F.col("frame_no")).alias(
         "media_id"
     )
     packed = fh.select(fid, *[F.col(f"band_{r}") for r in range(8)])
     k = M.VIDEO_FRAMES
-    blocks, combo = DD.hamming_block_schedule(
-        media.count() * k, M.AFP_HAM_T
-    )
-    pairs = _banded_hamming_pairs(packed, M.AFP_HAM_T, blocks, combo)
+    pairs = _banded_hamming_pairs(packed, M.AFP_HAM_T)
     # integer DIV unpack: exact for any long id (float division would
     # silently lose exactness above 2^53)
     aligned = pairs.filter(
