@@ -86,6 +86,47 @@ HEADLINE = [
 ]
 
 
+# Calibration spec version: bump ONLY if the job below ever changes —
+# cross-round normalization depends on it being frozen.
+CALIBRATION_SPEC = "range30m_hashagg_sort_v1"
+
+
+def _calibration_run(spark) -> list[float]:
+    """A frozen, repo-independent workload (Spark built-ins over
+    spark.range — no parquet, no snowalert_spark code) timed with the
+    same warm-up + 3-run protocol as the headline rows. Cross-round
+    bench artifacts divide by its median to cancel host drift (the
+    r6->r8 cross-round comparisons moved +/-50% on identical code;
+    BENCH_AB_r08.json proved it was the host, not the tree). The same
+    job runs at bench START and END so within-run drift is visible
+    too."""
+    from pyspark.sql import functions as F
+
+    def once() -> float:
+        t0 = time.perf_counter()
+        df = (
+            spark.range(30_000_000)
+            .select(
+                (F.col("id") % 99991).alias("k"),
+                (F.col("id") * 2654435761 % 1000003).alias("v"),
+                F.md5(F.col("id").cast("string")).alias("h"),
+            )
+            .groupBy("k")
+            .agg(
+                F.sum("v").alias("sv"),
+                F.count(F.lit(1)).alias("n"),
+                F.min("h").alias("mh"),
+            )
+            .orderBy(F.desc("sv"))
+            .limit(1000)
+        )
+        df.write.format("noop").mode("overwrite").save()
+        return time.perf_counter() - t0
+
+    once()  # warm
+    return [round(once(), 4) for _ in range(3)]
+
+
 def _bench_pipeline(spark, sf_dir: str) -> float:
     import datetime as dt
     import shutil
@@ -288,6 +329,9 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 
+    # host-drift calibration bracket (start half) — see _calibration_run
+    cal_start = _calibration_run(spark)
+
     def record(name, thunk) -> None:
         """One broken query must yield an err row, not zero the whole
         benchmark (rounds 4-5 lost all perf data to a single warm-up
@@ -343,6 +387,12 @@ def main() -> None:
         if _wanted("pack_full_sweep"):
             record("pack_full_sweep", lambda: _bench_pack_full(spark, sf_dir))
 
+    cal_end = _calibration_run(spark)
+    # min of the 6 bracketing runs: the noise-floor estimator — the
+    # start bracket can still carry session warm-up (first-ever run
+    # measured 78s vs the 1.4s steady state), and a calibration
+    # DIVISOR must be robust to that, not averaged into it
+    cal_floor = min(cal_start + cal_end)
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -351,6 +401,17 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf,
+        # frozen-spec calibration job timed before and after the
+        # sweep: compare rounds via value_normalized (= value /
+        # cal_floor) or per-query t / cal_floor — host drift cancels
+        # because the calibration drifts with it
+        "calibration": {
+            "spec": CALIBRATION_SPEC,
+            "start_runs": cal_start,
+            "end_runs": cal_end,
+            "floor": cal_floor,
+        },
+        "value_normalized": round(total / cal_floor, 3),
     }
     if PACK_DETAIL:
         out["pack_detail"] = dict(sorted(PACK_DETAIL.items()))
