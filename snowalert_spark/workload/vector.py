@@ -426,6 +426,12 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SEM_GATE_N = 1 << 16  # corpora up to this size keep the oracle shape
 SEM_TARGET_CELL = 1024  # expected cell size past the gate shape
+#: codebooks at or below this k ride the plan as literals (the
+#: zero-shuffle argmax projection); larger k broadcasts the codebook
+#: and takes the min-struct aggregate. Same answers either way —
+#: pinned by test_vectors' branch-equality test, which forces the
+#: broadcast branch at gate k.
+SEM_LITERAL_K_MAX = 64
 
 
 def semantic_kmeans_params(n: int) -> tuple[int, int]:
@@ -515,7 +521,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, emb.filter(F.col("vec_id") < train_n),
         k=k, iters=KMEANS_ITERS,
     )
-    if k <= 64:
+    if k <= SEM_LITERAL_K_MAX:
         # gate shape: literal-codebook argmax — zero-shuffle projection
         structs = S._cell_structs_sql(cents_rows, "embedding")
         asim = emb.select(

@@ -464,3 +464,23 @@ def test_semantic_kmeans_params_schedule():
     k, tn = semantic_kmeans_params(600_000)
     assert k == 600_000 // 1024 and tn == 8 * k
     assert semantic_kmeans_params(10**9)[0] == 4096  # bounded
+
+
+def test_semantic_dedup_broadcast_branch_matches_literal(spark, monkeypatch):
+    """The scheduled (large-k) assignment path — broadcast codebook +
+    map-side min-struct aggregate — must produce EXACTLY the gate
+    branch's answers. Forced at gate k (k=8 <= 2^16 vectors) by
+    dropping the literal-codebook ceiling to 0, so the only oracle
+    gap left for the scheduled shape is candidate volume, which the
+    sf10 sidecar probe records (round-8 verdict item 4)."""
+    from snowalert_spark import workload
+    from snowalert_spark.workload import vector as V
+
+    sf = "/root/testdata/sf0.01"
+    q = workload.queries(include_local=True)["semantic_dedup"]
+    gate = sorted(tuple(r) for r in q(spark, sf).collect())
+    monkeypatch.setattr(V, "SEM_LITERAL_K_MAX", 0)
+    sched = sorted(tuple(r) for r in q(spark, sf).collect())
+    assert sched == gate
+    keeps = [r for r in gate if r[-1]]
+    assert 0 < len(keeps) <= len(gate)
