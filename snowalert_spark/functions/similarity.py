@@ -1050,20 +1050,30 @@ def decontaminate_semantic(
     pipelines inside the join stage and never lands. Determinism: the
     max orders on (quantized sim, then LOWEST eval id) via a
     (sim, -eval_id) struct max, so ties pick a stable witness.
+
+    Degenerate inputs (round-8 advice): an EMPTY eval set keeps every
+    corpus row (left broadcast join — null witness, contaminated
+    false: nothing to leak from); a zero-norm vector on either side
+    scores null for that pairing (no direction ⇒ no cosine) instead
+    of a NaN that would shadow real maxima, and a corpus vector with
+    no finite score anywhere comes back contaminated=false.
     """
     ev = eval_set.select(
-        F.col(id_col).alias("eval_id"), F.col(vec_col).alias("ev")
+        F.col(id_col).alias("eval_id"),
+        F.col(vec_col).alias("ev"),
+        F.sqrt(dot(vec_col, vec_col)).alias("en"),
     )
     c = corpus.select(
         id_col,
         F.col(vec_col).alias("cv"),
         F.sqrt(dot(vec_col, vec_col)).alias("cn"),
     )
-    scored = c.crossJoin(F.broadcast(ev)).select(
+    scored = c.join(F.broadcast(ev), F.lit(True), "left").select(
         id_col,
         F.struct(
-            quantize(
-                dot("cv", "ev") / (F.col("cn") * F.sqrt(dot("ev", "ev"))), 6
+            F.when(
+                F.col("cn") * F.col("en") > 0,
+                quantize(dot("cv", "ev") / (F.col("cn") * F.col("en")), 6),
             ).alias("sim"),
             (-F.col("eval_id")).alias("neg_id"),
         ).alias("sc"),
@@ -1073,5 +1083,7 @@ def decontaminate_semantic(
         id_col,
         (-F.col("best.neg_id")).alias("nearest_eval_id"),
         F.col("best.sim").alias("max_sim"),
-        (F.col("best.sim") >= threshold).alias("contaminated"),
+        F.coalesce(
+            F.col("best.sim") >= threshold, F.lit(False)
+        ).alias("contaminated"),
     )
