@@ -132,6 +132,27 @@ class ResultsStore:
         for v in vs[:-1]:
             shutil.rmtree(os.path.join(self._tdir(table), f"v={v}"), ignore_errors=True)
 
+    def retain(self, table: str, keep: Column) -> dict[str, int]:
+        """CAS-safe retention pass: republish the table keeping only
+        rows satisfying ``keep``. Reads the current version, publishes
+        the filtered set with ``expect_version`` pinned to it — a
+        concurrent writer racing the pass loses exactly one side
+        (ConcurrentWriteError, table never a mix), the same contract
+        as ``upsert``. No-op (no new version) when nothing would be
+        evicted. Returns {kept, evicted} row counts."""
+        vs = self._versions(table)
+        if not vs:
+            return {"kept": 0, "evicted": 0}
+        cur = vs[-1]
+        df = self.read(table)
+        kept = df.filter(keep)
+        n_all = df.count()
+        n_keep = kept.count()
+        if n_keep == n_all:
+            return {"kept": n_all, "evicted": 0}
+        self.overwrite(table, kept, expect_version=cur)
+        return {"kept": n_keep, "evicted": n_all - n_keep}
+
     # -- merge (the MERGE INTO replacement) ------------------------------
     def upsert(
         self,

@@ -153,3 +153,83 @@ def test_bpe_merges_persist_and_reload_without_retraining(
         B.encode_word(F.lit("the"), reloaded).alias("syms")
     ).collect()
     assert all(len(r["syms"]) >= 1 for r in enc)
+
+
+def test_retention_evicts_stale_versions(spark, model_dir):
+    """Round-8 verdict item 7: the model sidecars need GC. Train two
+    corpus versions, evict one — stale rows gone, active keys survive
+    byte-identical, and the reload path still skips retraining."""
+    from snowalert_spark.functions import bpe as B
+    from snowalert_spark.tables import table as _table
+
+    store = ResultsStore(spark, model_dir)
+    S._CENTROID_CACHE.clear()
+    B._MERGE_CACHE.clear()
+    keep_rows = sorted(
+        (c, tuple(v))
+        for c, v in S.trained_centroid_rows(
+            spark, "corpus-v1", _train_frame(spark), k=4, iters=2, store=store
+        )
+    )
+    S.trained_centroid_rows(
+        spark, "corpus-v0", _train_frame(spark), k=4, iters=2, store=store
+    )
+    docs = _table(spark, SF, "documents")
+    B.trained_merges(spark, "corpus-v1", docs, 2, store=store)
+    B.trained_merges(spark, "corpus-v0", docs, 2, store=store)
+
+    out = S.evict_stale_models(spark, ["corpus-v1"], store=store)
+    assert out["trained_centroids"]["evicted"] == 4
+    assert out["trained_centroids"]["kept"] == 4
+    assert out["trained_bpe_merges"]["evicted"] == 2
+
+    # stale rows gone from disk AND from the process caches
+    keys = {
+        r["model_key"]
+        for t in S.MODEL_SIDECAR_TABLES
+        for r in store.read(t).select("model_key").collect()
+    }
+    assert all(k.startswith("corpus-v1|") for k in keys)
+    assert all(k[0] == "corpus-v1" for k in S._CENTROID_CACHE)
+    assert all(k[0] == "corpus-v1" for k in B._MERGE_CACHE)
+
+    # survivor reloads byte-identical in a "new session", no retrain
+    S._CENTROID_CACHE.clear()
+    reloaded = sorted(
+        (c, tuple(v))
+        for c, v in S.trained_centroid_rows(
+            spark, "corpus-v1", _train_frame(spark), k=4, iters=2, store=store
+        )
+    )
+    assert reloaded == keep_rows
+
+    # second pass is a no-op: no eviction, no new version published
+    v_before = store._versions("trained_centroids")
+    again = S.evict_stale_models(spark, ["corpus-v1"], store=store)
+    assert again["trained_centroids"]["evicted"] == 0
+    assert store._versions("trained_centroids") == v_before
+
+
+def test_retention_loses_cas_race(spark, model_dir, monkeypatch):
+    """A trainer publishing between the retention read and its
+    publish must surface as ConcurrentWriteError (never a mixed
+    table) — the upsert contract, unchanged."""
+    from snowalert_spark.store import ConcurrentWriteError
+
+    store = ResultsStore(spark, model_dir)
+    S._CENTROID_CACHE.clear()
+    S.trained_centroid_rows(
+        spark, "corpus-v0", _train_frame(spark), k=4, iters=2, store=store
+    )
+    real_read = store.read
+
+    def read_then_race(table):
+        df = real_read(table)
+        rows = df.collect()  # snapshot before racing
+        # concurrent trainer publishes a new version mid-pass
+        store.overwrite(table, spark.createDataFrame(rows, df.schema))
+        return spark.createDataFrame(rows, df.schema)
+
+    monkeypatch.setattr(store, "read", read_then_race)
+    with pytest.raises(ConcurrentWriteError):
+        store.retain("trained_centroids", F.lit(False))
