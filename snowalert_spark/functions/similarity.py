@@ -275,32 +275,19 @@ def rplsh_params_for_corpus(
     return bits * bands, bands
 
 
-def cosine_pairs_rplsh(
+def _rplsh_long(
     corpus: DataFrame,
-    threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = 48,
-    bands: int = 4,
-    dim: int = 64,
+    n_planes: int,
+    bands: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs via random-hyperplane LSH — the
-    second scale path next to IVF (``cosine_pairs_ivf``): sign bits of
-    ``n_planes`` deterministic hyperplane projections form a
-    signature, banded into ``bands`` groups; candidate pairs share a
-    band value (equi-join, no all-pairs product anywhere), then exact
-    quantized cosine verifies. Collision probability per bit is
-    1 - angle/pi, so near-identical vectors (the production near-dup
-    case) collide in some band with probability ≈ 1, while
-    low-similarity pairs are pruned before the expensive verify.
-
-    Candidates are a subset of the exact ``cosine_pairs`` result by
-    construction (verification is exact); recall at a given threshold
-    is tunable via n_planes/bands — derive them with ``rplsh_params``
-    for a target (similarity, recall). The default 12-bit bands keep
-    bucket occupancy — and therefore candidate volume — low on random
-    corpora while genuine near-dups (per-bit collision ≈ 0.99) still
-    co-occur in some band with probability ≈ 0.999."""
+    """(vid, b, h) band-bucket rows: sign bits of ``n_planes``
+    deterministic hyperplane projections, banded into ``bands``
+    int values. The shared signature stage of the batch pair finder
+    and the streaming state store — one arithmetic, one fold order
+    (the SQL oracle replays it bit-for-bit)."""
     if n_planes % bands:
         raise ValueError("n_planes must divide evenly into bands")
     # dim is an explicit parameter (default: the testdata embedding
@@ -332,7 +319,7 @@ def cosine_pairs_rplsh(
             V = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             if V.shape[1] != dim:
                 raise ValueError(
-                    f"cosine_pairs_rplsh: dim={dim} but vectors have "
+                    f"rplsh signatures: dim={dim} but vectors have "
                     f"width {V.shape[1]}"
                 )
             bits = np.zeros((len(pdf), n_planes), dtype=np.int64)
@@ -348,6 +335,57 @@ def cosine_pairs_rplsh(
                 ).astype("int32")
             yield pd.DataFrame(out)
 
+    sig = corpus.mapInPandas(sig_batches, sig_schema)
+    slots = F.array(*[F.col(f"band{b}") for b in range(bands)])
+    return sig.select("vid", F.posexplode(slots).alias("b", "h"))
+
+
+def rplsh_band_rows(
+    corpus: DataFrame,
+    n_planes: int = 48,
+    bands: int = 4,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The (vid, b, h) band-bucket rows of :func:`cosine_pairs_rplsh`
+    as a standalone relation — deterministic per (n_planes, bands,
+    dim) because the hyperplanes derive from a fixed multiplicative
+    hash, so buckets computed in DIFFERENT sessions or micro-batches
+    collide exactly like same-session ones. This is what the
+    streaming embedding near-dup tier persists as its state store
+    (streaming.neardup_embedding_stream_ingest): batch-vs-state
+    candidates are an equi-join on (b, h), never an all-pairs
+    product."""
+    return _rplsh_long(corpus, n_planes, bands, dim, id_col, vec_col)
+
+
+def cosine_pairs_rplsh(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 48,
+    bands: int = 4,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding near-duplicate pairs via random-hyperplane LSH — the
+    second scale path next to IVF (``cosine_pairs_ivf``): sign bits of
+    ``n_planes`` deterministic hyperplane projections form a
+    signature, banded into ``bands`` groups; candidate pairs share a
+    band value (equi-join, no all-pairs product anywhere), then exact
+    quantized cosine verifies. Collision probability per bit is
+    1 - angle/pi, so near-identical vectors (the production near-dup
+    case) collide in some band with probability ≈ 1, while
+    low-similarity pairs are pruned before the expensive verify.
+
+    Candidates are a subset of the exact ``cosine_pairs`` result by
+    construction (verification is exact); recall at a given threshold
+    is tunable via n_planes/bands — derive them with ``rplsh_params``
+    for a target (similarity, recall). The default 12-bit bands keep
+    bucket occupancy — and therefore candidate volume — low on random
+    corpora while genuine near-dups (per-bit collision ≈ 0.99) still
+    co-occur in some band with probability ≈ 0.999."""
     # Candidates shuffle IDS ONLY: the band self-join and the pair
     # dedupe move (band, hash, vid) rows — ~16 bytes each — and the
     # full vectors are joined back exactly once per DISTINCT candidate
@@ -355,9 +393,7 @@ def cosine_pairs_rplsh(
     # pre-round-7 shape) duplicated every vector once per colliding
     # band per candidate, which at sf10 (200k x 64-float vectors)
     # spilled tens of GB of shuffle to disk.
-    sig = corpus.mapInPandas(sig_batches, sig_schema)
-    slots = F.array(*[F.col(f"band{b}") for b in range(bands)])
-    long = sig.select("vid", F.posexplode(slots).alias("b", "h"))
+    long = _rplsh_long(corpus, n_planes, bands, dim, id_col, vec_col)
     cand_ids = (
         long.alias("l")
         .join(long.alias("r"), ["b", "h"])

@@ -369,6 +369,160 @@ def neardup_stream_ingest(
     q.awaitTermination()
 
 
+def neardup_embedding_stream_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    state_dir: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    threshold: float = 0.99,
+    n_planes: int = 48,
+    bands: int = 4,
+    dim: int = 64,
+    retention_batches: int | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming EMBEDDING near-dup ingest — the vector-space arm of
+    :func:`neardup_stream_ingest` (which covers exact + MinHash text).
+    Each arriving file's vectors are dropped when their exact cosine
+    to anything already ingested reaches ``threshold``; candidates
+    come from the deterministic rplsh band buckets
+    (``similarity.rplsh_band_rows`` — fixed multiplicative-hash
+    hyperplanes, so buckets computed in different micro-batches or
+    sessions collide exactly like same-session ones).
+
+    Mechanics per micro-batch (``foreachBatch``):
+
+    1. in-batch pass: rplsh candidate/verify pairs inside the batch
+       keep the smaller ``id_col`` per verified pair;
+    2. batch-vs-state: the batch's band rows equi-join the persisted
+       base buckets on (b, h) — the accumulated corpus is NEVER
+       re-signed or all-paired — then candidates exact-cosine-verify
+       against the persisted base VECTORS; matches are dropped;
+    3. survivors append to ``dst_path``; their vectors + band rows
+       append to the state store stamped with the micro-batch id.
+
+    State is bounded exactly like the text tier: with
+    ``retention_batches=N`` only the last N micro-batches' state rows
+    participate in (and survive) matching, and each batch compacts
+    expired rows away — a vector re-arriving after its original fell
+    out of retention is ingested again, like a late event past a
+    watermark. 100 TB shape: state is (id, 4-int band rows) + the
+    vectors themselves; the candidate join moves ids only."""
+    from snowalert_spark.functions.numeric import quantize
+    from snowalert_spark.functions.similarity import (
+        cosine_pairs_rplsh,
+        dot,
+        rplsh_band_rows,
+    )
+
+    vec_dir = os.path.join(state_dir, "base_vectors")
+    bk_dir = os.path.join(state_dir, "base_buckets")
+    vec_schema = f"{id_col} long, {vec_col} array<double>, batch_id long"
+    bk_schema = f"{id_col} long, b int, h int, batch_id long"
+
+    def _read_state(path, schema_str, batch_id):
+        if os.path.isdir(path):
+            df = spark.read.schema(schema_str).parquet(path)
+        else:
+            df = spark.createDataFrame([], schema_str)
+        if retention_batches is not None:
+            df = df.filter(F.col("batch_id") > batch_id - retention_batches)
+        return df
+
+    def _bands(vecs):
+        return rplsh_band_rows(
+            vecs, n_planes, bands, dim, id_col, vec_col
+        ).withColumnRenamed("vid", id_col)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        batch = batch.cache()
+        # -- 1. in-batch near-dup: keep the smaller id per pair ----------
+        near = (
+            cosine_pairs_rplsh(
+                batch, threshold, id_col=id_col, vec_col=vec_col,
+                n_planes=n_planes, bands=bands, dim=dim,
+            )
+            .select(F.col("vec_b").alias(id_col))
+            .distinct()
+        )
+        keep = batch.join(near, id_col, "left_anti").cache()
+
+        # -- 2. batch vs accumulated state -------------------------------
+        base_vec = _read_state(vec_dir, vec_schema, batch_id)
+        base_bk = _read_state(bk_dir, bk_schema, batch_id)
+        bk = _bands(keep)
+        cands = (
+            bk.alias("a")
+            .join(
+                base_bk.alias("b"),
+                (F.col("a.b") == F.col("b.b")) & (F.col("a.h") == F.col("b.h")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(id_col),
+                F.col(f"b.{id_col}").alias("dup_of"),
+            )
+            .distinct()
+        )
+        sim = quantize(
+            dot("va", "vb") / (F.sqrt(dot("va", "va")) * F.sqrt(dot("vb", "vb"))), 6
+        )
+        dups = (
+            cands.join(
+                keep.select(F.col(id_col), F.col(vec_col).alias("va")), id_col
+            )
+            .join(
+                base_vec.select(
+                    F.col(id_col).alias("dup_of"), F.col(vec_col).alias("vb")
+                ),
+                "dup_of",
+            )
+            .filter(sim >= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        survivors = keep.join(dups, id_col, "left_anti").cache()
+
+        # -- 3. publish survivors + append their state --------------------
+        survivors.write.mode("append").parquet(dst_path)
+        survivors.select(id_col, vec_col).withColumn(
+            "batch_id", F.lit(batch_id)
+        ).write.mode("append").parquet(vec_dir)
+        _bands(survivors).withColumn("batch_id", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(bk_dir)
+        # compact expired state so the stores stay retention-bounded
+        if retention_batches is not None:
+            for path, schema_str in ((vec_dir, vec_schema), (bk_dir, bk_schema)):
+                live = (
+                    spark.read.schema(schema_str).parquet(path)
+                    .filter(F.col("batch_id") > batch_id - retention_batches)
+                    .cache()
+                )
+                live.count()
+                live.write.mode("overwrite").parquet(path + "._compact")
+                import shutil
+
+                shutil.rmtree(path)
+                os.replace(path + "._compact", path)
+                live.unpersist()
+        batch.unpersist()
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(src_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def file_stream_ingest(
     spark: SparkSession,
     src_path: str,
