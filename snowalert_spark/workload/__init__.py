@@ -77,7 +77,6 @@ LOCAL_ONLY = {
     "dedup_cross_snapshot_minhash",
     "quality_percentile_filter",
     "embedding_pq_codes",
-    "ann_pq_topk",
     # Round-7 gate rotation: dedup_clusters, decontaminate_ngram,
     # pii_scrub_events, dedup_cross_snapshot and
     # curation_filter_pipeline are promoted into the declared gate so
@@ -117,7 +116,6 @@ LOCAL_ONLY = {
     # driver row: ann_ivf_topk / ann_pq_topk).
     "dedup_substring_spans",
     "corpus_vocab_topk",
-    "ann_ivfpq_topk",
     # ... plus TF-IDF top terms (its sibling dedup_substring_removal
     # and unigram_logprob_scores were promoted in the round-8 session-2
     # rotation below; the TF-IDF agg shape ⊂ corpus_vocab_topk's token
@@ -127,10 +125,8 @@ LOCAL_ONLY = {
     # dedup_image_dhash, which computes the same hashes internally
     # before the band join).
     "image_dhash",
-    # ... and BPE merge training (tokenizer-training support —
-    # corpus-touched-once, vocab-table iterations; Sennrich et al.;
-    # local oracle replays all six rounds bit-exact).
-    "bpe_merges",
+    # (bpe_merges was promoted into the declared gate in the round-9
+    # rotation below.)
     # Round-8 session-2 gate rotation: promote the newest operator
     # families into the driver gate (dsir_select,
     # dedup_substring_removal, unigram_logprob_scores,
@@ -165,15 +161,8 @@ LOCAL_ONLY = {
     # corpus-wide assignment plan shares the declared semantic_dedup
     # gate-shape (zero-shuffle literal-codebook projection) and the
     # (doc_topic_clusters was promoted into the declared gate in the
-    # session-3 rotation below.)
-    # ... and its composition with the mixture planner: equal-topic
-    # rebalance applied as a deterministic md5-bucket downsample
-    # (plan-collect bounded at k rows, keep-filter map-only). Oracle
-    # replays clustering + plan arithmetic + bucket predicate end to
-    # end; the plan/sample halves each hold declared siblings
-    # (corpus_mixture_plan ⊂ the same count-agg + broadcast-totals
-    # shape, stratified_sample_docs ⊂ the same literal-map filter).
-    "topic_balanced_sample",
+    # session-3 rotation below; topic_balanced_sample in the round-9
+    # rotation below.)
     # ... and BPE application (tokenize the corpus with the trained
     # merges): zero-shuffle literal-merge fold on the Spark side,
     # verified against the independent vocab-join replay in DuckDB
@@ -200,7 +189,10 @@ LOCAL_ONLY = {
     # shared banded helper the declared dedup_image_dhash row covers,
     # keyed per frame.
     "video_framehash",
-    "dedup_video_framehash",
+    # (dedup_video_framehash was promoted into the declared gate in
+    # the round-9 rotation below; the per-frame hash projection stays
+    # local, subsumed by the declared near-dup row which computes the
+    # same frame hashes before the aligned band join.)
     # Round-9: tokenizer application at a production merge count
     # (1024 frequency-ranked merges through the vocab-join encode
     # path, which the literal-fold plan cannot reach). Bench row; no
@@ -227,6 +219,39 @@ LOCAL_ONLY = {
     # featurizer feeds both) + corpus_vocab_topk's token aggregate and
     # the now-declared bpe_encode_docs count every token end to end.
     "text_token_stats",
+    # Round-9 gate rotation: promote the never-declared families into
+    # the driver gate — ann_pq_topk + ann_ivfpq_topk (the PQ ANN
+    # family had only local oracles), dedup_video_framehash (the
+    # sequence-aware video near-dup + the new multi-block candidate
+    # engine), topic_balanced_sample (clustering composed with the
+    # mixture planner), bpe_merges (tokenizer training). The five rows
+    # demoted to make room keep their local oracles + plan pins and
+    # are each subsumed by declared siblings:
+    # object_construct_canonical ⊂ violation_md5_identity (the
+    # declared S7 row drives OBJECT_CONSTRUCT → canonical key-sorted
+    # JSON → MD5 end to end; the pack corpus also runs
+    # OBJECT_CONSTRUCT verbatim);
+    "object_construct_canonical",
+    # dedup_exact ⊂ dedup_clusters (its verified edge set IS
+    # exact_dedup's hash groups — exact_dup_pairs derives from the
+    # same md5-groupBy collapse) + dedup_cross_snapshot (declared;
+    # the same text-hash equality semantics as a LeftAnti);
+    "dedup_exact",
+    # string_functions ⊂ like_rlike_filters (declared P5/P6 regex
+    # family) + pii_scrub_events (declared; staged regexp_replace
+    # with flags and backrefs) and split_part/substr/||/TO_VARCHAR
+    # run verbatim across the pack corpus;
+    "string_functions",
+    # text_lang_id ⊂ text_quality_scores (declared; the same
+    # whitespace-tokenizer featurizer feeding a map-only scalar
+    # projection — the lang-id heuristic keeps its local oracle);
+    "text_lang_id",
+    # multimodal_features ⊂ dedup_image_dhash + dedup_audio_fp
+    # (declared; the same Arrow mapInPandas decode stage over the
+    # same media projection — the near-dup rows hash the same
+    # payloads through the same batch plumbing, and the byte-level
+    # md5/length checks stay in the local oracle).
+    "multimodal_features",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -23,9 +23,12 @@ def test_registry_stats_single_source_of_truth():
     stats = workload.registry_stats()
     # the numbers quoted in README.md and PARITY.md
     assert stats == {
-        "total": 93,
+        "total": 94,
         "driver_declared": 50,
-        "local_only": 43,
+        "local_only": 44,
+        # bpe_encode_1k is the one documented oracle-less row (a
+        # 1024-round CTE chain is infeasible; path-equality tests
+        # pin it instead — see tests/test_local_only_pins.NO_ORACLE_OK)
         "with_oracle": 93,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
