@@ -119,7 +119,7 @@ def test_encode_paths_agree_trained_merges(spark):
 
     d = table(spark, "/root/testdata/sf0.001", "documents")
     merges = B.bpe_train(d, BPE_MERGES)
-    lit = _bpe_apply(d, merges)
+    lit = _bpe_apply(d, merges, strategy="literal")
     via = (
         B.encode_docs_via_vocab(d, merges)
         .select(
@@ -145,7 +145,7 @@ def test_encode_paths_agree_many_merges(spark):
     d = table(spark, "/root/testdata/sf0.001", "documents")
     merges = B.frequency_ranked_merges(d, 48)
     assert len(merges) == 48 <= B.BPE_FOLD_MAX
-    lit = _bpe_apply(d, merges)  # literal fold (cost-based branch)
+    lit = _bpe_apply(d, merges, strategy="literal")
     via = B.encode_docs_via_vocab(d, merges).select(
         "doc_id",
         "n_words",

@@ -244,14 +244,41 @@ def test_topic_balanced_sample_keep_filter_is_map_only(spark):
     assert "Filter" in plan
 
 
-def test_bpe_encode_apply_pass_is_zero_shuffle(spark):
-    """BPE application: after training, the encode pass is a literal-
-    merge fold projection — scan -> project with no join, exchange, or
-    window over the corpus (the vocab-join alternative lives only in
-    the oracle)."""
+def test_bpe_encode_apply_is_vocab_join_shape(spark):
+    """BPE application (default vocab strategy): corpus words join
+    the distinct-word segmentation table — an equi-join on the word
+    key, never a product join, and no per-row Python anywhere. The
+    merge folds must run on the VOCAB relation only (the corpus side
+    carries no fold lambdas — that is the 5.7x win over the literal
+    path)."""
     plan = _plan(spark, "bpe_encode_docs")
-    for op in ("Join", "CartesianProduct", "Exchange", "Window"):
+    assert "Join" in plan
+    for op in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
         assert op not in plan, f"{op} leaked into the encode plan"
+
+
+def test_bpe_literal_strategy_is_zero_shuffle(spark):
+    """The embeddable literal-fold strategy keeps its contract: a
+    pure scan -> project plan with no join, exchange, or window over
+    the corpus — and refuses merge tables past BPE_FOLD_MAX."""
+    import pytest as _pytest
+
+    from snowalert_spark.functions import bpe as B
+    from snowalert_spark.tables import table
+    from snowalert_spark.workload.textops import BPE_MERGES, _bpe_apply
+
+    d = table(spark, SF, "documents")
+    merges = B.trained_merges(spark, SF, d, BPE_MERGES)
+    plan = (
+        _bpe_apply(d, merges, strategy="literal")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for op in ("Join", "CartesianProduct", "Exchange", "Window"):
+        assert op not in plan, f"{op} leaked into the literal plan"
+    with _pytest.raises(ValueError, match="BPE_FOLD_MAX"):
+        _bpe_apply(d, [(i, "a", "b", 1) for i in range(1, 200)], strategy="literal")
 
 
 def test_dedup_audio_fp_same_shape_as_image_dhash(spark):
