@@ -63,6 +63,7 @@ HEADLINE = [
     "corpus_vocab_topk",
     "doc_tfidf_topterms",
     "unigram_logprob_scores",
+    "bigram_logprob_scores",
     "dsir_select",
     "bpe_merges",
     "bpe_encode_docs",

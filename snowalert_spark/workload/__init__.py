@@ -246,6 +246,12 @@ LOCAL_ONLY = {
     # whitespace-tokenizer featurizer feeding a map-only scalar
     # projection — the lang-id heuristic keeps its local oracle);
     "text_lang_id",
+    # Round-9 addition beyond the gate cap: bigram-LM quality scores
+    # with stupid backoff (Brants et al. EMNLP 2007) — the context
+    # tier above the declared unigram_logprob_scores sibling (same
+    # bounded-model broadcast + token-keyed partial-agg shape, plus
+    # the capped bigram table). Local DuckDB oracle, bench row.
+    "bigram_logprob_scores",
     # multimodal_features ⊂ dedup_image_dhash + dedup_audio_fp
     # (declared; the same Arrow mapInPandas decode stage over the
     # same media projection — the near-dup rows hash the same

@@ -612,6 +612,132 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+BIGRAM_CAP = 4096  # bigram LM table cap (broadcastable at any SF)
+BACKOFF = 0.4  # stupid-backoff multiplier (Brants et al., EMNLP 2007)
+# one shared ln(0.4) literal on BOTH engine sides — a third ln
+# implementation could disagree in the last ulp and flip a 6dp round
+LN_BACKOFF = __import__("math").log(BACKOFF)
+
+
+@_q(
+    "bigram_logprob_scores",
+    f"""
+    WITH {TOK_CTE},
+    wne AS (SELECT doc_id, list_filter(w, x -> x <> '') AS w FROM tok),
+    words AS (SELECT doc_id, unnest(w) AS token FROM wne WHERE len(w) > 0),
+    counts AS (SELECT token, COUNT(*) AS cnt FROM words GROUP BY token),
+    tot AS (SELECT SUM(cnt) AS t FROM counts),
+    vocab AS (SELECT token, cnt FROM counts
+              ORDER BY cnt DESC, token LIMIT {LM_VOCAB}),
+    pairs AS (
+        SELECT doc_id,
+               unnest(list_transform(range(1, len(w)), i -> w[i])) AS w1,
+               unnest(list_transform(range(1, len(w)), i -> w[i+1])) AS w2
+        FROM wne WHERE len(w) >= 2),
+    bg AS (SELECT w1, w2, COUNT(*) AS cb FROM pairs GROUP BY w1, w2),
+    bgtop AS (
+        SELECT b.w1, b.w2, ln(b.cb / CAST(c1.cnt AS DOUBLE)) AS blp
+        FROM bg b JOIN counts c1 ON c1.token = b.w1
+        ORDER BY b.cb DESC, b.w1, b.w2 LIMIT {BIGRAM_CAP}),
+    toklp AS (
+        SELECT p.doc_id,
+               {quantize_sql(
+                   'COALESCE(g.blp, (' + repr(LN_BACKOFF) + ') + '
+                   'ln((COALESCE(v.cnt, 0) + 1.0) / '
+                   f'(tot.t + {LM_VOCAB} + 1.0)))', 6)} AS logp
+        FROM pairs p
+        LEFT JOIN bgtop g ON g.w1 = p.w1 AND g.w2 = p.w2
+        LEFT JOIN vocab v ON v.token = p.w2
+        CROSS JOIN tot)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           {quantize_sql(
+               'CAST(SUM(CAST(-logp AS DECIMAL(25,12))) AS DOUBLE) '
+               '/ COUNT(*)', 6)} AS avg_nll
+    FROM toklp
+    GROUP BY doc_id
+    """,
+)
+def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring with STUPID BACKOFF (Brants et al.,
+    "Large Language Models in Machine Translation", EMNLP 2007 §4):
+    the context tier above ``unigram_logprob_scores`` — a doc full of
+    plausible tokens in implausible ORDER (boilerplate soup, shuffled
+    scrapes) scores high avg_nll here while the unigram model cannot
+    see it. Each adjacent in-doc pair scores ln(c(w1 w2)/c(w1)) when
+    the bigram is in the trained table, else ln(0.4) + the add-one
+    unigram log-prob of w2; docs report the mean NLL over their
+    bigrams (docs with < 2 tokens have no bigrams and no row, like
+    the sibling's zero-token docs).
+
+    100 TB shape: two token-keyed partial aggs train the model; both
+    model tables are CAPPED (top-LM_VOCAB unigrams, top-BIGRAM_CAP
+    bigrams via TakeOrdered — the DSIR bounded-model convention) so
+    they broadcast to the scoring scan at any corpus size; per-pair
+    log-probs quantize to 6dp before the exact-decimal per-doc sum so
+    the mean is order-independent across engines/partitionings."""
+    d = table(spark, sf_dir, "documents")
+    # adjacent in-doc pairs: zip the token array with its own tail
+    # (the array is bound to a lambda variable so tokenization runs
+    # once, not once per slice)
+    pairs_arr = X.bind_array(
+        F.filter(X.tokens("text"), lambda x: x != F.lit("")),
+        lambda t: F.zip_with(
+            F.slice(t, 1, F.greatest(F.size(t) - 1, F.lit(0))),
+            F.slice(t, 2, F.greatest(F.size(t) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+    )
+    pairs = d.select("doc_id", F.explode(pairs_arr).alias("p")).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2")
+    )
+    words = d.select("doc_id", F.explode(X.tokens("text")).alias("token")).filter(
+        F.col("token") != ""
+    )
+    counts = words.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = counts.agg(F.sum("cnt").alias("t"))
+    vocab = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(LM_VOCAB)
+    bgtop = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("cb"))
+        .join(counts.select(F.col("token").alias("w1"), F.col("cnt").alias("c1")), "w1")
+        .orderBy(F.desc("cb"), F.asc("w1"), F.asc("w2"))
+        .limit(BIGRAM_CAP)
+        .select("w1", "w2", F.log(F.col("cb") / F.col("c1")).alias("blp"))
+    )
+    toklp = (
+        pairs.join(F.broadcast(bgtop), ["w1", "w2"], "left")
+        .join(
+            F.broadcast(vocab.select(F.col("token").alias("w2"), "cnt")),
+            "w2",
+            "left",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            quantize(
+                F.coalesce(
+                    "blp",
+                    F.lit(LN_BACKOFF)
+                    + F.log(
+                        (F.coalesce("cnt", F.lit(0)) + 1.0)
+                        / (F.col("t") + LM_VOCAB + 1.0)
+                    ),
+                ),
+                6,
+            ).alias("logp"),
+        )
+    )
+    return toklp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        quantize(
+            F.sum((-F.col("logp")).cast("decimal(25,12)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_nll"),
+    )
+
+
 DSIR_B = 4096  # hashed n-gram buckets
 DSIR_K = 100  # documents selected
 

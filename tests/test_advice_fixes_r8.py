@@ -23,13 +23,13 @@ def test_registry_stats_single_source_of_truth():
     stats = workload.registry_stats()
     # the numbers quoted in README.md and PARITY.md
     assert stats == {
-        "total": 94,
+        "total": 95,
         "driver_declared": 50,
-        "local_only": 44,
+        "local_only": 45,
         # bpe_encode_1k is the one documented oracle-less row (a
         # 1024-round CTE chain is infeasible; path-equality tests
         # pin it instead — see tests/test_local_only_pins.NO_ORACLE_OK)
-        "with_oracle": 93,
+        "with_oracle": 94,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
     assert stats["local_only"] == len(workload.LOCAL_ONLY)
