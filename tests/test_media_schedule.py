@@ -89,3 +89,45 @@ def test_scheduled_image_dedup_no_cartesian(spark, monkeypatch):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_multiblock_matches_bruteforce_randomized(spark):
+    """Property check: for randomized 64-bit hashes with planted
+    close pairs, every (blocks, combo) shape returns EXACTLY the
+    brute-force hamming<=3 pair set — candidate generation is
+    recall-lossless and verify-exact, so shape can never change the
+    answer."""
+    import itertools
+    import random
+
+    rng = random.Random(90210)
+    rows = []
+    hashes = {}
+    mid = 0
+    for _ in range(30):
+        h = rng.getrandbits(64)
+        hashes[mid] = h
+        mid += 1
+        if rng.random() < 0.5:  # plant a close variant (<= 3 flips)
+            v = h
+            for _ in range(rng.randint(0, 3)):
+                v ^= 1 << rng.randrange(64)
+            hashes[mid] = v
+            mid += 1
+    for i, h in hashes.items():
+        rows.append((i, *[(h >> (8 * (7 - r))) & 0xFF for r in range(8)]))
+    df = spark.createDataFrame(
+        rows, "media_id long, " + ", ".join(f"band_{r} int" for r in range(8))
+    )
+    brute = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    )
+    assert brute, "the plant generator must produce at least one pair"
+    for shape in ((4, 1), (6, 3), (8, 5)):
+        got = sorted(
+            (r.media_id, r.dup_of, r.hamming)
+            for r in DD.hamming_pairs_multiblock(df, 3, *shape).collect()
+        )
+        assert got == brute, shape
