@@ -424,7 +424,14 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-SEM_GATE_N = 1 << 16  # corpora up to this size keep the oracle shape
+# Corpora up to this size keep the oracle-pinned (k=8, train_n=64)
+# shape. The ceiling was 2^16 through r8 — but the oracle only ever
+# compares at the gate SFs (sf0.01 = 2k vectors), and holding k=8 to
+# 65k vectors made the within-cell verify the sf1 probe's worst row
+# (10.8x on 10x data: n*cell/2 = 25M cosines at 20k vectors). 2^14
+# keeps every oracle-compared corpus on the pinned shape while sf0.1+
+# rides the cell-size schedule.
+SEM_GATE_N = 1 << 14
 SEM_TARGET_CELL = 1024  # expected cell size past the gate shape
 #: codebooks at or below this k ride the plan as literals (the
 #: zero-shuffle argmax projection); larger k broadcasts the codebook
@@ -437,8 +444,8 @@ SEM_LITERAL_K_MAX = 64
 def semantic_kmeans_params(n: int) -> tuple[int, int]:
     """Corpus-size-aware k-means shape for SemDeDup (the same policy
     :func:`~snowalert_spark.functions.similarity.rplsh_params_for_corpus`
-    applies to LSH bands): the driver-gate corpora (n <= 2^16,
-    covering sf0.001 through sf1) keep EXACTLY the static
+    applies to LSH bands): the driver-gate corpora (n <= 2^14,
+    covering every oracle-compared SF) keep EXACTLY the static
     oracle-pinned (k=8, train_n=64); past that, k grows with n so the
     expected cell size stays ~SEM_TARGET_CELL — a fixed k makes the
     within-cell candidate/verify step quadratic in the corpus

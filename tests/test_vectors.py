@@ -450,8 +450,9 @@ def test_pq_topk_recall_vs_bruteforce(spark):
 
 
 def test_semantic_kmeans_params_schedule():
-    """Gate corpora (n <= 2^16) keep EXACTLY the static-oracle (8, 64)
-    shape; beyond, k grows with n (bounded) and train_n = 8k."""
+    """Gate corpora (n <= SEM_GATE_N = 2^14, covering every
+    oracle-compared SF) keep EXACTLY the static-oracle (8, 64) shape;
+    beyond, k grows with n (bounded) and train_n = 8k."""
     from snowalert_spark.workload.vector import (
         SEM_GATE_N,
         semantic_kmeans_params,
