@@ -259,12 +259,15 @@ def trained_merges(
     the trainer — the same state-in-tables shape as the k-means
     codebooks (and as the reference's results-table-resident runner
     state, alert_queries_runner.py:64-94)."""
-    from snowalert_spark.functions.similarity import _default_model_store
+    from snowalert_spark.functions.similarity import (
+        _default_model_store,
+        validate_corpus_version,
+    )
 
     key = (corpus_version, n_merges, text_col)
     if store is None:
         store = _default_model_store(spark)
-    mk = f"{corpus_version}|m={n_merges}|col={text_col}"
+    mk = f"{validate_corpus_version(corpus_version)}|m={n_merges}|col={text_col}"
     if key not in _MERGE_CACHE and store is not None:
         persisted = [
             (int(r["merge_rank"]), r["lhs"], r["rhs"], int(r["pair_count"]))

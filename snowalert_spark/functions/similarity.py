@@ -527,8 +527,23 @@ def kmeans_fit(
 _CENTROID_CACHE: dict[tuple, list] = {}
 
 
+def validate_corpus_version(corpus_version: str) -> str:
+    """Reject ``|`` in a corpus version at train/publish time (r9
+    advice): ``evict_stale_models`` derives the version by splitting
+    ``model_key`` on the first ``|``, so a version containing one
+    would mis-split and could evict active models or retain stale
+    ones. Enforced at every model-key construction site so a bad
+    version can never reach the sidecar tables."""
+    if "|" in corpus_version:
+        raise ValueError(
+            f"corpus_version may not contain '|' (got {corpus_version!r}): "
+            "it is the model_key segment before the first '|'"
+        )
+    return corpus_version
+
+
 def _model_key(corpus_version: str, k: int, iters: int) -> str:
-    return f"{corpus_version}|k={k}|iters={iters}"
+    return f"{validate_corpus_version(corpus_version)}|k={k}|iters={iters}"
 
 
 def _default_model_store(spark):

@@ -181,6 +181,52 @@ def dedup_stream(
     return ev.dropDuplicates(key_cols)
 
 
+def _batch_dir(path: str, batch_id: int) -> str:
+    return os.path.join(path, f"batch_id={batch_id}")
+
+
+def _read_batched_state(
+    spark, path: str, schema_str: str, batch_id: int, retention_batches
+) -> DataFrame:
+    """State rows visible to micro-batch ``batch_id``: everything
+    previously committed — rows from the CURRENT batch id are
+    excluded, so a crashed attempt's partially written state can never
+    match against its own replay — bounded below by the retention
+    horizon. ``batch_id`` is a partition column in the batched layout,
+    so both bounds prune whole directories instead of filtering rows."""
+    if os.path.isdir(path):
+        df = spark.read.schema(schema_str).parquet(path)
+    else:
+        df = spark.createDataFrame([], schema_str)
+    df = df.filter(F.col("batch_id") < batch_id)
+    if retention_batches is not None:
+        df = df.filter(F.col("batch_id") > batch_id - retention_batches)
+    return df
+
+
+def _compact_expired_state(
+    paths, batch_id: int, retention_batches: int
+) -> None:
+    """Drop state partition directories past the retention horizon.
+    A directory delete is idempotent and per-batch atomic — unlike the
+    previous rewrite-then-swap compaction, there is no window where a
+    crash loses live state (r9 advice)."""
+    import shutil
+
+    for path in paths:
+        if not os.path.isdir(path):
+            continue
+        for name in os.listdir(path):
+            if not name.startswith("batch_id="):
+                continue
+            try:
+                b = int(name.split("=", 1)[1])
+            except ValueError:
+                continue
+            if b <= batch_id - retention_batches:
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
 def neardup_stream_ingest(
     spark: SparkSession,
     src_path: str,
@@ -220,11 +266,26 @@ def neardup_stream_ingest(
 
     State is bounded: with ``retention_batches=N`` only state rows
     from the last N micro-batches participate in (and survive)
-    matching — the band-state analog of a streaming watermark. A doc
-    re-arriving after its original fell out of retention is ingested
-    again, exactly like a late event past the watermark. Each batch
-    compacts expired state away, so the stores hold at most N batches
-    of shingle/bucket rows.
+    matching — the band-state analog of a streaming watermark. The
+    CURRENT batch counts toward N: state written in batch ``b``
+    participates in batches ``b+1 .. b+N-1``, so ``N=1`` means
+    in-batch dedup only (no cross-batch lookback) and ``N=2`` is a
+    one-previous-batch horizon. A doc re-arriving after its original
+    fell out of retention is ingested again, exactly like a late
+    event past the watermark. Each batch compacts expired state away,
+    so the stores hold at most N batches of shingle/bucket rows.
+
+    Crash safety (r9 advice): every sink — the survivor output and
+    both state stores — is laid out as one ``batch_id={b}`` partition
+    directory per micro-batch, written with per-directory OVERWRITE.
+    A batch replayed after a crash (foreachBatch is at-least-once)
+    rewrites exactly its own directories, so output and state stay
+    exactly-once at the directory level; state reads exclude the
+    current batch id, so a crashed attempt's partial state can never
+    self-match its own replay. Retention compaction deletes whole
+    expired partition directories (no rewrite), which is idempotent
+    and cannot lose live state mid-copy. Readers of ``dst_path`` see
+    the micro-batch id as a ``batch_id`` provenance partition column.
 
     100 TB shape: state lives as two parquet relations keyed on
     8-byte hashes (band_hash md5 strings / xxhash-free shingle
@@ -246,15 +307,6 @@ def neardup_stream_ingest(
     sh_dir = os.path.join(state_dir, "base_shingles")
     bk_dir = os.path.join(state_dir, "base_buckets")
 
-    def _read_state(path, schema_str, batch_id):
-        if os.path.isdir(path):
-            df = spark.read.schema(schema_str).parquet(path)
-        else:
-            df = spark.createDataFrame([], schema_str)
-        if retention_batches is not None:
-            df = df.filter(F.col("batch_id") > batch_id - retention_batches)
-        return df
-
     def _buckets(sh):
         sigs = (
             sh.select(id_col, base_hash32(F.col("s")).alias("h"))
@@ -264,7 +316,8 @@ def neardup_stream_ingest(
         return minhash_band_buckets(sigs, n_hashes, rows_per_band)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.cache()
+        cached = [batch.cache()]
+        batch = cached[0]
         # -- 1. in-batch dedup (exact, then near) -----------------------
         keep = batch.withColumn(
             "_rk",
@@ -272,10 +325,12 @@ def neardup_stream_ingest(
                 Window.partitionBy(F.md5(F.col(text_col))).orderBy(id_col)
             ),
         ).filter(F.col("_rk") == 1).drop("_rk").cache()
+        cached.append(keep)
         sh = doc_shingles(
             keep.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")),
             k,
         ).withColumnRenamed("doc_id", id_col).cache()
+        cached.append(sh)
         from snowalert_spark.functions.dedup import minhash_lsh_pairs
 
         near = minhash_lsh_pairs(
@@ -284,12 +339,18 @@ def neardup_stream_ingest(
             rows_per_band=rows_per_band, k=k,
         ).select(F.col("doc_b").alias(id_col)).distinct()
         keep = keep.join(near, id_col, "left_anti").cache()
+        cached.append(keep)
         sh = sh.join(keep.select(id_col), id_col, "left_semi")
 
         # -- 2. batch vs accumulated state ------------------------------
-        base_sh = _read_state(sh_dir, f"{id_col} long, s string, batch_id long", batch_id)
-        base_bk = _read_state(
-            bk_dir, f"{id_col} long, band int, band_hash string, batch_id long", batch_id
+        base_sh = _read_batched_state(
+            spark, sh_dir, f"{id_col} long, s string, batch_id long",
+            batch_id, retention_batches,
+        )
+        base_bk = _read_batched_state(
+            spark, bk_dir,
+            f"{id_col} long, band int, band_hash string, batch_id long",
+            batch_id, retention_batches,
         )
         bk = _buckets(sh)
         cands = (
@@ -328,33 +389,22 @@ def neardup_stream_ingest(
             .distinct()
         )
         survivors = keep.join(dups, id_col, "left_anti").cache()
+        cached.append(survivors)
 
-        # -- 3. publish survivors + append their state ------------------
-        survivors.write.mode("append").parquet(dst_path)
+        # -- 3. publish survivors + their state: one batch_id={b}
+        # partition directory per sink, per-directory OVERWRITE, so a
+        # replayed batch rewrites exactly its own output (idempotent)
+        survivors.write.mode("overwrite").parquet(_batch_dir(dst_path, batch_id))
         surv_sh = sh.join(survivors.select(id_col), id_col, "left_semi")
-        surv_sh.withColumn("batch_id", F.lit(batch_id)).write.mode("append").parquet(sh_dir)
-        _buckets(surv_sh).withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(bk_dir)
-        # compact expired state so the stores stay watermark-bounded
+        surv_sh.write.mode("overwrite").parquet(_batch_dir(sh_dir, batch_id))
+        _buckets(surv_sh).write.mode("overwrite").parquet(
+            _batch_dir(bk_dir, batch_id)
+        )
+        # drop expired state directories so the stores stay bounded
         if retention_batches is not None:
-            for path, schema_str in (
-                (sh_dir, f"{id_col} long, s string, batch_id long"),
-                (bk_dir, f"{id_col} long, band int, band_hash string, batch_id long"),
-            ):
-                live = (
-                    spark.read.schema(schema_str).parquet(path)
-                    .filter(F.col("batch_id") > batch_id - retention_batches)
-                    .cache()
-                )
-                live.count()
-                live.write.mode("overwrite").parquet(path + "._compact")
-                import shutil
-
-                shutil.rmtree(path)
-                os.replace(path + "._compact", path)
-                live.unpersist()
-        batch.unpersist()
+            _compact_expired_state((sh_dir, bk_dir), batch_id, retention_batches)
+        for df in cached:
+            df.unpersist()
 
     reader = spark.readStream.format(fmt).schema(schema)
     if fmt == "csv":
@@ -407,11 +457,16 @@ def neardup_embedding_stream_ingest(
 
     State is bounded exactly like the text tier: with
     ``retention_batches=N`` only the last N micro-batches' state rows
-    participate in (and survive) matching, and each batch compacts
-    expired rows away — a vector re-arriving after its original fell
+    participate in (and survive) matching — the current batch counts
+    toward N (state from batch ``b`` participates in ``b+1..b+N-1``;
+    ``N=1`` = in-batch dedup only) — and each batch drops expired
+    state directories. A vector re-arriving after its original fell
     out of retention is ingested again, like a late event past a
-    watermark. 100 TB shape: state is (id, 4-int band rows) + the
-    vectors themselves; the candidate join moves ids only."""
+    watermark. Output and state use the same per-batch
+    ``batch_id={b}`` overwrite layout as the text tier (idempotent
+    under foreachBatch replay; see :func:`neardup_stream_ingest`).
+    100 TB shape: state is (id, 4-int band rows) + the vectors
+    themselves; the candidate join moves ids only."""
     from snowalert_spark.functions.numeric import quantize
     from snowalert_spark.functions.similarity import (
         cosine_pairs_rplsh,
@@ -424,22 +479,14 @@ def neardup_embedding_stream_ingest(
     vec_schema = f"{id_col} long, {vec_col} array<double>, batch_id long"
     bk_schema = f"{id_col} long, b int, h int, batch_id long"
 
-    def _read_state(path, schema_str, batch_id):
-        if os.path.isdir(path):
-            df = spark.read.schema(schema_str).parquet(path)
-        else:
-            df = spark.createDataFrame([], schema_str)
-        if retention_batches is not None:
-            df = df.filter(F.col("batch_id") > batch_id - retention_batches)
-        return df
-
     def _bands(vecs):
         return rplsh_band_rows(
             vecs, n_planes, bands, dim, id_col, vec_col
         ).withColumnRenamed("vid", id_col)
 
     def process(batch: DataFrame, batch_id: int) -> None:
-        batch = batch.cache()
+        cached = [batch.cache()]
+        batch = cached[0]
         # -- 1. in-batch near-dup: keep the smaller id per pair ----------
         near = (
             cosine_pairs_rplsh(
@@ -450,10 +497,15 @@ def neardup_embedding_stream_ingest(
             .distinct()
         )
         keep = batch.join(near, id_col, "left_anti").cache()
+        cached.append(keep)
 
         # -- 2. batch vs accumulated state -------------------------------
-        base_vec = _read_state(vec_dir, vec_schema, batch_id)
-        base_bk = _read_state(bk_dir, bk_schema, batch_id)
+        base_vec = _read_batched_state(
+            spark, vec_dir, vec_schema, batch_id, retention_batches
+        )
+        base_bk = _read_batched_state(
+            spark, bk_dir, bk_schema, batch_id, retention_batches
+        )
         bk = _bands(keep)
         cands = (
             bk.alias("a")
@@ -485,31 +537,22 @@ def neardup_embedding_stream_ingest(
             .distinct()
         )
         survivors = keep.join(dups, id_col, "left_anti").cache()
+        cached.append(survivors)
 
-        # -- 3. publish survivors + append their state --------------------
-        survivors.write.mode("append").parquet(dst_path)
-        survivors.select(id_col, vec_col).withColumn(
-            "batch_id", F.lit(batch_id)
-        ).write.mode("append").parquet(vec_dir)
-        _bands(survivors).withColumn("batch_id", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(bk_dir)
-        # compact expired state so the stores stay retention-bounded
+        # -- 3. publish survivors + their state: per-batch partition
+        # directories with OVERWRITE (idempotent under replay)
+        survivors.write.mode("overwrite").parquet(_batch_dir(dst_path, batch_id))
+        survivors.select(id_col, vec_col).write.mode("overwrite").parquet(
+            _batch_dir(vec_dir, batch_id)
+        )
+        _bands(survivors).write.mode("overwrite").parquet(
+            _batch_dir(bk_dir, batch_id)
+        )
+        # drop expired state directories so the stores stay bounded
         if retention_batches is not None:
-            for path, schema_str in ((vec_dir, vec_schema), (bk_dir, bk_schema)):
-                live = (
-                    spark.read.schema(schema_str).parquet(path)
-                    .filter(F.col("batch_id") > batch_id - retention_batches)
-                    .cache()
-                )
-                live.count()
-                live.write.mode("overwrite").parquet(path + "._compact")
-                import shutil
-
-                shutil.rmtree(path)
-                os.replace(path + "._compact", path)
-                live.unpersist()
-        batch.unpersist()
+            _compact_expired_state((vec_dir, bk_dir), batch_id, retention_batches)
+        for df in cached:
+            df.unpersist()
 
     q = (
         spark.readStream.format(fmt)
