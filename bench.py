@@ -67,6 +67,7 @@ HEADLINE = [
     "dsir_select",
     "bpe_merges",
     "bpe_encode_docs",
+    "bpe_encode_128",
     "bpe_encode_1k",
     "semantic_dedup",
     "doc_topic_clusters",

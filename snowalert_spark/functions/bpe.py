@@ -102,6 +102,123 @@ def bpe_train(
     return out
 
 
+def _sequential_equivalent_prefix(
+    rows: list[tuple[str, str, int]],
+    uncollected_ceiling: int,
+    limit: int,
+) -> list[tuple[str, str, int]]:
+    """The longest prefix of the rank-ordered (lhs, rhs, count) pair
+    list that can be applied as ONE batch while remaining provably
+    bit-identical to sequential BPE selection (the fast-BPE batching
+    trick, with an exactness guard instead of a heuristic).
+
+    Why a prefix, and why these guards — at sequential step ``i`` the
+    trainer picks argmax over the CURRENT counts, which differ from the
+    round-start counts only through the i-1 merges already applied:
+
+    - an APPLIED pair's own count drops to zero (the greedy pass
+      consumes every adjacency), so it cannot be re-picked;
+    - counts only DECREASE except for pairs touching a newly created
+      symbol string ``lhs||rhs``;
+    - therefore pair ``i`` is still the argmax at its turn iff (a) its
+      own count is untouched — neither of its symbols appears in any
+      earlier batch member's {lhs, rhs, lhs||rhs} — and (b) its count
+      strictly exceeds every possible BOOSTED count. A boosted pair
+      ``(s, xy)`` arises from an ``(s, x)`` adjacency, so its count is
+      bounded by min(count(x,y), count(s,x)); symmetrically
+      ``(xy, s)`` by count(y, s). Those neighbor maxima come from the
+      collected table; neighbors below the collection threshold are
+      bounded by ``uncollected_ceiling`` (the K-th count, 0 when the
+      table was complete).
+
+    The first row violating either guard ends the batch (it must: a
+    skipped-over pair may still out-rank later rows at its sequential
+    turn). The top row is always accepted, so every round makes
+    progress and the worst case degenerates to sequential training."""
+    max_by_rhs: dict[str, int] = {}
+    max_by_lhs: dict[str, int] = {}
+    for lhs, rhs, c in rows:
+        if c > max_by_rhs.get(rhs, 0):
+            max_by_rhs[rhs] = c
+        if c > max_by_lhs.get(lhs, 0):
+            max_by_lhs[lhs] = c
+    used: set[str] = set()
+    boost_bound = 0
+    out: list[tuple[str, str, int]] = []
+    for lhs, rhs, c in rows:
+        if len(out) >= limit or c <= boost_bound:
+            break
+        if lhs in used or rhs in used or (lhs + rhs) in used:
+            break
+        out.append((lhs, rhs, c))
+        used.update((lhs, rhs, lhs + rhs))
+        neighbor_max = max(
+            max_by_rhs.get(lhs, 0),  # (s, lhs) feeds boosted (s, lhs||rhs)
+            max_by_lhs.get(rhs, 0),  # (rhs, s) feeds boosted (lhs||rhs, s)
+            uncollected_ceiling,
+        )
+        boost_bound = max(boost_bound, min(c, neighbor_max))
+    return out
+
+
+def bpe_train_batched(
+    docs: DataFrame,
+    n_merges: int,
+    text_col: str = "text",
+    top_k: int = 4096,
+    max_batch: int = 64,
+    stats: dict | None = None,
+) -> list[tuple[int, str, str, int]]:
+    """Train ``n_merges`` BPE merges in O(merges / batch) driver
+    rounds instead of one round per merge — bit-identical to
+    :func:`bpe_train` (pinned by test_bpe's equality + property
+    tests). Per round: one vocab-sized pair-count aggregate, a bounded
+    top-``top_k`` collect (driver protocol), then the maximal
+    sequential-equivalent prefix of the ranked pairs
+    (:func:`_sequential_equivalent_prefix`) is applied as composed
+    map-only folds with one localCheckpoint lineage cut. This is what
+    makes a production-merge-count TRAINED tokenizer feasible: 1,024
+    merges train in tens of rounds, not 1,024 (r9 verdict item 2).
+
+    Scale shape is unchanged from ``bpe_train``: the corpus is touched
+    exactly once (the word-frequency collapse); every round runs on
+    the O(distinct words) vocab table. ``stats`` (optional dict) gets
+    ``rounds`` and ``batch_sizes`` for bench evidence."""
+    cur = (
+        word_freqs(docs, text_col)
+        .select("word", "cnt", F.split("word", "").alias("syms"))
+        .localCheckpoint()
+    )
+    out: list[tuple[int, str, str, int]] = []
+    batch_sizes: list[int] = []
+    while len(out) < n_merges:
+        rows = (
+            _pair_counts(cur)
+            .orderBy(F.desc("pair_count"), F.asc("lhs"), F.asc("rhs"))
+            .limit(top_k)
+            .collect()
+        )
+        if not rows:
+            break
+        ceiling = int(rows[-1].pair_count) if len(rows) == top_k else 0
+        batch = _sequential_equivalent_prefix(
+            [(r.lhs, r.rhs, int(r.pair_count)) for r in rows],
+            ceiling,
+            min(max_batch, n_merges - len(out)),
+        )
+        for lhs, rhs, c in batch:
+            out.append((len(out) + 1, lhs, rhs, c))
+            cur = cur.select(
+                "word", "cnt", merge_pair(F.col("syms"), lhs, rhs).alias("syms")
+            )
+        cur = cur.localCheckpoint()
+        batch_sizes.append(len(batch))
+    if stats is not None:
+        stats["rounds"] = len(batch_sizes)
+        stats["batch_sizes"] = batch_sizes
+    return out
+
+
 def encode_word(word: Column, merges: list[tuple[int, str, str, int]]) -> Column:
     """Apply trained merges to one word (a string Column or lambda
     variable): character split, then each merge's greedy
@@ -278,7 +395,9 @@ def trained_merges(
         if persisted:
             _MERGE_CACHE[key] = sorted(persisted)
     if key not in _MERGE_CACHE:
-        _MERGE_CACHE[key] = bpe_train(docs, n_merges, text_col)
+        # batched trainer: bit-identical to bpe_train (test-pinned),
+        # O(merges/batch) driver rounds instead of one per merge
+        _MERGE_CACHE[key] = bpe_train_batched(docs, n_merges, text_col)
         if store is not None:
             new = spark.createDataFrame(
                 [(mk, *m) for m in _MERGE_CACHE[key]],

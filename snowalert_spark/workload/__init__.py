@@ -246,12 +246,22 @@ LOCAL_ONLY = {
     # whitespace-tokenizer featurizer feeding a map-only scalar
     # projection — the lang-id heuristic keeps its local oracle);
     "text_lang_id",
-    # Round-9 addition beyond the gate cap: bigram-LM quality scores
-    # with stupid backoff (Brants et al. EMNLP 2007) — the context
-    # tier above the declared unigram_logprob_scores sibling (same
-    # bounded-model broadcast + token-keyed partial-agg shape, plus
-    # the capped bigram table). Local DuckDB oracle, bench row.
-    "bigram_logprob_scores",
+    # (bigram_logprob_scores — the r9 addition — was promoted into the
+    # declared gate in the round-10 rotation below.)
+    # Round-10 gate rotation: promote bigram_logprob_scores (the only
+    # r9 family that had just a local oracle) and bpe_encode_128 (the
+    # NEW cross-engine check of the vocab-join encode path above
+    # BPE_FOLD_MAX, whose DuckDB oracle re-derives the entire
+    # 128-round training chain). The two rows demoted to make room
+    # keep their local oracles + plan pins and are each strictly
+    # subsumed by the promoted row: bpe_merges' 6-round training
+    # oracle is the first six rounds of bpe_encode_128's
+    # training-replay chain,
+    "bpe_merges",
+    # ... and bpe_encode_docs' 6-merge vocab-join encode is the same
+    # code path (encode_docs_via_vocab) the 128-merge row drives
+    # through a regime the literal fold cannot even reach.
+    "bpe_encode_docs",
     # multimodal_features ⊂ dedup_image_dhash + dedup_audio_fp
     # (declared; the same Arrow mapInPandas decode stage over the
     # same media projection — the near-dup rows hash the same

@@ -1741,22 +1741,51 @@ def _bpe_apply(d: DataFrame, merges: list, strategy: str = "vocab") -> DataFrame
     )
 
 
-@_q("bpe_encode_1k")
-def bpe_encode_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer application at a production merge count (1024): the
-    vocab-join encode path, which the literal-fold plan cannot reach
-    (expression depth). The merge table is the deterministic
-    frequency-ranked round-0 table (functions/bpe.frequency_ranked_
-    merges — true BPE training is inherently sequential, n driver
-    rounds, so a 1k-merge TRAINED table is out of bench scope; the
-    application semantics are identical either way). No SQL oracle —
-    a 1024-round CTE chain is infeasible to unroll — correctness of
-    the path comes from the fold-vs-vocab equality tests at gate
-    merge counts (test_bpe) plus the driver-green bpe_encode_docs
-    sibling; this row exists for the bench (LOCAL_ONLY)."""
+#: merge count for the cross-engine check ABOVE the fold ceiling —
+#: past BPE_FOLD_MAX (64) so the vocab-join branch is what DuckDB
+#: verifies, small enough that the unrolled 128-round training-replay
+#: CTE chain stays feasible (measured ~18 s at sf0.01)
+BPE_MERGES_128 = 128
+
+
+@_q("bpe_encode_128", _bpe_encode_oracle_sql(BPE_MERGES_128))
+def bpe_encode_128(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize every document with a TRAINED 128-merge BPE table —
+    the cross-engine oracle for the vocab-join encode path in exactly
+    the regime it exists for (above ``BPE_FOLD_MAX``, where the
+    literal fold cannot run and the r9 verdict found no independent
+    engine checking it). The DuckDB oracle re-derives the ENTIRE
+    128-round training chain (pair counts -> best pair -> greedy
+    re-segmentation, per round) and replays encoding through its
+    final segmented vocabulary, so agreement verifies the batched
+    trainer (functions/bpe.bpe_train_batched) AND the vocab-join
+    apply end to end — subsuming the 6-merge bpe_merges /
+    bpe_encode_docs oracles as its first six rounds."""
     from snowalert_spark.functions import bpe as B
 
     d = table(spark, sf_dir, "documents")
-    merges = B.frequency_ranked_merges(d, 1024)
+    merges = B.trained_merges(spark, sf_dir, d, BPE_MERGES_128)
+    assert len(merges) > B.BPE_FOLD_MAX  # must exercise the vocab path
+    return _bpe_apply(d, merges)
+
+
+@_q("bpe_encode_1k")
+def bpe_encode_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer application at a production merge count: 1,024
+    TRAINED merges (r9 item 2 — the batched trainer makes sequential-
+    identical training feasible at this count; previously this row had
+    to substitute the frequency-ranked round-0 table) through the
+    vocab-join encode path, which the literal-fold plan cannot reach
+    (expression depth). No SQL oracle — a 1,024-round CTE chain is
+    infeasible to unroll — but the same trainer + encode path is
+    cross-engine-verified above the fold ceiling by the declared
+    bpe_encode_128 row, and the fold-vs-vocab equality tests (test_bpe)
+    pin the strategy branch; this row exists for the bench
+    (LOCAL_ONLY). On corpora whose vocabulary exhausts before 1,024
+    merges the trainer stops early (still past the fold ceiling)."""
+    from snowalert_spark.functions import bpe as B
+
+    d = table(spark, sf_dir, "documents")
+    merges = B.trained_merges(spark, sf_dir, d, 1024)
     assert len(merges) > B.BPE_FOLD_MAX  # literal path cannot run this
     return _bpe_apply(d, merges)

@@ -23,13 +23,15 @@ def test_registry_stats_single_source_of_truth():
     stats = workload.registry_stats()
     # the numbers quoted in README.md and PARITY.md
     assert stats == {
-        "total": 95,
+        "total": 96,
         "driver_declared": 50,
-        "local_only": 45,
+        "local_only": 46,
         # bpe_encode_1k is the one documented oracle-less row (a
-        # 1024-round CTE chain is infeasible; path-equality tests
-        # pin it instead — see tests/test_local_only_pins.NO_ORACLE_OK)
-        "with_oracle": 94,
+        # 1024-round CTE chain is infeasible; the declared
+        # bpe_encode_128 row cross-engine-checks the same trainer +
+        # vocab-join path above BPE_FOLD_MAX, and the path-equality
+        # tests pin the branch — see test_local_only_pins.NO_ORACLE_OK)
+        "with_oracle": 95,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
     assert stats["local_only"] == len(workload.LOCAL_ONLY)

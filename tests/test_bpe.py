@@ -74,6 +74,96 @@ def test_bpe_train_deterministic_and_monotone(spark):
     assert counts == sorted(counts, reverse=True)
 
 
+def _py_seq_train(word_counts, n_merges):
+    """Plain-python sequential BPE trainer with the engine's exact
+    tie-break ((count DESC, lhs, rhs) — the ground truth the batched
+    trainer must be bit-identical to)."""
+    vocab = [(cnt, list(w)) for w, cnt in word_counts.items()]
+    out = []
+    for rank in range(1, n_merges + 1):
+        counts = {}
+        for cnt, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (lhs, rhs), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        out.append((rank, lhs, rhs, c))
+        vocab = [(cnt, _ref_merge(syms, lhs, rhs)) for cnt, syms in vocab]
+    return out
+
+
+def _py_batched_train(word_counts, n_merges, top_k=None):
+    """The batched trainer's selection loop in plain python, using the
+    engine's _sequential_equivalent_prefix — including the collection
+    truncation (``top_k``) the Spark driver protocol applies."""
+    vocab = [(cnt, list(w)) for w, cnt in word_counts.items()]
+    out = []
+    while len(out) < n_merges:
+        counts = {}
+        for cnt, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        rows = sorted(
+            ((lhs, rhs, c) for (lhs, rhs), c in counts.items()),
+            key=lambda t: (-t[2], t[0], t[1]),
+        )
+        if not rows:
+            break
+        ceiling = 0
+        if top_k is not None and len(rows) > top_k:
+            rows = rows[:top_k]
+            ceiling = rows[-1][2]
+        batch = B._sequential_equivalent_prefix(
+            rows, ceiling, n_merges - len(out)
+        )
+        for lhs, rhs, c in batch:
+            out.append((len(out) + 1, lhs, rhs, c))
+            vocab = [(cnt, _ref_merge(syms, lhs, rhs)) for cnt, syms in vocab]
+    return out
+
+
+def test_batched_selection_matches_sequential_property():
+    """Randomized property check of the batching guard: small
+    alphabets force exactly the hazards the guard exists for —
+    symbol overlap between top pairs, lhs == rhs runs, and merges
+    whose created symbol boosts brand-new pairs above later picks.
+    Truncated collection (top_k) must stay exact too via the
+    uncollected-ceiling bound."""
+    import random
+
+    rng = random.Random(7)
+    for trial in range(300):
+        alphabet = rng.choice(["ab", "abc", "abcd"])
+        words = {
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 8))):
+            rng.randint(1, 9)
+            for _ in range(rng.randint(2, 8))
+        }
+        n = rng.randint(1, 12)
+        seq = _py_seq_train(words, n)
+        for top_k in (None, 2, 3, 5):
+            got = _py_batched_train(words, n, top_k=top_k)
+            assert got == seq, (trial, words, n, top_k, got, seq)
+
+
+def test_bpe_train_batched_identical_on_corpus(spark):
+    """The Spark batched trainer is bit-identical to the sequential
+    trainer at gate merge counts on the real test corpus (the r9
+    verdict's done-criterion for batched training), and reports its
+    round evidence."""
+    from snowalert_spark.tables import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    stats = {}
+    bat = B.bpe_train_batched(d, 24, stats=stats)
+    assert bat == B.bpe_train(d, 24)
+    assert stats["rounds"] < 24  # actually batched, not degenerate
+    assert sum(stats["batch_sizes"]) == len(bat) == 24
+
+
 def test_bpe_encode_parity_with_empty_docs(spark, tmp_path):
     """Zero-word documents (empty / whitespace-only text) must round
     through BOTH formulations identically: the Spark fold emits
