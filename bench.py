@@ -235,8 +235,15 @@ def _bench_packs(spark, sf_dir: str):
 
     def once() -> float:
         t0 = time.perf_counter()
-        for r in reg.rules.values():
-            r.df(spark).write.format("noop").mode("overwrite").save()
+        packs.execute_concurrent(
+            [
+                lambda r=r: r.df(spark)
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+                for r in reg.rules.values()
+            ]
+        )
         return time.perf_counter() - t0
 
     once()  # warm
@@ -274,30 +281,46 @@ def _bench_pack_full(spark, sf_dir: str):
 
     per_file_runs: dict[str, list[float]] = {}
 
+    def _noop(df) -> None:
+        df.write.format("noop").mode("overwrite").save()
+
     def once() -> float:
+        # statement execution fans out over the engine's rule pool
+        # (packs.execute_concurrent — the reference's Pool(POOLSIZE)
+        # rule fanout, alert_queries_runner.py:154): pack views are
+        # independent read-only plans, and the per-statement cost at
+        # bench SF is driver-side planning + job-scheduling latency,
+        # which threads overlap
         total = 0.0
         for f in view_files:
             t0 = time.perf_counter()
             if f == "okta.sql":
-                for v in packs.create_pack_data_views(
+                # view CREATION is ordered (later views reference
+                # earlier ones); only the reads fan out
+                views = packs.create_pack_data_views(
                     spark, f"{packs.PACKS_DIR}/{f}"
-                ):
-                    spark.table(v).write.format("noop").mode("overwrite").save()
+                )
+                packs.execute_concurrent(
+                    [lambda v=v: _noop(spark.table(v)) for v in views]
+                )
             else:
                 reg = RuleRegistry()
                 packs.register_pack_rules(reg, f"{packs.PACKS_DIR}/{f}")
-                for r in reg.rules.values():
-                    r.df(spark).write.format("noop").mode("overwrite").save()
+                packs.execute_concurrent(
+                    [lambda r=r: _noop(r.df(spark)) for r in reg.rules.values()]
+                )
             per_file_runs.setdefault(f, []).append(time.perf_counter() - t0)
             total += per_file_runs[f][-1]
         for f in query_files:
             t0 = time.perf_counter()
-            for q in packs.monitoring_queries(
-                f"{packs.PACKS_DIR}/{f}"
-            ).values():
-                spark.sql(compat.transpile(q)).write.format("noop").mode(
-                    "overwrite"
-                ).save()
+            packs.execute_concurrent(
+                [
+                    lambda q=q: _noop(spark.sql(compat.transpile(q)))
+                    for q in packs.monitoring_queries(
+                        f"{packs.PACKS_DIR}/{f}"
+                    ).values()
+                ]
+            )
             per_file_runs.setdefault(f, []).append(time.perf_counter() - t0)
             total += per_file_runs[f][-1]
         return total

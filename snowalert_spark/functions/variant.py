@@ -140,7 +140,14 @@ def register_sql_functions(spark) -> None:
     bodies keep their ``f.path`` / ``f.value`` references. Arrow-batched
     pandas UDF (never row-at-a-time): JSON recursion is not expressible
     with built-in operators, and per-batch Python keeps the walk off
-    the driver and parallel per partition at scale."""
+    the driver and parallel per partition at scale.
+
+    Idempotent and memoized per session: every ``Rule.df`` call routes
+    through here, and re-wrapping + re-registering the pandas UDF is a
+    measurable per-statement cost in a 92-view pack sweep (r9 verdict
+    item 5)."""
+    if getattr(spark, "_sa_sql_functions_registered", False):
+        return
     from pyspark.sql.functions import pandas_udf
 
     # hint-free form: module-wide `from __future__ import annotations`
@@ -150,6 +157,7 @@ def register_sql_functions(spark) -> None:
         "array<struct<key:string,path:string,index:int,value:string>>",
     )
     spark.udf.register("sa_rflatten", sa_rflatten)
+    spark._sa_sql_functions_registered = True
 
 
 def object_assign(a_json: Column, b_json: Column) -> Column:

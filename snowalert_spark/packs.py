@@ -39,6 +39,30 @@ from snowalert_spark.rules import RuleRegistry
 
 PACKS_DIR = os.environ.get("SNOWALERT_PACKS_DIR", "/root/reference/packs")
 
+#: reference parity: alert_queries_runner.py:154 fans rules out over a
+#: Pool(POOLSIZE) (config.py:7, default 4). Under Spark one JVM
+#: scheduler serves every job, so THREADS (not processes) overlap the
+#: per-statement driver-side planning + job-scheduling latency that
+#: dominates small-view sweeps; default sized for a 92-statement sweep
+#: on local[32].
+POOLSIZE = int(os.environ.get("SNOWALERT_POOLSIZE", "8"))
+
+
+def execute_concurrent(thunks, workers: int | None = None) -> list:
+    """Run independent read-only Spark actions concurrently on the
+    shared session and return their results in input order — the
+    engine's analog of the reference's rule-fanout pool. Only for
+    statements with no cross-dependencies and no shared-table writes
+    (the alert/violation runners stay sequential: their CAS upserts
+    target one results table). Exceptions propagate to the caller."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    n = workers or POOLSIZE
+    if n <= 1 or len(thunks) <= 1:
+        return [t() for t in thunks]
+    with ThreadPoolExecutor(max_workers=n) as ex:
+        return list(ex.map(lambda t: t(), thunks))
+
 PACK_FILES = (
     "cis_aws_pack.sql",
     "cis_azure_pack.sql",

@@ -878,7 +878,14 @@ def land_batches(spark, batches: Iterator[tuple[str, list[dict]]]):
             else:
                 t = T.StringType()
             fields.append(T.StructField(c, t))
-        df = spark.createDataFrame(data, T.StructType(fields))
+        # inventory-snapshot layout: a handful of CACHED partitions,
+        # not 32 near-empty ones re-parallelized per consumer (see
+        # collect.land_entries)
+        df = (
+            spark.createDataFrame(data, T.StructType(fields))
+            .repartition(max(1, len(data) // 5000 + 1))
+            .cache()
+        )
         for view in (landing_table(kind), f"azure_collect_{kind}"):
             df.createOrReplaceTempView(view)
         out[landing_table(kind)] = df

@@ -114,8 +114,12 @@ def synth_misc_landings(spark, n: int = 200) -> list[str]:
     rows each."""
     out = []
     for name, schema in MISC_LANDINGS:
-        spark.createDataFrame(_generic_rows(schema, n), schema
-                              ).createOrReplaceTempView(name)
+        # small-table layout (see collect.land_entries): one cached
+        # block, not defaultParallelism near-empty partitions
+        # re-parallelized by each of the 92 consuming statements
+        spark.createDataFrame(_generic_rows(schema, n), schema).repartition(
+            max(1, n // 5000 + 1)
+        ).cache().createOrReplaceTempView(name)
         out.append(name)
     return out
 
