@@ -93,40 +93,78 @@ HEADLINE = [
 CALIBRATION_SPEC = "range30m_hashagg_sort_v1"
 
 
-def _calibration_run(spark) -> list[float]:
-    """A frozen, repo-independent workload (Spark built-ins over
-    spark.range — no parquet, no snowalert_spark code) timed with the
-    same warm-up + 3-run protocol as the headline rows. Cross-round
-    bench artifacts divide by its median to cancel host drift (the
-    r6->r8 cross-round comparisons moved +/-50% on identical code;
-    BENCH_AB_r08.json proved it was the host, not the tree). The same
-    job runs at bench START and END so within-run drift is visible
-    too."""
+def _calibration_once(spark) -> float:
+    """One run of the frozen, repo-independent calibration job (Spark
+    built-ins over spark.range — no parquet, no snowalert_spark code).
+    Cross-round bench artifacts divide by the sweep's calibration
+    floor to cancel host drift (the r6->r8 cross-round comparisons
+    moved +/-50% on identical code; BENCH_AB_r08.json proved it was
+    the host, not the tree)."""
     from pyspark.sql import functions as F
 
-    def once() -> float:
-        t0 = time.perf_counter()
-        df = (
-            spark.range(30_000_000)
-            .select(
-                (F.col("id") % 99991).alias("k"),
-                (F.col("id") * 2654435761 % 1000003).alias("v"),
-                F.md5(F.col("id").cast("string")).alias("h"),
-            )
-            .groupBy("k")
-            .agg(
-                F.sum("v").alias("sv"),
-                F.count(F.lit(1)).alias("n"),
-                F.min("h").alias("mh"),
-            )
-            .orderBy(F.desc("sv"))
-            .limit(1000)
+    t0 = time.perf_counter()
+    df = (
+        spark.range(30_000_000)
+        .select(
+            (F.col("id") % 99991).alias("k"),
+            (F.col("id") * 2654435761 % 1000003).alias("v"),
+            F.md5(F.col("id").cast("string")).alias("h"),
         )
-        df.write.format("noop").mode("overwrite").save()
-        return time.perf_counter() - t0
+        .groupBy("k")
+        .agg(
+            F.sum("v").alias("sv"),
+            F.count(F.lit(1)).alias("n"),
+            F.min("h").alias("mh"),
+        )
+        .orderBy(F.desc("sv"))
+        .limit(1000)
+    )
+    df.write.format("noop").mode("overwrite").save()
+    return round(time.perf_counter() - t0, 4)
 
-    once()  # warm
-    return [round(once(), 4) for _ in range(3)]
+
+class _Calibration:
+    """INTERLEAVED calibration sampling (r9 verdict item 4: the
+    start/end bracket design let one 14.8 s host-noise outlier sit
+    next to a 1.45 s floor). One calibration run executes after every
+    ~len/8 measured queries, so samples ride the same host conditions
+    as the queries they normalize; the artifact reports every sample
+    with its position plus dispersion, and the divisor is the MIN (a
+    floor estimator — host-noise outliers are always slow, never
+    fast)."""
+
+    def __init__(self, spark, n_queries: int):
+        self.spark = spark
+        self.samples: list[float] = []
+        self.positions: list[int] = []
+        self.every = max(1, (n_queries or 1) // 8)
+        self._since = 0
+        _calibration_once(spark)  # warm (codegen), discarded
+        self.sample(0)
+
+    def sample(self, position: int) -> None:
+        self.samples.append(_calibration_once(self.spark))
+        self.positions.append(position)
+
+    def tick(self, position: int) -> None:
+        """Called after each measured query; samples every Nth."""
+        self._since += 1
+        if self._since >= self.every:
+            self._since = 0
+            self.sample(position)
+
+    def report(self) -> dict:
+        floor = min(self.samples)
+        srt = sorted(self.samples)
+        return {
+            "spec": CALIBRATION_SPEC,
+            "design": "interleaved (1 sample per ~len/8 queries)",
+            "samples": self.samples,
+            "positions": self.positions,
+            "floor": floor,
+            "median": srt[len(srt) // 2],
+            "dispersion_max_over_min": round(max(self.samples) / floor, 3),
+        }
 
 
 def _bench_pipeline(spark, sf_dir: str) -> float:
@@ -354,8 +392,9 @@ def main() -> None:
     runs: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
 
-    # host-drift calibration bracket (start half) — see _calibration_run
-    cal_start = _calibration_run(spark)
+    # host-drift calibration, interleaved through the sweep — see
+    # _Calibration (r9 item 4)
+    cal = _Calibration(spark, len(names))
 
     def record(name, thunk) -> None:
         """One broken query must yield an err row, not zero the whole
@@ -368,6 +407,7 @@ def main() -> None:
             return
         runs[name] = rs
         timings[name] = rs[len(rs) // 2]  # median
+        cal.tick(len(timings))
 
     # measured runs per query (median reported). Default 3; the heavy
     # scale sidecars (sf10/sf30, where single runs take minutes) may
@@ -412,12 +452,8 @@ def main() -> None:
         if _wanted("pack_full_sweep"):
             record("pack_full_sweep", lambda: _bench_pack_full(spark, sf_dir))
 
-    cal_end = _calibration_run(spark)
-    # min of the 6 bracketing runs: the noise-floor estimator — the
-    # start bracket can still carry session warm-up (first-ever run
-    # measured 78s vs the 1.4s steady state), and a calibration
-    # DIVISOR must be robust to that, not averaged into it
-    cal_floor = min(cal_start + cal_end)
+    cal.sample(len(timings))  # closing sample
+    cal_report = cal.report()
     total = round(sum(timings.values()), 4)
     out = {
         "metric": "headline_queries_total",
@@ -426,17 +462,13 @@ def main() -> None:
         "queries": timings,
         "runs": runs,
         "sf": sf,
-        # frozen-spec calibration job timed before and after the
-        # sweep: compare rounds via value_normalized (= value /
-        # cal_floor) or per-query t / cal_floor — host drift cancels
-        # because the calibration drifts with it
-        "calibration": {
-            "spec": CALIBRATION_SPEC,
-            "start_runs": cal_start,
-            "end_runs": cal_end,
-            "floor": cal_floor,
-        },
-        "value_normalized": round(total / cal_floor, 3),
+        # frozen-spec calibration job sampled INTERLEAVED through the
+        # sweep: compare rounds via value_normalized (= value / floor)
+        # or per-query t / floor — host drift cancels because the
+        # calibration drifts with it, and the per-position samples
+        # localize any mid-sweep noise burst
+        "calibration": cal_report,
+        "value_normalized": round(total / cal_report["floor"], 3),
     }
     if PACK_DETAIL:
         out["pack_detail"] = dict(sorted(PACK_DETAIL.items()))

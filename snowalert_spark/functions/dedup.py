@@ -579,49 +579,18 @@ def hamming_block_schedule(n: int, ham_t: int = 3) -> tuple[int, int]:
     return (8, 5)
 
 
-def hamming_pairs_multiblock(
-    hashed8: DataFrame,
-    threshold: int,
-    blocks: int | None = None,
-    combo: int | None = None,
-    id_col: str = "media_id",
+def multiblock_key_rows(
+    hashed_bd: DataFrame, blocks: int, combo: int, id_col: str = "media_id"
 ) -> DataFrame:
-    """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
-    ``band_0..band_7`` (+ ``id_col``): candidate pairs share one of
-    the C(blocks, combo) composite block keys (an equi-join on
-    (combo_id, key) — ids + one long per row, never a product join,
-    payloads never shuffle), then exact popcount over the 8 hash
-    bytes verifies ``hamming <= threshold``. Recall is exact by
-    pigeonhole whenever ``blocks - combo >= threshold``; the
-    (blocks, combo) choice only trades candidate volume and defaults
-    to :func:`hamming_block_schedule` sized on the hash-row count.
-    Shared by the image-dHash, audio-fingerprint, and video
-    frame-hash tiers so the candidate/verify shape can't diverge
-    between siblings.
-
-    The hash table is localCheckpoint-materialized first: it has
-    FOUR consumers (both candidate sides + both verify join-backs),
-    and without the cut each re-runs the Arrow decode/hash stage —
-    at 9 bytes per row the materialization is ~0.1% of the media
-    bytes, the standard fingerprint-table shape at 100 TB. The
-    count() that sizes the schedule then reads the checkpoint, not
-    the corpus."""
+    """``(id_col, ci int, kv long)`` — one row per C(blocks, combo)
+    composite key of the 64-bit hash carried as the 8-byte array
+    column ``bd``. The Manku composite-key generator shared by the
+    batch candidate engine (:func:`hamming_pairs_multiblock`) and the
+    streaming media tier (whose persisted state IS these key rows, so
+    buckets computed in different micro-batches or sessions collide
+    exactly like same-session ones)."""
     import itertools
 
-    if (blocks is None) != (combo is None):
-        raise ValueError("pass both blocks and combo, or neither")
-    if blocks is not None:
-        if blocks - combo < threshold:
-            raise ValueError(
-                f"(blocks={blocks}, combo={combo}) loses recall at "
-                f"hamming {threshold}: need blocks - combo >= threshold"
-            )
-        if blocks not in _BLOCK_SLOT_BITS:
-            raise ValueError(f"unsupported block count {blocks}")
-    bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
-    hashed = hashed8.select(id_col, bd.alias("bd")).localCheckpoint()
-    if blocks is None:
-        blocks, combo = hamming_block_schedule(hashed.count(), threshold)
     byte = [F.col("bd")[i].cast("long") for i in range(8)]
     hi = ((byte[0] * 256 + byte[1]) * 256 + byte[2]) * 256 + byte[3]
     lo = ((byte[4] * 256 + byte[5]) * 256 + byte[6]) * 256 + byte[7]
@@ -651,9 +620,64 @@ def hamming_pairs_multiblock(
         for i in sel:
             key = F.shiftleft(key, slot) + blk[i]
         keys.append(key)
-    sides = hashed.select(
+    return hashed_bd.select(
         id_col, F.posexplode(F.array(*keys)).alias("ci", "kv")
     )
+
+
+def hamming_bd(a: str | Column, b: str | Column) -> Column:
+    """Exact hamming distance between two 64-bit hashes carried as
+    8-byte array columns (the multi-block engine's verify expression)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("int")
+
+
+def hamming_pairs_multiblock(
+    hashed8: DataFrame,
+    threshold: int,
+    blocks: int | None = None,
+    combo: int | None = None,
+    id_col: str = "media_id",
+    stats: dict | None = None,
+) -> DataFrame:
+    """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
+    ``band_0..band_7`` (+ ``id_col``): candidate pairs share one of
+    the C(blocks, combo) composite block keys (an equi-join on
+    (combo_id, key) — ids + one long per row, never a product join,
+    payloads never shuffle), then exact popcount over the 8 hash
+    bytes verifies ``hamming <= threshold``. Recall is exact by
+    pigeonhole whenever ``blocks - combo >= threshold``; the
+    (blocks, combo) choice only trades candidate volume and defaults
+    to :func:`hamming_block_schedule` sized on the hash-row count.
+    Shared by the image-dHash, audio-fingerprint, and video
+    frame-hash tiers so the candidate/verify shape can't diverge
+    between siblings.
+
+    The hash table is localCheckpoint-materialized first: it has
+    FOUR consumers (both candidate sides + both verify join-backs),
+    and without the cut each re-runs the Arrow decode/hash stage —
+    at 9 bytes per row the materialization is ~0.1% of the media
+    bytes, the standard fingerprint-table shape at 100 TB. The
+    count() that sizes the schedule then reads the checkpoint, not
+    the corpus."""
+    if (blocks is None) != (combo is None):
+        raise ValueError("pass both blocks and combo, or neither")
+    if blocks is not None:
+        if blocks - combo < threshold:
+            raise ValueError(
+                f"(blocks={blocks}, combo={combo}) loses recall at "
+                f"hamming {threshold}: need blocks - combo >= threshold"
+            )
+        if blocks not in _BLOCK_SLOT_BITS:
+            raise ValueError(f"unsupported block count {blocks}")
+    bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
+    hashed = hashed8.select(id_col, bd.alias("bd")).localCheckpoint()
+    if blocks is None:
+        blocks, combo = hamming_block_schedule(hashed.count(), threshold)
+    sides = multiblock_key_rows(hashed, blocks, combo, id_col)
     cand = (
         sides.alias("a")
         .join(
@@ -668,11 +692,13 @@ def hamming_pairs_multiblock(
         )
         .distinct()
     )
-    ham = F.aggregate(
-        F.zip_with("ba", "bb", lambda x, y: F.bit_count(x.bitwiseXOR(y))),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    ).cast("int")
+    if stats is not None:
+        # probe instrumentation (scale sidecars): shape + candidate
+        # volume — the count is an EXTRA action, only paid when asked
+        stats["shape"] = (blocks, combo)
+        stats["n_rows"] = hashed.count()
+        stats["candidates"] = cand.count()
+    ham = hamming_bd("ba", "bb")
     return (
         cand.join(hashed.select(F.col(id_col), F.col("bd").alias("ba")), id_col)
         .join(

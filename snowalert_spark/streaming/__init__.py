@@ -566,6 +566,164 @@ def neardup_embedding_stream_ingest(
     q.awaitTermination()
 
 
+def neardup_media_stream_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    state_dir: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    threshold: int = 3,
+    blocks: int = 6,
+    combo: int = 3,
+    retention_batches: int | None = None,
+    id_col: str = "media_id",
+    fingerprint=None,
+) -> None:
+    """Streaming MEDIA near-dup ingest — the perceptual-hash arm of
+    :func:`neardup_stream_ingest` (text) / :func:`neardup_embedding_
+    stream_ingest` (vectors), completing the incremental tier for all
+    three modalities. Each arriving file's media rows are dropped when
+    their 64-bit perceptual hash is within hamming ``threshold`` of
+    anything already ingested; candidates come from the multi-block
+    composite keys (``dedup.multiblock_key_rows`` — the Manku WWW'07
+    engine the batch tiers share), which are deterministic, so buckets
+    computed in different micro-batches or sessions collide exactly
+    like same-session ones.
+
+    ``fingerprint`` maps a micro-batch DataFrame to ``(id_col,
+    band_0..band_7)`` rows; default = the image dHash over the
+    synthetic-parity decode (``multimodal.image_dhash(df, 'fake')``) —
+    pass e.g. ``lambda b: multimodal.audio_fingerprint(b, 'real')``
+    for other modalities. The (blocks, combo) shape is FIXED per
+    stream (state holds key rows, so the shape cannot auto-reschedule
+    mid-stream); the (6,3) default holds chance candidates O(n) to
+    ~10^8 rows — start a fresh state dir at (8,5) beyond that.
+
+    Mechanics per micro-batch (``foreachBatch``):
+
+    1. in-batch pass: multi-block candidate/verify pairs inside the
+       batch keep the smaller ``id_col`` per verified pair;
+    2. batch-vs-state: the batch's key rows equi-join the persisted
+       base keys on (ci, kv) — the accumulated corpus is NEVER
+       re-hashed or all-paired — then candidates popcount-verify
+       against the persisted base hash bytes; matches are dropped;
+    3. survivors publish to ``dst_path``; their hash rows + key rows
+       land in the state stores.
+
+    Retention, crash safety, and state layout follow the other two
+    tiers exactly: ``retention_batches=N`` counts the current batch
+    (N=1 = in-batch dedup only), every sink is a per-batch
+    ``batch_id={b}`` overwrite directory (idempotent under replay),
+    expired state dirs are deleted whole. 100 TB shape: state is
+    (id, 8 bytes) + C(blocks,combo) longs per row — payloads never
+    enter the stream's state or shuffles."""
+    from snowalert_spark.functions import multimodal as MM
+    from snowalert_spark.functions.dedup import (
+        hamming_bd,
+        hamming_pairs_multiblock,
+        multiblock_key_rows,
+    )
+
+    if blocks - combo < threshold:
+        raise ValueError(
+            f"(blocks={blocks}, combo={combo}) loses recall at "
+            f"hamming {threshold}: need blocks - combo >= threshold"
+        )
+    if fingerprint is None:
+        fingerprint = lambda b: MM.image_dhash(b, decode="fake")  # noqa: E731
+
+    hash_dir = os.path.join(state_dir, "base_hashes")
+    key_dir = os.path.join(state_dir, "base_keys")
+    hash_schema = f"{id_col} long, bd array<int>, batch_id long"
+    key_schema = f"{id_col} long, ci int, kv long, batch_id long"
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        cached = [batch.cache()]
+        batch = cached[0]
+        hashed = fingerprint(batch).select(
+            id_col,
+            F.array(*[F.col(f"band_{r}") for r in range(8)]).alias("bd"),
+        ).localCheckpoint()  # hash once: 3 consumers below
+
+        # -- 1. in-batch near-dup: keep the smaller id per pair ----------
+        eight = hashed.select(
+            id_col, *[F.col("bd")[r].alias(f"band_{r}") for r in range(8)]
+        )
+        near = (
+            hamming_pairs_multiblock(
+                eight, threshold, blocks=blocks, combo=combo, id_col=id_col
+            )
+            .select(F.col("dup_of").alias(id_col))
+            .distinct()
+        )
+        keep = batch.join(near, id_col, "left_anti").cache()
+        cached.append(keep)
+        keep_h = hashed.join(near, id_col, "left_anti")
+
+        # -- 2. batch vs accumulated state -------------------------------
+        base_h = _read_batched_state(
+            spark, hash_dir, hash_schema, batch_id, retention_batches
+        )
+        base_k = _read_batched_state(
+            spark, key_dir, key_schema, batch_id, retention_batches
+        )
+        bk = multiblock_key_rows(keep_h, blocks, combo, id_col)
+        cands = (
+            bk.alias("a")
+            .join(
+                base_k.alias("b"),
+                (F.col("a.ci") == F.col("b.ci"))
+                & (F.col("a.kv") == F.col("b.kv")),
+            )
+            .select(
+                F.col(f"a.{id_col}").alias(id_col),
+                F.col(f"b.{id_col}").alias("dup_of"),
+            )
+            .distinct()
+        )
+        dups = (
+            cands.join(
+                keep_h.select(id_col, F.col("bd").alias("ba")), id_col
+            )
+            .join(
+                base_h.select(
+                    F.col(id_col).alias("dup_of"), F.col("bd").alias("bb")
+                ),
+                "dup_of",
+            )
+            .filter(hamming_bd("ba", "bb") <= threshold)
+            .select(id_col)
+            .distinct()
+        )
+        survivors = keep.join(dups, id_col, "left_anti").cache()
+        cached.append(survivors)
+
+        # -- 3. publish survivors + their state (per-batch overwrite) ----
+        survivors.write.mode("overwrite").parquet(_batch_dir(dst_path, batch_id))
+        surv_h = hashed.join(survivors.select(id_col), id_col, "left_semi")
+        surv_h.write.mode("overwrite").parquet(_batch_dir(hash_dir, batch_id))
+        multiblock_key_rows(surv_h, blocks, combo, id_col).write.mode(
+            "overwrite"
+        ).parquet(_batch_dir(key_dir, batch_id))
+        if retention_batches is not None:
+            _compact_expired_state((hash_dir, key_dir), batch_id, retention_batches)
+        for df in cached:
+            df.unpersist()
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(src_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def file_stream_ingest(
     spark: SparkSession,
     src_path: str,
