@@ -1,0 +1,68 @@
+"""Training-evidence sidecar for the batched BPE trainer (r9 verdict
+item 2): train a production-merge-budget table on the sf0.1 corpus
+with bpe_train_batched, record wall / driver rounds / batch sizes,
+and run the sequential trainer on the same corpus for an honest
+speedup figure plus a bit-identity assertion over the full table.
+
+Note the synthetic corpus has a 31-word vocabulary, so training
+EXHAUSTS at ~89 merges (every word becomes one symbol) — the merge
+budget is what's requested; the trained count is what the corpus
+supports. Batch sizes on this corpus are small (top pairs share
+letters constantly in a 31-word world); richer vocabularies batch
+wider — the property tests cover the guard's correctness either way.
+
+Usage: python tools/probe_bpe_train.py SF_DIR OUT.json [budget]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from snowalert_spark.functions import bpe as B
+from snowalert_spark.session import get_session
+from snowalert_spark.tables import table
+
+
+def main(sf_dir: str, out_path: str, budget: int = 1024) -> None:
+    spark = get_session(app_name="probe_bpe_train")
+    d = table(spark, sf_dir, "documents")
+
+    stats: dict = {}
+    t0 = time.perf_counter()
+    batched = B.bpe_train_batched(d, budget, stats=stats)
+    wall_batched = round(time.perf_counter() - t0, 1)
+
+    t0 = time.perf_counter()
+    seq = B.bpe_train(d, len(batched))  # same trained count
+    wall_seq = round(time.perf_counter() - t0, 1)
+
+    doc = {
+        "sf_dir": sf_dir,
+        "merge_budget": budget,
+        "merges_trained": len(batched),
+        "vocabulary_exhausted": len(batched) < budget,
+        "batched": {
+            "wall_s": wall_batched,
+            "driver_rounds": stats["rounds"],
+            "mean_batch": round(
+                sum(stats["batch_sizes"]) / len(stats["batch_sizes"]), 2
+            ),
+            "max_batch": max(stats["batch_sizes"]),
+        },
+        "sequential": {"wall_s": wall_seq, "driver_rounds": len(seq)},
+        "bit_identical": batched == seq,
+        "speedup": round(wall_seq / wall_batched, 2),
+    }
+    assert doc["bit_identical"], "batched trainer diverged from sequential"
+    print(json.dumps(doc))
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=1)
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], *(int(a) for a in sys.argv[3:]))

@@ -71,7 +71,7 @@ def probe_tier(spark, name: str, hashed8, threshold: int) -> dict:
     return out
 
 
-def main(sf_dir: str, out_path: str) -> None:
+def main(sf_dir: str, out_path: str, which: str = "image,video") -> None:
     from snowalert_spark.workload.scalar import (
         _media_with_variants,
         _video_media_with_variants,
@@ -80,24 +80,23 @@ def main(sf_dir: str, out_path: str) -> None:
     spark = get_session(app_name="probe_media_shapes")
     tiers = []
 
-    img = M.image_dhash(
-        _media_with_variants.__wrapped__(spark, sf_dir)
-        if hasattr(_media_with_variants, "__wrapped__")
-        else _media_with_variants(spark, sf_dir),
-        decode="fake",
-    )
-    tiers.append(probe_tier(spark, "image_dhash", img, 3))
+    if "image" in which:
+        img = M.image_dhash(_media_with_variants(spark, sf_dir), decode="fake")
+        tiers.append(probe_tier(spark, "image_dhash", img, 3))
 
-    fh = M.video_framehash(
-        _video_media_with_variants(spark, sf_dir), decode="fake"
-    )
-    packed = fh.select(
-        (F.col("media_id") * M.VIDEO_FRAMES + F.col("frame_no")).alias(
-            "media_id"
-        ),
-        *[F.col(f"band_{r}") for r in range(8)],
-    )
-    tiers.append(probe_tier(spark, "video_framehash_packed", packed, M.AFP_HAM_T))
+    if "video" in which:
+        fh = M.video_framehash(
+            _video_media_with_variants(spark, sf_dir), decode="fake"
+        )
+        packed = fh.select(
+            (F.col("media_id") * M.VIDEO_FRAMES + F.col("frame_no")).alias(
+                "media_id"
+            ),
+            *[F.col(f"band_{r}") for r in range(8)],
+        )
+        tiers.append(
+            probe_tier(spark, "video_framehash_packed", packed, M.AFP_HAM_T)
+        )
 
     doc = {"sf_dir": sf_dir, "tiers": tiers}
     print(json.dumps(doc))
@@ -106,4 +105,4 @@ def main(sf_dir: str, out_path: str) -> None:
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2])
+    main(*sys.argv[1:])
