@@ -662,7 +662,23 @@ def hamming_pairs_multiblock(
     at 9 bytes per row the materialization is ~0.1% of the media
     bytes, the standard fingerprint-table shape at 100 TB. The
     count() that sizes the schedule then reads the checkpoint, not
-    the corpus."""
+    the corpus.
+
+    EXACT-COLLAPSE pre-pass (r10): the candidate/verify engine runs
+    over DISTINCT hash values (one representative per exact-duplicate
+    class — min id), and member pairs expand afterwards: every
+    in-class pair is hamming 0, every cross-class member pair shares
+    its reps' hamming, so the output is bit-identical to the naive
+    formulation. This is what makes the engine survive re-upload-
+    heavy corpora: measured at the sf10 video tier, 733k frame rows
+    collapse to 311k distinct hashes with one 7,469-member class —
+    naively that class alone puts C(7469,2) x C(blocks,combo)
+    (~0.6-1.6 BILLION) rows through the candidate distinct exchange
+    and fills a 74 GB disk; collapsed, it is ONE row in the join and
+    the 424M genuine in-class pairs stream straight from the
+    expansion join to the consumer with no distinct at all. The
+    schedule is sized on distinct hashes (the collision-bearing
+    count)."""
     if (blocks is None) != (combo is None):
         raise ValueError("pass both blocks and combo, or neither")
     if blocks is not None:
@@ -675,9 +691,15 @@ def hamming_pairs_multiblock(
             raise ValueError(f"unsupported block count {blocks}")
     bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
     hashed = hashed8.select(id_col, bd.alias("bd")).localCheckpoint()
+    # exact-duplicate classes: rep = min id per distinct hash value
+    classes = hashed.groupBy("bd").agg(F.min(id_col).alias("_rep"))
+    reps = classes.select(F.col("_rep").alias(id_col), "bd").localCheckpoint()
+    members = hashed.join(classes, "bd").select(
+        "_rep", F.col(id_col).alias("_member")
+    )
     if blocks is None:
-        blocks, combo = hamming_block_schedule(hashed.count(), threshold)
-    sides = multiblock_key_rows(hashed, blocks, combo, id_col)
+        blocks, combo = hamming_block_schedule(reps.count(), threshold)
+    sides = multiblock_key_rows(reps, blocks, combo, id_col)
     cand = (
         sides.alias("a")
         .join(
@@ -694,23 +716,45 @@ def hamming_pairs_multiblock(
     )
     if stats is not None:
         # probe instrumentation (scale sidecars): shape + candidate
-        # volume — the count is an EXTRA action, only paid when asked
+        # volume — the counts are EXTRA actions, only paid when asked
         stats["shape"] = (blocks, combo)
         stats["n_rows"] = hashed.count()
+        stats["n_distinct_hashes"] = reps.count()
         stats["candidates"] = cand.count()
     ham = hamming_bd("ba", "bb")
-    return (
-        cand.join(hashed.select(F.col(id_col), F.col("bd").alias("ba")), id_col)
+    rep_pairs = (
+        cand.join(reps.select(F.col(id_col), F.col("bd").alias("ba")), id_col)
         .join(
-            hashed.select(
-                F.col(id_col).alias("dup_of"), F.col("bd").alias("bb")
-            ),
+            reps.select(F.col(id_col).alias("dup_of"), F.col("bd").alias("bb")),
             "dup_of",
         )
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= threshold)
         .select(id_col, "dup_of", "hamming")
     )
+    # expansion: in-class pairs (hamming 0) + cross-class member pairs
+    # (each inherits its reps' hamming) — pure equi-joins streaming to
+    # the consumer, no distinct (member pairs are disjoint by class)
+    mx, my = members.alias("mx"), members.alias("my")
+    inclass = mx.join(
+        my,
+        (F.col("mx._rep") == F.col("my._rep"))
+        & (F.col("mx._member") < F.col("my._member")),
+    ).select(
+        F.col("mx._member").alias(id_col),
+        F.col("my._member").alias("dup_of"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    cross = (
+        rep_pairs.join(mx, rep_pairs[id_col] == F.col("mx._rep"))
+        .join(my, F.col("dup_of") == F.col("my._rep"))
+        .select(
+            F.least("mx._member", "my._member").alias(id_col),
+            F.greatest("mx._member", "my._member").alias("dup_of"),
+            "hamming",
+        )
+    )
+    return inclass.unionByName(cross)
 
 
 #: Verified-duplicate edge lists at or below this many (symmetrized)

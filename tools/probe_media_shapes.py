@@ -44,27 +44,58 @@ def _checksum(pairs):
     return int(row["n"]), int(row["h"] or 0)
 
 
+def _key_match_volume(spark, hashed, blocks, combo, id_col="media_id"):
+    """Pre-distinct candidate volume — sum of C(m,2) over the (ci,kv)
+    buckets — i.e. the rows the candidate join's distinct exchange
+    must carry. One cheap aggregation over the key rows (no join):
+    this, not the post-distinct count, is the shape's scale cost, and
+    computing it this way avoids re-running the full pair join (whose
+    shuffle spill at sf10 video is tens of GB per run)."""
+    sides = DD.multiblock_key_rows(hashed, blocks, combo, id_col)
+    row = (
+        sides.groupBy("ci", "kv")
+        .count()
+        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("v"))
+        .collect()[0]
+    )
+    return int(row["v"] or 0)
+
+
 def probe_tier(spark, name: str, hashed8, threshold: int) -> dict:
-    hashed = hashed8.localCheckpoint()  # identical input to every shape
+    import gc
+
+    bd = F.array(*[F.col(f"band_{r}") for r in range(8)])
+    hashed = hashed8.select(
+        "media_id", bd.alias("bd")
+    ).localCheckpoint()  # identical input to every shape
     out = {"tier": name, "n_hash_rows": hashed.count(), "shapes": {}}
     sums = {}
     for blocks, combo in SHAPES:
+        eight = hashed.select(
+            "media_id", *[F.col("bd")[r].alias(f"band_{r}") for r in range(8)]
+        )
+        stats: dict = {}
         t0 = time.perf_counter()
         pairs = DD.hamming_pairs_multiblock(
-            hashed, threshold, blocks=blocks, combo=combo
+            eight, threshold, blocks=blocks, combo=combo, stats=stats
         )
         n, h = _checksum(pairs)
         wall = round(time.perf_counter() - t0, 2)
-        stats = {}
-        DD.hamming_pairs_multiblock(
-            hashed, threshold, blocks=blocks, combo=combo, stats=stats
-        )
         out["shapes"][f"({blocks},{combo})"] = {
             "wall_s": wall,
             "pairs": n,
-            "candidates": stats["candidates"],
+            "rep_candidates": stats["candidates"],
         }
+        out["n_distinct_hashes"] = stats["n_distinct_hashes"]
         sums[(blocks, combo)] = (n, h)
+        # release the run's shuffle files before the next shape: the
+        # ContextCleaner frees them when the JVM-side RDDs are GC'd —
+        # without this, back-to-back sf10 video runs stack >70 GB of
+        # dead spill and fill the disk
+        del pairs, eight
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        time.sleep(5)
     vals = set(sums.values())
     out["outputs_identical"] = len(vals) == 1
     assert out["outputs_identical"], f"{name}: shape outputs diverged {sums}"
