@@ -219,6 +219,87 @@ def bpe_train_batched(
     return out
 
 
+#: driver-local training budget: the word-frequency table collects
+#: when it has at most this many distinct words AND the total
+#: per-round work (symbols x merges) stays bounded — the standard
+#: fast-BPE design (every production trainer operates on an in-memory
+#: word-count table); corpora past the budget take the distributed
+#: batched rounds.
+LOCAL_VOCAB_MAX_WORDS = 65536
+LOCAL_TRAIN_MAX_OPS = 200_000_000
+
+
+def _merge_greedy_local(syms: list[str], lhs: str, rhs: str) -> list[str]:
+    """Plain-python greedy left-to-right merge — the reference
+    semantics of :func:`merge_pair` (pinned equal by test_bpe)."""
+    out, i, n = [], 0, len(syms)
+    while i < n:
+        if i + 1 < n and syms[i] == lhs and syms[i + 1] == rhs:
+            out.append(lhs + rhs)
+            i += 2
+        else:
+            out.append(syms[i])
+            i += 1
+    return out
+
+
+def bpe_train_local(
+    word_counts: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, int]]:
+    """Sequential BPE training over an in-memory (word, count) table —
+    bit-identical to :func:`bpe_train` (same greedy re-segmentation,
+    same (count DESC, lhs, rhs) tie-break), at in-memory speed. This
+    is how production tokenizer trainers work: the corpus collapses to
+    word frequencies once, and training never touches the corpus
+    again; here the collapse is the distributed ``word_freqs``
+    aggregate and the table collects under a documented driver budget
+    (:data:`LOCAL_VOCAB_MAX_WORDS`)."""
+    vocab = [(cnt, list(w)) for w, cnt in word_counts]
+    out: list[tuple[int, str, str, int]] = []
+    for rank in range(1, n_merges + 1):
+        counts: dict[tuple[str, str], int] = {}
+        for cnt, syms in vocab:
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + cnt
+        if not counts:
+            break
+        (lhs, rhs), c = min(
+            counts.items(), key=lambda kv: (-kv[1], kv[0])
+        )
+        out.append((rank, lhs, rhs, c))
+        vocab = [
+            (cnt, _merge_greedy_local(syms, lhs, rhs)) for cnt, syms in vocab
+        ]
+    return out
+
+
+def bpe_train_auto(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Cost-based trainer dispatch (the PPJoin-style strategy choice):
+    one cheap aggregate sizes the word-frequency table; within the
+    driver budget the table collects and :func:`bpe_train_local` runs
+    sequentially in memory (exact, milliseconds per merge), otherwise
+    the distributed :func:`bpe_train_batched` rounds run with the
+    sequential-equivalence guard. All three trainers are bit-identical
+    (test-pinned), so this is a pure strategy choice."""
+    wf = word_freqs(docs, text_col)
+    sz = wf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.length("word")).alias("syms"),
+    ).collect()[0]
+    n_words = int(sz["n"] or 0)
+    total_syms = int(sz["syms"] or 0)
+    if (
+        n_words <= LOCAL_VOCAB_MAX_WORDS
+        and (total_syms + n_words) * max(n_merges, 1) <= LOCAL_TRAIN_MAX_OPS
+    ):
+        rows = wf.collect()  # bounded driver protocol (budget above)
+        return bpe_train_local([(r.word, int(r.cnt)) for r in rows], n_merges)
+    return bpe_train_batched(docs, n_merges, text_col)
+
+
 def encode_word(word: Column, merges: list[tuple[int, str, str, int]]) -> Column:
     """Apply trained merges to one word (a string Column or lambda
     variable): character split, then each merge's greedy
@@ -395,9 +476,10 @@ def trained_merges(
         if persisted:
             _MERGE_CACHE[key] = sorted(persisted)
     if key not in _MERGE_CACHE:
-        # batched trainer: bit-identical to bpe_train (test-pinned),
-        # O(merges/batch) driver rounds instead of one per merge
-        _MERGE_CACHE[key] = bpe_train_batched(docs, n_merges, text_col)
+        # cost-based trainer: local in-memory within the vocab budget,
+        # distributed sequential-equivalent batched rounds past it —
+        # all paths bit-identical to bpe_train (test-pinned)
+        _MERGE_CACHE[key] = bpe_train_auto(docs, n_merges, text_col)
         if store is not None:
             new = spark.createDataFrame(
                 [(mk, *m) for m in _MERGE_CACHE[key]],

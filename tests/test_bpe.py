@@ -144,9 +144,26 @@ def test_batched_selection_matches_sequential_property():
         }
         n = rng.randint(1, 12)
         seq = _py_seq_train(words, n)
+        # the engine's driver-local trainer is the same algorithm —
+        # pin it against the test's independent reference too
+        assert B.bpe_train_local(list(words.items()), n) == seq
         for top_k in (None, 2, 3, 5):
             got = _py_batched_train(words, n, top_k=top_k)
             assert got == seq, (trial, words, n, top_k, got, seq)
+
+
+def test_bpe_train_local_and_auto_identical_on_corpus(spark):
+    """All three trainer strategies — sequential distributed, batched
+    distributed, local in-memory — produce the identical merge table
+    on the real corpus; auto dispatch picks the local path inside the
+    vocab budget."""
+    from snowalert_spark.tables import table
+
+    d = table(spark, "/root/testdata/sf0.001", "documents")
+    seq = B.bpe_train(d, 24)
+    assert B.bpe_train_auto(d, 24) == seq
+    wf = {r.word: int(r.cnt) for r in B.word_freqs(d).collect()}
+    assert B.bpe_train_local(list(wf.items()), 24) == seq
 
 
 def test_bpe_train_batched_identical_on_corpus(spark):

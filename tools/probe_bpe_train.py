@@ -32,6 +32,10 @@ def main(sf_dir: str, out_path: str, budget: int = 1024) -> None:
     spark = get_session(app_name="probe_bpe_train")
     d = table(spark, sf_dir, "documents")
 
+    t0 = time.perf_counter()
+    auto = B.bpe_train_auto(d, budget)  # local path inside vocab budget
+    wall_auto = round(time.perf_counter() - t0, 1)
+
     stats: dict = {}
     t0 = time.perf_counter()
     batched = B.bpe_train_batched(d, budget, stats=stats)
@@ -46,19 +50,30 @@ def main(sf_dir: str, out_path: str, budget: int = 1024) -> None:
         "merge_budget": budget,
         "merges_trained": len(batched),
         "vocabulary_exhausted": len(batched) < budget,
-        "batched": {
+        "auto_local": {
+            "wall_s": wall_auto,
+            "note": "word-freq table within driver budget: collected "
+            "once, trained in memory (the production-trainer design)",
+        },
+        "batched_distributed": {
             "wall_s": wall_batched,
             "driver_rounds": stats["rounds"],
             "mean_batch": round(
                 sum(stats["batch_sizes"]) / len(stats["batch_sizes"]), 2
             ),
             "max_batch": max(stats["batch_sizes"]),
+            "note": "the past-budget fallback; this corpus's 31-word "
+            "vocabulary keeps batches small (top pairs share letters) "
+            "and every round driver-overhead-bound — richer "
+            "vocabularies batch wider (property tests cover the guard)",
         },
-        "sequential": {"wall_s": wall_seq, "driver_rounds": len(seq)},
-        "bit_identical": batched == seq,
-        "speedup": round(wall_seq / wall_batched, 2),
+        "sequential_distributed": {
+            "wall_s": wall_seq,
+            "driver_rounds": len(seq),
+        },
+        "bit_identical": auto == batched == seq,
     }
-    assert doc["bit_identical"], "batched trainer diverged from sequential"
+    assert doc["bit_identical"], "trainer strategies diverged"
     print(json.dumps(doc))
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
