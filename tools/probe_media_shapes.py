@@ -44,23 +44,6 @@ def _checksum(pairs):
     return int(row["n"]), int(row["h"] or 0)
 
 
-def _key_match_volume(spark, hashed, blocks, combo, id_col="media_id"):
-    """Pre-distinct candidate volume — sum of C(m,2) over the (ci,kv)
-    buckets — i.e. the rows the candidate join's distinct exchange
-    must carry. One cheap aggregation over the key rows (no join):
-    this, not the post-distinct count, is the shape's scale cost, and
-    computing it this way avoids re-running the full pair join (whose
-    shuffle spill at sf10 video is tens of GB per run)."""
-    sides = DD.multiblock_key_rows(hashed, blocks, combo, id_col)
-    row = (
-        sides.groupBy("ci", "kv")
-        .count()
-        .agg(F.sum(F.expr("count * (count - 1) / 2")).alias("v"))
-        .collect()[0]
-    )
-    return int(row["v"] or 0)
-
-
 def probe_tier(spark, name: str, hashed8, threshold: int) -> dict:
     import gc
 
