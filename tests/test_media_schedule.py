@@ -91,6 +91,51 @@ def test_scheduled_image_dedup_no_cartesian(spark, monkeypatch):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
+def test_exact_collapse_classes_match_bruteforce(spark):
+    """The r10 exact-collapse pre-pass: corpora with LARGE exact-
+    duplicate hash classes (the sf10 re-upload shape that used to fill
+    the disk) must emit exactly the brute-force pair set — all
+    C(m,2) in-class pairs at hamming 0 plus every cross-class member
+    pair at its reps' hamming — in every shape."""
+    import itertools
+    import random
+
+    rng = random.Random(424242)
+    hashes = {}
+    mid = 0
+    base_a = rng.getrandbits(64)
+    base_b = base_a ^ (1 << 5) ^ (1 << 40)  # hamming 2 from class A
+    base_c = rng.getrandbits(64)  # far from both
+    for h, members in ((base_a, 9), (base_b, 7), (base_c, 5)):
+        for _ in range(members):  # exact-duplicate classes
+            hashes[mid] = h
+            mid += 1
+    for _ in range(10):  # singletons
+        hashes[mid] = rng.getrandbits(64)
+        mid += 1
+    rows = [
+        (i, *[(h >> (8 * (7 - r))) & 0xFF for r in range(8)])
+        for i, h in hashes.items()
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, " + ", ".join(f"band_{r} int" for r in range(8))
+    )
+    brute = sorted(
+        (a, b, bin(hashes[a] ^ hashes[b]).count("1"))
+        for a, b in itertools.combinations(sorted(hashes), 2)
+        if bin(hashes[a] ^ hashes[b]).count("1") <= 3
+    )
+    # sanity: the fixture really has in-class and cross-class pairs
+    assert sum(1 for *_, h in brute if h == 0) == 36 + 21 + 10
+    assert sum(1 for *_, h in brute if h == 2) == 9 * 7
+    for shape in ((4, 1), (6, 3), (8, 5)):
+        got = sorted(
+            (r.media_id, r.dup_of, r.hamming)
+            for r in DD.hamming_pairs_multiblock(df, 3, *shape).collect()
+        )
+        assert got == brute, shape
+
+
 def test_multiblock_matches_bruteforce_randomized(spark):
     """Property check: for randomized 64-bit hashes with planted
     close pairs, every (blocks, combo) shape returns EXACTLY the
