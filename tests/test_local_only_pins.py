@@ -251,10 +251,15 @@ def test_bpe_encode_apply_is_vocab_join_shape(spark):
     merge folds must run on the VOCAB relation only (the corpus side
     carries no fold lambdas — that is the 5.7x win over the literal
     path)."""
-    plan = _plan(spark, "bpe_encode_docs")
-    assert "Join" in plan
-    for op in ("CartesianProduct", "BroadcastNestedLoopJoin", "BatchEvalPython"):
-        assert op not in plan, f"{op} leaked into the encode plan"
+    for name in ("bpe_encode_docs", "bpe_encode_128"):
+        plan = _plan(spark, name)
+        assert "Join" in plan
+        for op in (
+            "CartesianProduct",
+            "BroadcastNestedLoopJoin",
+            "BatchEvalPython",
+        ):
+            assert op not in plan, f"{op} leaked into the {name} plan"
 
 
 def test_bpe_literal_strategy_is_zero_shuffle(spark):
