@@ -193,12 +193,13 @@ LOCAL_ONLY = {
     # the round-9 rotation below; the per-frame hash projection stays
     # local, subsumed by the declared near-dup row which computes the
     # same frame hashes before the aligned band join.)
-    # Round-9: tokenizer application at a production merge count
-    # (1024 frequency-ranked merges through the vocab-join encode
-    # path, which the literal-fold plan cannot reach). Bench row; no
-    # unrollable SQL oracle — correctness pinned by the fold-vs-vocab
-    # path-equality tests (test_bpe) and the declared
-    # bpe_encode_docs sibling.
+    # Round-9 (re-pointed r10): tokenizer application at a production
+    # merge BUDGET (1,024 TRAINED merges through the vocab-join encode
+    # path, which the literal-fold plan cannot reach). Bench row with
+    # a full DuckDB oracle since r10: the 128-round training replay,
+    # exact because the driver corpora's vocabulary exhausts below 128
+    # merges (asserted inside the query so a richer corpus fails
+    # loudly instead of drifting from the oracle).
     "bpe_encode_1k",
     # Round-8 session-3 gate rotation: promote the newest operator
     # families into the driver gate (doc_topic_clusters,

@@ -1769,23 +1769,32 @@ def bpe_encode_128(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_apply(d, merges)
 
 
-@_q("bpe_encode_1k")
+@_q("bpe_encode_1k", _bpe_encode_oracle_sql(BPE_MERGES_128))
 def bpe_encode_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Tokenizer application at a production merge count: 1,024
-    TRAINED merges (r9 item 2 — the batched trainer makes sequential-
-    identical training feasible at this count; previously this row had
-    to substitute the frequency-ranked round-0 table) through the
-    vocab-join encode path, which the literal-fold plan cannot reach
-    (expression depth). No SQL oracle — a 1,024-round CTE chain is
-    infeasible to unroll — but the same trainer + encode path is
-    cross-engine-verified above the fold ceiling by the declared
-    bpe_encode_128 row, and the fold-vs-vocab equality tests (test_bpe)
-    pin the strategy branch; this row exists for the bench
-    (LOCAL_ONLY). On corpora whose vocabulary exhausts before 1,024
-    merges the trainer stops early (still past the fold ceiling)."""
+    """Tokenizer application at a production merge BUDGET: 1,024
+    trained merges (r9 item 2 — the batched/local trainers make
+    sequential-identical training feasible at this count; previously
+    this row had to substitute the frequency-ranked round-0 table)
+    through the vocab-join encode path, which the literal-fold plan
+    cannot reach (expression depth).
+
+    Oracle: the 128-round training-replay chain. A 1,024-round unroll
+    is infeasible, but it is also unnecessary on the driver corpora:
+    their 31-word vocabulary EXHAUSTS at ~89 trainable merges, so the
+    1,024- and 128-budget trained tables are identical and the
+    128-round replay (whose post-exhaustion rounds are identity) is an
+    exact oracle. The assert below makes that equivalence condition
+    mechanical — on a corpus supporting >=128 merges this row fails
+    loudly instead of silently drifting from its oracle (swap in the
+    full-budget chain there)."""
     from snowalert_spark.functions import bpe as B
 
     d = table(spark, sf_dir, "documents")
     merges = B.trained_merges(spark, sf_dir, d, 1024)
     assert len(merges) > B.BPE_FOLD_MAX  # literal path cannot run this
+    assert len(merges) < BPE_MERGES_128, (
+        "bpe_encode_1k's 128-round oracle replay assumes the corpus "
+        "vocabulary exhausts below 128 merges; this corpus supports "
+        f"{len(merges)} — register the full-budget oracle instead"
+    )
     return _bpe_apply(d, merges)

@@ -26,12 +26,11 @@ def test_registry_stats_single_source_of_truth():
         "total": 96,
         "driver_declared": 50,
         "local_only": 46,
-        # bpe_encode_1k is the one documented oracle-less row (a
-        # 1024-round CTE chain is infeasible; the declared
-        # bpe_encode_128 row cross-engine-checks the same trainer +
-        # vocab-join path above BPE_FOLD_MAX, and the path-equality
-        # tests pin the branch — see test_local_only_pins.NO_ORACLE_OK)
-        "with_oracle": 95,
+        # oracle-complete since r10: every registry row has a
+        # cross-engine DuckDB oracle (bpe_encode_1k's is the 128-round
+        # training replay, exact under the exhaustion assert inside
+        # the query)
+        "with_oracle": 96,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
     assert stats["local_only"] == len(workload.LOCAL_ONLY)

@@ -152,6 +152,64 @@ def test_batched_selection_matches_sequential_property():
             assert got == seq, (trial, words, n, top_k, got, seq)
 
 
+def test_batched_trainer_batches_wide_on_rich_vocab():
+    """On a realistic vocabulary (the 31-word test corpus exhausts at
+    ~89 merges and keeps batches near 1) the batched trainer must
+    actually batch: driver rounds well below the merge count, output
+    still bit-identical to sequential. Pure-python selection loop —
+    the distributed trainer shares it via _sequential_equivalent_prefix."""
+    import random
+
+    rng = random.Random(1234)
+    # zipf-ish counts over 1,500 distinct pseudo-words
+    words = {}
+    while len(words) < 1500:
+        w = "".join(
+            rng.choice("abcdefghijklmnopqrstuvwxyz")
+            for _ in range(rng.randint(3, 10))
+        )
+        words[w] = rng.randint(1, 1000)
+    n = 200
+    seq = _py_seq_train(words, n)
+    assert len(seq) == n
+
+    rounds = [0]
+
+    def batched_rounds(word_counts, n_merges, top_k=None):
+        vocab = [(cnt, list(w)) for w, cnt in word_counts.items()]
+        out = []
+        while len(out) < n_merges:
+            counts = {}
+            for cnt, syms in vocab:
+                for i in range(len(syms) - 1):
+                    p = (syms[i], syms[i + 1])
+                    counts[p] = counts.get(p, 0) + cnt
+            rows = sorted(
+                ((a, b, c) for (a, b), c in counts.items()),
+                key=lambda t: (-t[2], t[0], t[1]),
+            )
+            if not rows:
+                break
+            batch = B._sequential_equivalent_prefix(
+                rows, 0, n_merges - len(out)
+            )
+            rounds[0] += 1
+            for lhs, rhs, c in batch:
+                out.append((len(out) + 1, lhs, rhs, c))
+                vocab = [
+                    (cnt, _ref_merge(syms, lhs, rhs)) for cnt, syms in vocab
+                ]
+        return out
+
+    got = batched_rounds(words, n)
+    assert got == seq
+    # the point of batching: materially fewer rounds than merges
+    # (measured 76 rounds for 200 merges on this vocabulary — the
+    # exactness guard is conservative wherever top pairs share
+    # symbols, which random-letter words do constantly)
+    assert rounds[0] < n * 0.6, rounds[0]
+
+
 def test_bpe_train_local_and_auto_identical_on_corpus(spark):
     """All three trainer strategies — sequential distributed, batched
     distributed, local in-memory — produce the identical merge table

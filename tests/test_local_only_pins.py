@@ -26,10 +26,11 @@ def _plan(spark, name):
     )
 
 
-# The documented oracle-less exceptions: ops whose SQL replay is
-# genuinely infeasible (a 1024-round CTE chain), correctness pinned by
-# dedicated path-equality tests instead (test_bpe fold-vs-vocab).
-NO_ORACLE_OK = {"bpe_encode_1k"}
+# Oracle-less exceptions: none since r10 — bpe_encode_1k (the last
+# one) gained the 128-round training-replay oracle, exact on any
+# corpus whose vocabulary exhausts below 128 merges (asserted inside
+# the query, so a richer corpus fails loudly instead of drifting).
+NO_ORACLE_OK: set[str] = set()
 
 
 def test_every_local_only_query_is_implemented_and_oracle_backed():
