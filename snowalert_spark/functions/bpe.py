@@ -333,16 +333,38 @@ def segmentation_vocab(
     """(word, syms) for every distinct corpus word after applying ALL
     merges in rank order — the trained segmentation table (the DuckDB
     oracle's ``w{m+1}`` CTE). The corpus is touched once (the
-    word-frequency collapse); the merge folds then run on the vocab
-    table — O(distinct words) rows regardless of corpus size — in
-    bounded-depth batches of ``batch`` merges with localCheckpoint
+    word-frequency collapse). Within the driver vocab budget
+    (:data:`LOCAL_VOCAB_MAX_WORDS`, the same cost-based dispatch the
+    trainer uses) the distinct words collect and the merges apply in
+    memory — one bounded action instead of merges/``batch``
+    localCheckpoint rounds, identical output by the greedy-fold parity
+    the tests pin. Past the budget the folds run distributed on the
+    vocab table — O(distinct words) rows regardless of corpus size —
+    in bounded-depth batches of ``batch`` merges with localCheckpoint
     lineage truncation between batches, so a 30k-merge production
     tokenizer is ~2k cheap vocab-table passes instead of one plan of
     30k nested expressions."""
-    cur = word_freqs(docs, text_col).select(
-        "word", F.split("word", "").alias("syms")
-    )
     ms = sorted(merges)
+    wf = word_freqs(docs, text_col)
+    probe = [
+        r["word"]
+        for r in wf.select("word").limit(LOCAL_VOCAB_MAX_WORDS + 1).collect()
+    ]
+    total_syms = sum(len(w) for w in probe)
+    if (
+        len(probe) <= LOCAL_VOCAB_MAX_WORDS
+        and (total_syms + len(probe)) * max(len(ms), 1) <= LOCAL_TRAIN_MAX_OPS
+    ):
+        rows = []
+        for w in probe:
+            syms = list(w)
+            for _, lhs, rhs, _ in ms:
+                syms = _merge_greedy_local(syms, lhs, rhs)
+            rows.append((w, syms))
+        return docs.sparkSession.createDataFrame(
+            rows, "word string, syms array<string>"
+        )
+    cur = wf.select("word", F.split("word", "").alias("syms"))
     for i in range(0, len(ms), batch):
         for _, lhs, rhs, _ in ms[i : i + batch]:
             cur = cur.select(
