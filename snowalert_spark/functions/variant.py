@@ -15,10 +15,16 @@ JVM-side, no UDF.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 JSON_NULL = "null"
+
+#: guards register_sql_functions' session memo flag (reached from
+#: packs.execute_concurrent's thread pool)
+_REGISTER_LOCK = threading.Lock()
 
 
 def is_json_null(col: Column) -> Column:
@@ -145,19 +151,23 @@ def register_sql_functions(spark) -> None:
     Idempotent and memoized per session: every ``Rule.df`` call routes
     through here, and re-wrapping + re-registering the pandas UDF is a
     measurable per-statement cost in a 92-view pack sweep (r9 verdict
-    item 5)."""
-    if getattr(spark, "_sa_sql_functions_registered", False):
-        return
-    from pyspark.sql.functions import pandas_udf
+    item 5). Reached concurrently from ``packs.execute_concurrent``'s
+    thread pool, so the check-then-set memo is guarded by a lock
+    (registration itself is idempotent; the lock only keeps the shared
+    session flag race-free)."""
+    with _REGISTER_LOCK:
+        if getattr(spark, "_sa_sql_functions_registered", False):
+            return
+        from pyspark.sql.functions import pandas_udf
 
-    # hint-free form: module-wide `from __future__ import annotations`
-    # turns signature hints into unresolvable strings
-    sa_rflatten = pandas_udf(
-        lambda docs: docs.map(_rflatten_rows),
-        "array<struct<key:string,path:string,index:int,value:string>>",
-    )
-    spark.udf.register("sa_rflatten", sa_rflatten)
-    spark._sa_sql_functions_registered = True
+        # hint-free form: module-wide `from __future__ import
+        # annotations` turns signature hints into unresolvable strings
+        sa_rflatten = pandas_udf(
+            lambda docs: docs.map(_rflatten_rows),
+            "array<struct<key:string,path:string,index:int,value:string>>",
+        )
+        spark.udf.register("sa_rflatten", sa_rflatten)
+        spark._sa_sql_functions_registered = True
 
 
 def object_assign(a_json: Column, b_json: Column) -> Column:

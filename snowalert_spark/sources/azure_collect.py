@@ -853,6 +853,8 @@ def land_batches(spark, batches: Iterator[tuple[str, list[dict]]]):
 
     from pyspark.sql import types as T
 
+    from snowalert_spark.sources.collect import replace_cached_view
+
     by_kind: dict[str, list[dict]] = {}
     for kind, rows in batches:
         by_kind.setdefault(kind, []).extend(rows)
@@ -887,7 +889,7 @@ def land_batches(spark, batches: Iterator[tuple[str, list[dict]]]):
             .cache()
         )
         for view in (landing_table(kind), f"azure_collect_{kind}"):
-            df.createOrReplaceTempView(view)
+            replace_cached_view(spark, df, view)
         out[landing_table(kind)] = df
     return out
 

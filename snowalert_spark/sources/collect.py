@@ -30,6 +30,21 @@ RATE_PER_SECOND = 24  # aws_collect.py:35-36 pacing envelope
 BATCH_SIZE = 600
 
 
+def replace_cached_view(spark, df, view: str) -> None:
+    """``createOrReplaceTempView`` with cache hygiene: unpersist the
+    cached relation behind the previous ``view`` (if any) BEFORE
+    replacing it. Landing frames are ``.cache()``d for the many-
+    consumer pack sweep; without this, every per-tick re-landing of
+    the same table leaves the superseded snapshot pinned in the
+    CacheManager until session end — an unbounded memory/disk-spill
+    leak in long-running collectors (r10 advice)."""
+    try:
+        spark.catalog.uncacheTable(view)
+    except Exception:
+        pass  # first landing of this view, or never cached
+    df.createOrReplaceTempView(view)
+
+
 @dataclass(frozen=True)
 class CollectTask:
     account_id: str
@@ -297,7 +312,7 @@ def land_entries(
             .cache()
         )
         view = f"{prefix}{tname}"
-        df.createOrReplaceTempView(view)
+        replace_cached_view(spark, df, view)
         out[view] = df
     return out
 

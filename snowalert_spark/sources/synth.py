@@ -112,14 +112,18 @@ def _generic_rows(schema: str, n: int) -> list[tuple]:
 def synth_misc_landings(spark, n: int = 200) -> list[str]:
     """Register the non-collector landing views with ``n`` generic
     rows each."""
+    from snowalert_spark.sources.collect import replace_cached_view
+
     out = []
     for name, schema in MISC_LANDINGS:
         # small-table layout (see collect.land_entries): one cached
         # block, not defaultParallelism near-empty partitions
-        # re-parallelized by each of the 92 consuming statements
-        spark.createDataFrame(_generic_rows(schema, n), schema).repartition(
+        # re-parallelized by each of the 92 consuming statements;
+        # replace_cached_view unpersists the prior round's snapshot
+        df = spark.createDataFrame(_generic_rows(schema, n), schema).repartition(
             max(1, n // 5000 + 1)
-        ).cache().createOrReplaceTempView(name)
+        ).cache()
+        replace_cached_view(spark, df, name)
         out.append(name)
     return out
 

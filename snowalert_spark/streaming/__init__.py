@@ -193,8 +193,31 @@ def _read_batched_state(
     excluded, so a crashed attempt's partially written state can never
     match against its own replay — bounded below by the retention
     horizon. ``batch_id`` is a partition column in the batched layout,
-    so both bounds prune whole directories instead of filtering rows."""
+    so both bounds prune whole directories instead of filtering rows.
+
+    Pre-r10 state dirs used flat appended part files carrying batch_id
+    as a DATA column; mixing those with batch_id= partition dirs makes
+    Spark's partition discovery fail with an opaque 'conflicting
+    directory structures' error, and the flat files could never be
+    compacted away — so legacy layouts are rejected up front with a
+    migration message instead (r10 advice)."""
     if os.path.isdir(path):
+        legacy = [
+            n
+            for n in os.listdir(path)
+            if os.path.isfile(os.path.join(path, n))
+            and not n.startswith((".", "_"))
+        ]
+        if legacy:
+            raise ValueError(
+                f"legacy flat-layout state files under {path} "
+                f"(e.g. {legacy[0]}): pre-r10 streams appended part "
+                "files with batch_id as a data column, which cannot "
+                "coexist with the batch_id= partition layout. Migrate "
+                "each flat file into its batch_id=<b> directory (its "
+                "batch_id column is constant per file) or start a "
+                "fresh state_dir."
+            )
         df = spark.read.schema(schema_str).parquet(path)
     else:
         df = spark.createDataFrame([], schema_str)

@@ -1765,7 +1765,12 @@ def bpe_encode_128(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     merges = B.trained_merges(spark, sf_dir, d, BPE_MERGES_128)
-    assert len(merges) > B.BPE_FOLD_MAX  # must exercise the vocab path
+    if len(merges) <= B.BPE_FOLD_MAX:  # must exercise the vocab path
+        raise ValueError(
+            f"bpe_encode_128 exists to check the vocab-join encode path "
+            f"above BPE_FOLD_MAX ({B.BPE_FOLD_MAX}); this corpus trained "
+            f"only {len(merges)} merges"
+        )
     return _bpe_apply(d, merges)
 
 
@@ -1791,10 +1796,18 @@ def bpe_encode_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = table(spark, sf_dir, "documents")
     merges = B.trained_merges(spark, sf_dir, d, 1024)
-    assert len(merges) > B.BPE_FOLD_MAX  # literal path cannot run this
-    assert len(merges) < BPE_MERGES_128, (
-        "bpe_encode_1k's 128-round oracle replay assumes the corpus "
-        "vocabulary exhausts below 128 merges; this corpus supports "
-        f"{len(merges)} — register the full-budget oracle instead"
-    )
+    # explicit raises, not asserts: these are the conditions making the
+    # 128-round oracle exact, and asserts vanish under `python -O` —
+    # a richer corpus must fail loudly, never drift from the oracle
+    if len(merges) <= B.BPE_FOLD_MAX:  # literal path cannot run this
+        raise ValueError(
+            f"bpe_encode_1k must exercise the vocab-join path above "
+            f"BPE_FOLD_MAX ({B.BPE_FOLD_MAX}); trained {len(merges)}"
+        )
+    if len(merges) >= BPE_MERGES_128:
+        raise ValueError(
+            "bpe_encode_1k's 128-round oracle replay assumes the corpus "
+            "vocabulary exhausts below 128 merges; this corpus supports "
+            f"{len(merges)} — register the full-budget oracle instead"
+        )
     return _bpe_apply(d, merges)
