@@ -642,6 +642,7 @@ def hamming_pairs_multiblock(
     combo: int | None = None,
     id_col: str = "media_id",
     stats: dict | None = None,
+    output: str = "pairs",
 ) -> DataFrame:
     """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
     ``band_0..band_7`` (+ ``id_col``): candidate pairs share one of
@@ -678,7 +679,23 @@ def hamming_pairs_multiblock(
     the 424M genuine in-class pairs stream straight from the
     expansion join to the consumer with no distinct at all. The
     schedule is sized on distinct hashes (the collision-bearing
-    count)."""
+    count).
+
+    ``output`` (r11): ``"pairs"`` materializes every member pair —
+    the API-parity form, but its OUTPUT is quadratic in exact-dup
+    class sizes, which on re-upload-heavy corpora dominates wall
+    clock no matter how linear the compute is (r10 verdict: the sf30
+    video probe was 8.04x on 3x data purely from 199.7 M emitted
+    pairs). ``"clusters"`` never expands member pairs: the verified
+    REP pairs plus the exact-class star edges (member -> rep, linear
+    in rows) feed :func:`connected_components`, and the result is one
+    row per input id — ``(id_col, cluster_id, keep)`` with
+    cluster_id = min id in the near-dup component and keep marking
+    the representative. The two forms are consistent by construction:
+    members of an exact class pair with exactly what their rep pairs
+    with (same hash), so components of (star ∪ rep pairs) equal
+    components of the full pair graph — pinned by the closure-
+    equality test in tests/test_media_clusters.py."""
     if (blocks is None) != (combo is None):
         raise ValueError("pass both blocks and combo, or neither")
     if blocks is not None:
@@ -732,6 +749,10 @@ def hamming_pairs_multiblock(
         .filter(F.col("hamming") <= threshold)
         .select(id_col, "dup_of", "hamming")
     )
+    if output == "clusters":
+        return _clusters_from_rep_graph(rep_pairs, members, id_col)
+    if output != "pairs":
+        raise ValueError(f"output must be 'pairs' or 'clusters', got {output!r}")
     # expansion: in-class pairs (hamming 0) + cross-class member pairs
     # (each inherits its reps' hamming) — pure equi-joins streaming to
     # the consumer, no distinct (member pairs are disjoint by class)
@@ -755,6 +776,125 @@ def hamming_pairs_multiblock(
         )
     )
     return inclass.unionByName(cross)
+
+
+def _clusters_from_rep_graph(
+    rep_pairs: DataFrame, members: DataFrame, id_col: str
+) -> DataFrame:
+    """(id_col, cluster_id, keep) from the verified representative
+    pair graph + exact-class membership — the scale-safe output form:
+    edges are rep pairs (near-dup distinct hashes) plus one star edge
+    per non-rep member (LINEAR in corpus rows), never the quadratic
+    member-pair expansion. cluster_id = min id in the component
+    (singletons label themselves); keep = the one representative."""
+    members = members.localCheckpoint()
+    star = members.filter(F.col("_member") != F.col("_rep")).select(
+        F.col("_rep").alias("a"), F.col("_member").alias("b")
+    )
+    edges = star.unionByName(
+        rep_pairs.select(F.col(id_col).alias("a"), F.col("dup_of").alias("b"))
+    )
+    labels = connected_components(edges, src="a", dst="b")
+    ids = members.select(F.col("_member").alias(id_col))
+    return (
+        ids.join(labels, ids[id_col] == labels["node"], "left")
+        .select(
+            id_col,
+            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+        )
+        .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
+    )
+
+
+def video_clip_pairs(
+    fh: DataFrame,
+    threshold: int,
+    frames: int,
+    min_frames: int,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Sequence-aware clip near-dup pairs from per-frame hash rows
+    ``(id_col, frame_no, band_0..band_7)``: pack (clip, frame) into
+    one key, run the shared multi-block candidate/verify engine (same
+    frame_no aligns automatically because the pack keeps frame bits
+    low and the auto-schedule sizes on FRAME rows, the collision-
+    bearing count), then aggregate aligned close frames per clip pair
+    and keep pairs with >= ``min_frames`` of them."""
+    fid = (F.col(id_col) * frames + F.col("frame_no")).alias(id_col)
+    packed = fh.select(fid, *[F.col(f"band_{r}") for r in range(8)])
+    pairs = hamming_pairs_multiblock(packed, threshold, id_col=id_col)
+    # integer DIV unpack: exact for any long id (float division would
+    # silently lose exactness above 2^53)
+    aligned = pairs.filter(
+        F.col(id_col) % frames == F.col("dup_of") % frames
+    ).select(
+        F.expr(f"{id_col} DIV {frames}").alias(id_col),
+        F.expr(f"dup_of DIV {frames}").alias("dup_of"),
+        "hamming",
+    )
+    return (
+        aligned.groupBy(id_col, "dup_of")
+        .agg(
+            F.count("*").cast("int").alias("n_frames_close"),
+            F.sum("hamming").cast("int").alias("total_hamming"),
+        )
+        .filter(F.col("n_frames_close") >= min_frames)
+    )
+
+
+def video_framehash_clusters(
+    fh: DataFrame,
+    threshold: int,
+    frames: int,
+    min_frames: int,
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Cluster-form video near-dup — ``(id_col, cluster_id, keep)``
+    without ever materializing member pairs (r10 verdict item 1: the
+    pair form's OUTPUT is quadratic in re-upload class sizes and was
+    the one over-bound sf30 probe row).
+
+    Exact collapse happens at CLIP granularity: a clip's signature is
+    its frame hashes in frame order, so clips sharing a signature are
+    frame-wise identical and pair with exactly the same partners —
+    the qualifying relation (>= min_frames aligned frames within the
+    hamming threshold) depends only on signatures. One representative
+    clip per signature runs the pair engine (:func:`video_clip_pairs`
+    — itself frame-level exact-collapsed); rep pairs + signature-class
+    star edges feed :func:`connected_components`; in-class pairs
+    trivially qualify (all ``frames`` aligned frames at hamming 0,
+    frames >= min_frames), so components of (star ∪ rep pairs) equal
+    components of the full qualifying pair graph (closure-equality
+    test in tests/test_media_clusters.py)."""
+    fh = fh.select(
+        id_col, "frame_no", *[f"band_{r}" for r in range(8)]
+    ).localCheckpoint()
+    fkey = F.concat_ws(
+        ",", *[F.col(f"band_{r}").cast("string") for r in range(8)]
+    )
+    sig = (
+        fh.select(id_col, "frame_no", fkey.alias("fk"))
+        .groupBy(id_col)
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("frame_no", "fk"))),
+                    lambda x: x["fk"],
+                ),
+                ";",
+            ).alias("sig")
+        )
+    )
+    classes = sig.groupBy("sig").agg(F.min(id_col).alias("_rep"))
+    members = (
+        sig.join(classes, "sig")
+        .select("_rep", F.col(id_col).alias("_member"))
+        .localCheckpoint()
+    )
+    reps = members.select(F.col("_rep").alias(id_col)).distinct()
+    rep_fh = fh.join(reps, id_col, "left_semi")
+    rep_pairs = video_clip_pairs(rep_fh, threshold, frames, min_frames, id_col)
+    return _clusters_from_rep_graph(rep_pairs, members, id_col)
 
 
 #: Verified-duplicate edge lists at or below this many (symmetrized)

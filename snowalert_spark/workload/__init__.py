@@ -109,18 +109,9 @@ LOCAL_ONLY = {
     # (A4 SELECT DISTINCT is the same hash-aggregate collapse) and the
     # pack corpus exercises U1 UNION ALL verbatim across its views.
     "union_dedupe_nationkeys",
-    # Round-8 additions beyond the gate cap (local oracle coverage,
-    # same DuckDB harness): substring-level dedup spans (Lee et al.
-    # arXiv:2107.06499), corpus vocabulary building, and the combined
-    # IVF-PQ ANN search (its IVF and PQ halves each hold a declared
-    # driver row: ann_ivf_topk / ann_pq_topk).
-    "dedup_substring_spans",
-    "corpus_vocab_topk",
-    # ... plus TF-IDF top terms (its sibling dedup_substring_removal
-    # and unigram_logprob_scores were promoted in the round-8 session-2
-    # rotation below; the TF-IDF agg shape ⊂ corpus_vocab_topk's token
-    # aggregate + the declared doc-level scoring rows).
-    "doc_tfidf_topterms",
+    # (dedup_substring_spans, corpus_vocab_topk and doc_tfidf_topterms
+    # — round-8 additions that only ever had local oracles — were
+    # promoted into the declared gate in the round-11 rotation below.)
     # ... and the per-image dHash projection (subsumed by the promoted
     # dedup_image_dhash, which computes the same hashes internally
     # before the band join).
@@ -269,6 +260,43 @@ LOCAL_ONLY = {
     # payloads through the same batch plumbing, and the byte-level
     # md5/length checks stay in the local oracle).
     "multimodal_features",
+    # Round-11 gate rotation: promote the never-declared textops
+    # families — dedup_substring_spans (the spans half of Lee et al.
+    # 2107.06499; its removal sibling was declared but the span
+    # accounting path never was), corpus_vocab_topk and
+    # doc_tfidf_topterms (the only textops family never driver-
+    # checked) — plus the NEW dedup_video_clusters (the scale-safe
+    # cluster-form output of the media near-dup engine, r10 verdict
+    # item 1). The four rows demoted to make room keep their local
+    # oracles + plan pins and are each subsumed by declared siblings:
+    # datetime_functions ⊂ timezone_and_array_functions (the same
+    # §2.8 date/time compat family — DATEADD/DATEDIFF/DATE_TRUNC/
+    # CONVERT_TIMEZONE share the rewrite path, and the pack corpus
+    # runs them verbatim across its views);
+    "datetime_functions",
+    # ann_pq_topk ⊂ ann_ivfpq_topk (declared; the combined row drives
+    # the identical PQ coding, broadcast-ADC-LUT scoring and two-phase
+    # re-rank end to end — its oracle verifies the PQ half as the
+    # scoring stage of every probe);
+    "ann_pq_topk",
+    # dedup_embedding_ivf ⊂ ann_ivf_topk (declared; identical k-means
+    # training + literal-codebook cell assignment) + the declared
+    # dedup_embedding_rplsh (identical bucketed candidate/exact-verify
+    # near-dup shape, band keys for cell keys);
+    "dedup_embedding_ivf",
+    # decontaminate_semantic ⊂ semantic_dedup (declared; the same
+    # literal-codebook cell assignment + in-cell exact-cosine verify)
+    # + decontaminate_ngram (declared; the same eval-side-broadcast
+    # decontamination LeftAnti semantics — the corpus never shuffles).
+    "decontaminate_semantic",
+    # New in r11, beyond the gate cap: the image/audio cluster-form
+    # rows (local recursive-CTE oracles; their shared rep-graph +
+    # star-edge engine and closure semantics are gate-covered by the
+    # declared dedup_video_clusters, which exercises the same
+    # _clusters_from_rep_graph path through the strictest qualifying
+    # relation).
+    "dedup_image_clusters",
+    "dedup_audio_clusters",
 }
 
 DRIVER_QUERY_CAP = 50

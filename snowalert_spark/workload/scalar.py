@@ -505,6 +505,40 @@ def _banded_pairs_sql(bands_cte: str, pfx: str, threshold: int) -> str:
     """
 
 
+def _banded_clusters_sql(bands_cte: str, pfx: str, threshold: int) -> str:
+    """Cluster-form sibling of :func:`_banded_pairs_sql`: the same
+    band-join/verify pair graph, symmetrized and closed with a
+    recursive CTE (min label per node = min media id in the near-dup
+    component), one output row per media id with the representative
+    flagged. Callers prepend WITH RECURSIVE + their cells CTEs."""
+    return f"""
+    {pfx}sides AS (SELECT media_id, unnest(generate_series(1, 4)) AS r,
+                        unnest([bd[1] * 256 + bd[2], bd[3] * 256 + bd[4],
+                                bd[5] * 256 + bd[6], bd[7] * 256 + bd[8]]) AS v
+                 FROM {bands_cte}),
+    {pfx}cand AS (SELECT DISTINCT a.media_id AS media_id, b.media_id AS dup_of
+                FROM {pfx}sides a JOIN {pfx}sides b
+                  ON a.r = b.r AND a.v = b.v AND a.media_id < b.media_id),
+    {pfx}pairs AS (SELECT c.media_id AS a, c.dup_of AS b
+                   FROM {pfx}cand c
+                   JOIN {bands_cte} ba ON ba.media_id = c.media_id
+                   JOIN {bands_cte} bb ON bb.media_id = c.dup_of
+                   WHERE list_sum(list_transform(range(1, 9),
+                         i -> bit_count(xor(ba.bd[i], bb.bd[i]))))
+                         <= {threshold}),
+    {pfx}edges AS (SELECT a, b FROM {pfx}pairs
+                   UNION SELECT b, a FROM {pfx}pairs),
+    {pfx}reach(node, label) AS (
+        SELECT media_id, media_id FROM {bands_cte}
+        UNION
+        SELECT e.b, r.label
+        FROM {pfx}reach r JOIN {pfx}edges e ON e.a = r.node)
+    SELECT node AS media_id, MIN(label) AS cluster_id,
+           node = MIN(label) AS keep
+    FROM {pfx}reach GROUP BY node
+    """
+
+
 @_q(
     "dedup_image_dhash",
     f"""
@@ -530,11 +564,31 @@ def dedup_image_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _banded_hamming_pairs(h, DHASH_HAM_T)
 
 
+@_q(
+    "dedup_image_clusters",
+    f"""
+    WITH RECURSIVE {_DHASH_CELLS_SQL},
+    {_banded_clusters_sql('dh_bands', 'dh_', DHASH_HAM_T)}
+    """,
+)
+def dedup_image_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-form image near-dup — ``(media_id, cluster_id, keep)``,
+    one row per image, cluster_id = min id in the hamming<=3 connected
+    component. The scale-safe sibling of dedup_image_dhash: rep pairs
+    over DISTINCT hashes + exact-class star edges feed
+    connected_components, so re-upload-heavy corpora never pay the
+    quadratic member-pair expansion (r10 verdict item 1). The oracle
+    closes the full pair graph with a recursive CTE."""
+    h = M.image_dhash(_media_with_variants(spark, sf_dir), decode="fake")
+    return _banded_hamming_pairs(h, DHASH_HAM_T, output="clusters")
+
+
 def _banded_hamming_pairs(
     hashed8: DataFrame,
     threshold: int,
     blocks: int | None = None,
     combo: int | None = None,
+    output: str = "pairs",
 ) -> DataFrame:
     """Near-dup pairs over any 64-bit hash emitted as 8 byte columns
     ``band_0..band_7`` (+ ``media_id``) — the shared multi-block
@@ -542,9 +596,11 @@ def _banded_hamming_pairs(
     multiblock``, Manku et al. WWW'07). The default corpus-size
     schedule keeps gate corpora on the (4, 1) banding the static
     DuckDB oracles replay as their candidate CTE and widens the
-    composite keys past it, with identical output."""
+    composite keys past it, with identical output. ``output=
+    'clusters'`` switches to the scale-safe one-row-per-id cluster
+    form (rep graph + star edges -> connected components)."""
     return DD.hamming_pairs_multiblock(
-        hashed8, threshold, blocks=blocks, combo=combo
+        hashed8, threshold, blocks=blocks, combo=combo, output=output
     )
 
 
@@ -664,6 +720,25 @@ def dedup_audio_fp(spark: SparkSession, sf_dir: str) -> DataFrame:
         _audio_media_with_variants(spark, sf_dir), decode="fake"
     )
     return _banded_hamming_pairs(h, M.AFP_HAM_T)
+
+
+@_q(
+    "dedup_audio_clusters",
+    f"""
+    WITH RECURSIVE {_AFP_CELLS_SQL},
+    {_banded_clusters_sql('af_bands', 'af_', M.AFP_HAM_T)}
+    """,
+)
+def dedup_audio_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-form audio near-dup — ``(media_id, cluster_id, keep)``,
+    one row per clip, cluster_id = min id in the hamming<=3 connected
+    component of the temporal-energy-fingerprint pair graph. Same
+    rep-graph + star-edge factorization as the image/video cluster
+    rows; the oracle closes the full pair graph recursively."""
+    h = M.audio_fingerprint(
+        _audio_media_with_variants(spark, sf_dir), decode="fake"
+    )
+    return _banded_hamming_pairs(h, M.AFP_HAM_T, output="clusters")
 
 
 # --- video frame hashing (sequence-aware near-dup) ---------------------
@@ -804,30 +879,81 @@ def dedup_video_framehash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fh = M.video_framehash(
         _video_media_with_variants(spark, sf_dir), decode="fake"
     )
-    # reuse the shared multi-block helper by packing (clip, frame)
-    # into one key — same frame_no aligns automatically because the
-    # pack keeps frame bits low; the auto-schedule sizes on FRAME
-    # rows (= 4x clips), which is the collision-bearing count
-    fid = (F.col("media_id") * M.VIDEO_FRAMES + F.col("frame_no")).alias(
-        "media_id"
+    # shared helper (functions/dedup.video_clip_pairs): packs (clip,
+    # frame) into one key for the multi-block engine — same frame_no
+    # aligns automatically because the pack keeps frame bits low; the
+    # auto-schedule sizes on FRAME rows (= 4x clips), the collision-
+    # bearing count — then aggregates aligned close frames per pair
+    return DD.video_clip_pairs(
+        fh, M.AFP_HAM_T, M.VIDEO_FRAMES, M.VIDEO_MIN_FRAMES
     )
-    packed = fh.select(fid, *[F.col(f"band_{r}") for r in range(8)])
-    k = M.VIDEO_FRAMES
-    pairs = _banded_hamming_pairs(packed, M.AFP_HAM_T)
-    # integer DIV unpack: exact for any long id (float division would
-    # silently lose exactness above 2^53)
-    aligned = pairs.filter(
-        F.col("media_id") % k == F.col("dup_of") % k
-    ).select(
-        F.expr(f"media_id DIV {k}").alias("media_id"),
-        F.expr(f"dup_of DIV {k}").alias("dup_of"),
-        "hamming",
+
+
+# recursive-CTE connected components over the qualifying video pair
+# graph: every clip starts labelled with itself; labels propagate along
+# symmetrized edges until the (UNION-deduped) closure fixpoint; min
+# label per node = min clip id in the component. Small closed-form CC
+# is exactly what a gate-scale oracle can afford — the Spark side never
+# materializes the pair graph at all (rep pairs + star edges).
+_VFH_CLUSTERS_TAIL_SQL = f"""
+vq AS (SELECT media_id AS a, dup_of AS b
+       FROM vf_ham
+       WHERE hamming <= {M.AFP_HAM_T}
+       GROUP BY media_id, dup_of
+       HAVING COUNT(*) >= {M.VIDEO_MIN_FRAMES}),
+vedges AS (SELECT a, b FROM vq UNION SELECT b, a FROM vq),
+vreach(node, label) AS (
+    SELECT media_id, media_id FROM (SELECT DISTINCT media_id FROM vf_docs)
+    UNION
+    SELECT e.b, r.label FROM vreach r JOIN vedges e ON e.a = r.node)
+SELECT node AS media_id, MIN(label) AS cluster_id,
+       node = MIN(label) AS keep
+FROM vreach GROUP BY node
+"""
+
+
+@_q(
+    "dedup_video_clusters",
+    f"""
+    WITH RECURSIVE {_VFH_CELLS_SQL},
+    vf_sides AS (SELECT media_id, f, unnest(generate_series(1, 4)) AS r,
+                        unnest([bd[1] * 256 + bd[2], bd[3] * 256 + bd[4],
+                                bd[5] * 256 + bd[6], bd[7] * 256 + bd[8]]) AS v
+                 FROM vf_bands),
+    vf_cand AS (SELECT DISTINCT a.media_id AS media_id,
+                                b.media_id AS dup_of, a.f AS f
+                FROM vf_sides a JOIN vf_sides b
+                  ON a.f = b.f AND a.r = b.r AND a.v = b.v
+                 AND a.media_id < b.media_id),
+    vf_ham AS (SELECT c.media_id, c.dup_of, c.f,
+                      CAST(list_sum(list_transform(range(1, 9),
+                           i -> bit_count(xor(ba.bd[i], bb.bd[i])))) AS INT)
+                        AS hamming
+               FROM vf_cand c
+               JOIN vf_bands ba ON ba.media_id = c.media_id AND ba.f = c.f
+               JOIN vf_bands bb ON bb.media_id = c.dup_of AND bb.f = c.f),
+    {_VFH_CLUSTERS_TAIL_SQL}
+    """,
+)
+def dedup_video_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-form video near-dup — one row per clip ``(media_id,
+    cluster_id, keep)`` with cluster_id = min clip id in the connected
+    component of the qualifying-pair graph (>= VIDEO_MIN_FRAMES
+    aligned frames within hamming 3) and keep marking the
+    representative. This is the 100 TB output form (r10 verdict item
+    1): the pair form's OUTPUT is quadratic in re-upload class sizes
+    (sf30 probe: 199.7 M pairs made it the one over-bound row), while
+    clusters are one row per clip no matter how heavy the re-upload
+    skew. Exact collapse runs at CLIP granularity (signature = frame
+    hashes in frame order; same signature => same partners), one rep
+    per signature runs the pair engine, and rep pairs + signature star
+    edges feed connected_components — member pairs are never
+    materialized. The oracle computes the full qualifying pair graph
+    and closes it with a recursive CTE, so agreement also proves the
+    rep-graph factorization."""
+    fh = M.video_framehash(
+        _video_media_with_variants(spark, sf_dir), decode="fake"
     )
-    return (
-        aligned.groupBy("media_id", "dup_of")
-        .agg(
-            F.count("*").cast("int").alias("n_frames_close"),
-            F.sum("hamming").cast("int").alias("total_hamming"),
-        )
-        .filter(F.col("n_frames_close") >= M.VIDEO_MIN_FRAMES)
+    return DD.video_framehash_clusters(
+        fh, M.AFP_HAM_T, M.VIDEO_FRAMES, M.VIDEO_MIN_FRAMES
     )
