@@ -96,12 +96,19 @@ def generate_zipf_documents(
     return rows
 
 
+def zipf_corpus_dir(base_dir: str = "/tmp") -> str:
+    """The (versioned) corpus directory path — computable without
+    generating, so import-time consumers (the oracle SQL literal) can
+    reference it; :func:`ensure_zipf_corpus` materializes it."""
+    return os.path.join(base_dir, f"zipf_corpus_{ZIPF_CORPUS_VERSION}")
+
+
 def ensure_zipf_corpus(base_dir: str = "/tmp") -> str:
     """Generate (once) and return the corpus directory containing
     ``documents.parquet``. Idempotent per version: a _SUCCESS marker
     gates regeneration; the generator is seed-deterministic so
     concurrent/late regeneration writes identical bytes."""
-    out_dir = os.path.join(base_dir, f"zipf_corpus_{ZIPF_CORPUS_VERSION}")
+    out_dir = zipf_corpus_dir(base_dir)
     marker = os.path.join(out_dir, "_SUCCESS")
     path = os.path.join(out_dir, "documents.parquet")
     if os.path.exists(marker) and os.path.exists(path):

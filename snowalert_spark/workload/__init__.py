@@ -297,6 +297,13 @@ LOCAL_ONLY = {
     # relation).
     "dedup_image_clusters",
     "dedup_audio_clusters",
+    # ... and the tokenizer-depth row: 128 REAL merges trained +
+    # encoded on the rich-vocabulary zipf sidecar corpus (the driver
+    # corpora exhaust at ~89 — r10 verdict item 2), full 128-round
+    # training-replay oracle over the same parquet. LOCAL_ONLY because
+    # its corpus is the seed-deterministic sidecar, not an sf_dir
+    # table (the driver gate only feeds sf dirs).
+    "bpe_encode_zipf",
 }
 
 DRIVER_QUERY_CAP = 50

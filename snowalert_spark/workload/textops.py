@@ -1559,16 +1559,20 @@ def _bpe_oracle_sql(m: int = BPE_MERGES) -> str:
     return chain + "\n    " + union
 
 
-def _bpe_oracle_parts(m: int = BPE_MERGES) -> tuple[str, str]:
+def _bpe_oracle_parts(
+    m: int = BPE_MERGES, source: str = "documents"
+) -> tuple[str, str]:
     """(CTE chain, final merge-table union) as separate strings so the
     two consumers — the merge-table oracle and the encode oracle —
-    compose them without string surgery (round-8 advice)."""
+    compose them without string surgery (round-8 advice). ``source``
+    is the corpus relation (default the driver ``documents`` view; the
+    zipf depth row passes a ``read_parquet`` subquery)."""
     ctes = [
-        r"""w1 AS MATERIALIZED (
+        rf"""w1 AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS cnt,
                list_transform(range(1, strlen(word) + 1), i -> word[i:i]) AS syms
         FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
-              FROM documents)
+              FROM {source})
         WHERE word <> '' GROUP BY word)"""
     ]
     for i in range(1, m + 1):
@@ -1614,13 +1618,15 @@ def _bpe_oracle_parts(m: int = BPE_MERGES) -> tuple[str, str]:
     return "WITH " + ",\n".join(ctes), union
 
 
-def _bpe_encode_oracle_sql(m: int = BPE_MERGES) -> str:
+def _bpe_encode_oracle_sql(
+    m: int = BPE_MERGES, source: str = "documents"
+) -> str:
     """Document encoding replayed through the training chain's final
     segmented vocabulary ``w{m+1}`` — an INDEPENDENT formulation from
     the Spark side's per-word literal-merge fold (vocab-join replay vs
     greedy fold; they agree by induction on the per-round fold parity
     the bpe_merges tests pin)."""
-    chain, _ = _bpe_oracle_parts(m)
+    chain, _ = _bpe_oracle_parts(m, source)
     return f"""{chain},
     dtoks AS (
         SELECT doc_id,
@@ -1629,7 +1635,7 @@ def _bpe_encode_oracle_sql(m: int = BPE_MERGES) -> str:
         FROM (SELECT doc_id,
                      list_filter(string_split_regex(lower(text), '\\s+'),
                                  x -> x <> '') AS ws
-              FROM documents)),
+              FROM {source})),
     enc AS (
         SELECT d.doc_id, d.j, v.syms
         FROM dtoks d JOIN w{m + 1} v USING (word)),
@@ -1637,13 +1643,13 @@ def _bpe_encode_oracle_sql(m: int = BPE_MERGES) -> str:
         SELECT doc_id, flatten(list(syms ORDER BY j)) AS toks,
                CAST(COUNT(*) AS BIGINT) AS n_words
         FROM enc GROUP BY doc_id)
-    -- LEFT JOIN from documents: a zero-word doc has no dtoks/eagg row
+    -- LEFT JOIN from the corpus: a zero-word doc has no dtoks/eagg row
     -- but the Spark side still emits (0, 0, '') for it
     SELECT d.doc_id,
            CAST(COALESCE(e.n_words, 0) AS BIGINT) AS n_words,
            CAST(COALESCE(len(e.toks), 0) AS BIGINT) AS n_bpe_tokens,
            COALESCE(array_to_string(e.toks, ' '), '') AS bpe_text
-    FROM documents d LEFT JOIN eagg e USING (doc_id)"""
+    FROM {source} d LEFT JOIN eagg e USING (doc_id)"""
 
 
 @_q("bpe_merges", _bpe_oracle_sql())
@@ -1809,5 +1815,66 @@ def bpe_encode_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bpe_encode_1k's 128-round oracle replay assumes the corpus "
             "vocabulary exhausts below 128 merges; this corpus supports "
             f"{len(merges)} — register the full-budget oracle instead"
+        )
+    return _bpe_apply(d, merges)
+
+
+# --- tokenizer depth on a rich vocabulary (r10 verdict item 2) --------
+# The driver corpora's 31-word vocabulary exhausts at ~89 merges, so no
+# driver table can exercise BPE at real depth. The zipf sidecar corpus
+# (sources/zipf_corpus.py: 60k distinct syllable-structured words,
+# seed-deterministic) trains 128 REAL merges on this subset — the
+# full-budget training-replay oracle that bpe_encode_1k's guard points
+# to, with zero post-exhaustion identity rounds.
+
+#: docs of the zipf corpus in the oracle row (4,389 distinct words —
+#: plenty for 128 real merges; keeps the 128-round DuckDB replay
+#: tractable). Depth beyond 128 (1,024+ real merges, batch widths,
+#: vocab-join encode wall) is measured on the FULL corpus by
+#: tools/probe_bpe_train.py -> BENCH_r11_bpe_train.json.
+ZIPF_ORACLE_DOCS = 150
+
+
+def _zipf_source_sql() -> str:
+    from snowalert_spark.sources.zipf_corpus import zipf_corpus_dir
+
+    return (
+        f"(SELECT * FROM read_parquet('{zipf_corpus_dir()}/"
+        f"documents.parquet') WHERE doc_id < {ZIPF_ORACLE_DOCS})"
+    )
+
+
+@_q(
+    "bpe_encode_zipf",
+    _bpe_encode_oracle_sql(BPE_MERGES_128, source=_zipf_source_sql()),
+)
+def bpe_encode_zipf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize the zipf-corpus subset with a 128-merge table where
+    all 128 merges are REAL (the vocabulary does not exhaust — raised
+    below, loudly). The DuckDB oracle re-derives the entire 128-round
+    training chain on the same parquet and replays encoding through
+    its final segmented vocabulary, so agreement verifies the trainer
+    AND the vocab-join apply at genuine depth — the first cross-engine
+    BPE check on a corpus whose structure doesn't saturate (r10
+    verdict item 2). ``sf_dir`` is unused: the corpus is the
+    seed-deterministic zipf sidecar, generated on first use."""
+    from snowalert_spark.functions import bpe as B
+    from snowalert_spark.sources.zipf_corpus import (
+        ZIPF_CORPUS_VERSION,
+        ensure_zipf_corpus,
+    )
+
+    path = ensure_zipf_corpus()
+    d = spark.read.parquet(f"{path}/documents.parquet").filter(
+        F.col("doc_id") < ZIPF_ORACLE_DOCS
+    )
+    merges = B.trained_merges(
+        spark, f"zipf_{ZIPF_CORPUS_VERSION}_d{ZIPF_ORACLE_DOCS}", d,
+        BPE_MERGES_128,
+    )
+    if len(merges) != BPE_MERGES_128:
+        raise ValueError(
+            f"bpe_encode_zipf requires {BPE_MERGES_128} REAL merges "
+            f"(no vocabulary exhaustion); trained {len(merges)}"
         )
     return _bpe_apply(d, merges)

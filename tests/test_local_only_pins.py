@@ -171,24 +171,30 @@ def test_corpus_vocab_topk_is_take_ordered(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_substring_spans_single_fingerprint_exchange(spark):
-    """The global occurrence count must come from ONE window pass over
-    the fingerprint exchange (the groupBy+join-back form evaluated the
-    md5 explode twice); no product join anywhere."""
+def test_substring_spans_salted_fingerprint_exchange(spark):
+    """r11: the occurrence count comes from a SALTED fingerprint
+    exchange (hot boilerplate keys spread over SUBSTR_SALT_BUCKETS —
+    the r10 hot-key advice) with a partial-combined per-hash total,
+    never the old Window-over-h (whole hot key on one partition);
+    no product join anywhere."""
     plan = _plan(spark, "dedup_substring_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" in plan
+    assert "salt" in plan
+    assert "Window" not in plan  # the skewed count window is gone
+    assert "HashAggregate" in plan
 
 
-def test_substring_removal_single_fingerprint_exchange(spark):
-    """The removal form ranks and counts occurrences in ONE window
-    pass over the fingerprint exchange (no separate groupBy+join), and
-    nothing in the plan is a product join."""
+def test_substring_removal_salted_fingerprint_exchange(spark):
+    """The removal form's count and globally-first occurrence come
+    from the same salted exchange + partial-combined aggregate (the
+    rank-1 window over the raw hot key is gone); no product join."""
     plan = _plan(spark, "dedup_substring_removal")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "Window" in plan
+    assert "salt" in plan
+    assert "Window" not in plan
+    assert "HashAggregate" in plan
 
 
 def test_tfidf_broadcast_scalar_and_no_product(spark):

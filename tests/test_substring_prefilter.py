@@ -1,0 +1,172 @@
+"""Substring-dedup r11 upgrades, pinned:
+
+1. winnowing prefilter (phase-1 stride cut): output of spans/removal
+   with ``prefilter=True`` is bit-identical on planted-repeat corpora,
+   including repeats at MISALIGNED offsets and at exactly the window
+   length (the case a position-strided sample provably misses);
+2. hot-key cap: the fingerprint exchange is salted — with ONE
+   fingerprint covering ~50% of the corpus, no reduce partition holds
+   more than ~2x the mean (previously every occurrence landed on one
+   partition) — and outputs equal a brute-force python reference;
+3. the two-level count + first-occurrence rule is semantics-preserving
+   (removal keeps exactly the globally-first occurrence).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import random
+
+import pyspark.sql.functions as F
+
+from snowalert_spark.functions import dedup as DD
+
+L = 40
+
+
+def _brute_spans(rows: list[tuple[int, str]], window=L, min_count=2):
+    counts: dict[str, int] = {}
+    for _, t in rows:
+        for i in range(len(t) - window + 1):
+            h = hashlib.md5(t[i : i + window].encode()).hexdigest()
+            counts[h] = counts.get(h, 0) + 1
+    out = {}
+    for doc_id, t in rows:
+        hits = [
+            i + 1
+            for i in range(len(t) - window + 1)
+            if counts[hashlib.md5(t[i : i + window].encode()).hexdigest()]
+            >= min_count
+        ]
+        n_spans = covered = 0
+        cur_end = -2
+        for p in hits:
+            if p > cur_end + 1:
+                n_spans += 1
+                covered += window
+            else:
+                covered += p + window - 1 - cur_end
+            cur_end = p + window - 1
+        out[doc_id] = (len(hits), n_spans, covered)
+    return out
+
+
+def _mkdocs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def _rand_text(rng, n):
+    return "".join(rng.choice("abcdefgh ") for _ in range(n))
+
+
+def _corpus(seed):
+    rng = random.Random(seed)
+    rows = []
+    shared = _rand_text(rng, L + rng.randrange(0, 30))  # >= window repeat
+    exact = _rand_text(rng, L)  # exactly-window repeat
+    for i in range(24):
+        t = _rand_text(rng, rng.randrange(30, 220))
+        if i % 4 == 0:
+            # misaligned offsets: insert at a random position
+            p = rng.randrange(0, max(1, len(t)))
+            t = t[:p] + shared + t[p:]
+        if i % 7 == 0:
+            p = rng.randrange(0, max(1, len(t)))
+            t = t[:p] + exact + t[p:]
+        rows.append((i, t))
+    return rows
+
+
+def test_prefilter_identical_on_planted_corpora(spark):
+    for seed in (1, 2, 3):
+        d = _mkdocs(spark, _corpus(seed))
+        plain = sorted(
+            map(tuple, DD.repeated_substring_spans(d).collect())
+        )
+        pre = sorted(
+            map(
+                tuple,
+                DD.repeated_substring_spans(d, prefilter=True).collect(),
+            )
+        )
+        assert plain == pre, f"spans diverged under prefilter (seed {seed})"
+        plain_r = sorted(
+            map(tuple, DD.remove_repeated_substrings(d).collect())
+        )
+        pre_r = sorted(
+            map(
+                tuple,
+                DD.remove_repeated_substrings(d, prefilter=True).collect(),
+            )
+        )
+        assert plain_r == pre_r, f"removal diverged (seed {seed})"
+
+
+def test_spans_match_brute_force_reference(spark):
+    rows = _corpus(11)
+    want = _brute_spans(rows)
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
+        for r in DD.repeated_substring_spans(_mkdocs(spark, rows)).collect()
+    }
+    assert got == want
+
+
+def test_winnow_hits_cover_exact_window_repeats(spark):
+    """A repeat of length EXACTLY `window` at misaligned offsets (the
+    winnowing guarantee threshold, where stride sampling fails) must
+    flag both docs; a unique-content doc must not be required."""
+    rng = random.Random(5)
+    exact = _rand_text(rng, L)
+    rows = [
+        (1, _rand_text(rng, 50) + exact + _rand_text(rng, 37)),
+        (2, _rand_text(rng, 63) + exact + _rand_text(rng, 20)),
+        (3, _rand_text(rng, 150)),
+    ]
+    hits = {
+        r["doc_id"]
+        for r in DD.winnow_hit_docs(_mkdocs(spark, rows), L).collect()
+    }
+    assert {1, 2} <= hits
+
+
+def test_salted_exchange_bounds_hot_key(spark):
+    """One fingerprint = ~50% of the corpus: the salted exchange must
+    spread it (max partition <= ~2x mean), and the span output must
+    still match the brute-force reference."""
+    rng = random.Random(7)
+    boiler = _rand_text(rng, L)  # the hot window, repeated everywhere
+    rows = [(i, boiler + _rand_text(rng, L)) for i in range(300)]
+    d = _mkdocs(spark, rows)
+    wins = DD._window_fingerprints(d, L, "doc_id", "text")
+    ex = DD._salted_exchange(wins)
+    sizes = [
+        r["count"]
+        for r in ex.groupBy(F.spark_partition_id().alias("p"))
+        .count()
+        .collect()
+    ]
+    mean = sum(sizes) / len(sizes)
+    assert max(sizes) <= 2.5 * mean, (
+        f"hot fingerprint not spread: max={max(sizes)} mean={mean:.0f}"
+    )
+    want = _brute_spans(rows)
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
+        for r in DD.repeated_substring_spans(d).collect()
+    }
+    assert got == want
+
+
+def test_removal_keeps_globally_first_occurrence(spark):
+    """The keep-one rule is min (doc_id, pos): doc 1 keeps its copy,
+    doc 2's is excised — exactly the previous rank-1 semantics."""
+    rng = random.Random(9)
+    shared = _rand_text(rng, L)
+    rows = [(1, shared + "x"), (2, "yz" + shared)]
+    got = {
+        r["doc_id"]: (r["clean_text"], r["removed_chars"])
+        for r in DD.remove_repeated_substrings(_mkdocs(spark, rows)).collect()
+    }
+    assert got[1] == (shared + "x", 0)
+    assert got[2] == ("yz", L)
