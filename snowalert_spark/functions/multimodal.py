@@ -272,6 +272,33 @@ def jpeg_decode(data: bytes) -> list[float]:
     metadata is covered by ``mp3_parse``; full MP3 PCM synthesis stays an
     honest stub (the reference decodes no media at all — this surface
     is the LLM-pipeline brief's)."""
+    import numpy as np
+
+    w, h, comps, planes, hmax, vmax = _jpeg_planes(data)
+    means = []
+    for c in comps:
+        cw = -(-w * c["h"] // hmax)
+        ch_ = -(-h * c["v"] // vmax)
+        valid = np.clip(planes[c["id"]][:ch_, :cw], 0, 255)
+        means.append(float(valid.mean()))
+    if len(comps) == 3:
+        y, cb, cr = means
+        means = [
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ]
+        means = [min(max(v, 0.0), 255.0) for v in means]
+    return [float(w), float(h), *(v / 255.0 for v in means)]
+
+
+def _jpeg_planes(data: bytes):
+    """The marker-parse + huffman/IDCT core of :func:`jpeg_decode`,
+    factored so the pixel-level consumers (``jpeg_pixels`` for the
+    dHash path, the MJPEG frame decoder) share one decoder: returns
+    ``(w, h, comps, planes, hmax, vmax)`` with full per-component
+    sample planes (padded to MCU size; callers slice the valid
+    region)."""
     import struct
 
     import numpy as np
@@ -411,21 +438,22 @@ def jpeg_decode(data: bytes) -> list[float]:
                     x0 = (mx * c["h"] + bx) * 8
                     planes[c["id"]][y0:y0 + 8, x0:x0 + 8] = block
 
-    means = []
-    for c in comps:
-        cw = -(-w * c["h"] // hmax)
-        ch_ = -(-h * c["v"] // vmax)
-        valid = np.clip(planes[c["id"]][:ch_, :cw], 0, 255)
-        means.append(float(valid.mean()))
-    if len(comps) == 3:
-        y, cb, cr = means
-        means = [
-            y + 1.402 * (cr - 128.0),
-            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
-            y + 1.772 * (cb - 128.0),
-        ]
-        means = [min(max(v, 0.0), 255.0) for v in means]
-    return [float(w), float(h), *(v / 255.0 for v in means)]
+    return w, h, comps, planes, hmax, vmax
+
+
+def jpeg_pixels(data: bytes) -> list[float]:
+    """Baseline JPEG -> row-major LUMINANCE scanline (the Y plane's
+    valid region; single-component files are already luminance) — the
+    PIXEL_DECODERS member for format 'jpeg', feeding the image dHash
+    the same spatial signal ``ppm_pixels`` provides for PPM."""
+    import numpy as np
+
+    w, h, comps, planes, hmax, vmax = _jpeg_planes(data)
+    c = comps[0]  # Y (or the sole grey component)
+    cw = -(-w * c["h"] // hmax)
+    ch_ = -(-h * c["v"] // vmax)
+    valid = np.clip(planes[c["id"]][:ch_, :cw], 0, 255)
+    return [float(v) for v in valid.reshape(-1)]
 
 
 def wav_decode(data: bytes) -> list[float]:
@@ -827,6 +855,9 @@ register_sample_decoder("wav", wav_samples)
 # the PPM luminance decoder ships registered, like wav above — the
 # image path works on format 'ppm' out of the box (round-8 advice)
 register_pixel_decoder("ppm", ppm_pixels)
+# baseline JPEG luminance (r11): the dHash real path now takes 'jpeg'
+# directly, sharing _jpeg_planes with the feature decoder
+register_pixel_decoder("jpeg", jpeg_pixels)
 
 
 # --------------------------------------------------------------------------
@@ -840,15 +871,86 @@ VIDEO_FRAMES = 4  # fixed-stride frame sample per clip
 VIDEO_MIN_FRAMES = 3  # near-dup rule: >= 3 of 4 aligned frames close
 
 #: Frame decoders for video hashing: ``fn(data: bytes, frames: int) ->
-#: list[list[float]]`` (one luminance scanline per sampled frame). No
-#: decoder ships (video codecs are out of scope — the honest stub
-#: policy); the synthetic parity path slices the payload bytes into
-#: ``frames`` equal segments and pools each like a frame.
+#: list[list[float]]`` (one luminance scanline per sampled frame).
+#: MJPEG ships (concatenated baseline JPEGs — the one video container
+#: decodable with the in-repo JPEG decoder and no codec library);
+#: inter-frame codecs (H.26x, VP9, AV1) stay honest injectable stubs.
+#: The synthetic parity path slices the payload bytes into ``frames``
+#: equal segments and pools each like a frame.
 FRAME_PIXEL_DECODERS: dict[str, "object"] = {}
 
 
 def register_frame_pixel_decoder(fmt: str, fn) -> None:
     FRAME_PIXEL_DECODERS[fmt] = fn
+
+
+def _jpeg_frame_spans(data: bytes) -> list[tuple[int, int]]:
+    """(start, end) byte spans of each complete JPEG in a concatenated
+    MJPEG stream: walks the public marker grammar (length-prefixed
+    segments; after SOS, entropy bytes with 0xFF00 unstuffing and
+    RST0-7 passthrough) to each EOI — no decoding, so span discovery
+    stays O(bytes) even when only a few frames get sampled."""
+    import struct
+
+    spans = []
+    pos = 0
+    n = len(data)
+    while pos < n:
+        if data[pos : pos + 2] != b"\xff\xd8":
+            raise ValueError(f"expected SOI at byte {pos}")
+        start, p = pos, pos + 2
+        in_scan = False
+        while True:
+            if in_scan:
+                if data[p] != 0xFF:
+                    p += 1
+                    continue
+                m = data[p + 1]
+                if m == 0x00 or 0xD0 <= m <= 0xD7:  # stuffed / RSTn
+                    p += 2
+                    continue
+                in_scan = False
+                continue
+            if data[p] != 0xFF:
+                raise ValueError(f"bad marker at byte {p}")
+            m = data[p + 1]
+            if m == 0xD9:  # EOI
+                spans.append((start, p + 2))
+                pos = p + 2
+                break
+            if m == 0xDA:  # SOS
+                (seglen,) = struct.unpack(">H", data[p + 2 : p + 4])
+                p += 2 + seglen
+                in_scan = True
+                continue
+            if m == 0x01 or 0xD0 <= m <= 0xD7:  # standalone markers
+                p += 2
+                continue
+            (seglen,) = struct.unpack(">H", data[p + 2 : p + 4])
+            p += 2 + seglen
+    return spans
+
+
+def mjpeg_frame_pixels(data: bytes, frames: int) -> list[list[float]]:
+    """MJPEG (concatenated baseline JPEGs) -> ``frames`` fixed-stride
+    sampled luminance scanlines — the real FRAME_PIXEL_DECODERS member
+    (format 'mjpeg'), mirroring how the image ('ppm'/'jpeg') and audio
+    ('wav') real paths work. Sampling picks frame index
+    ``f * n_frames // frames`` (clips shorter than ``frames`` repeat
+    frames rather than failing), and only the sampled frames are
+    DECODED — span discovery is a cheap marker walk."""
+    spans = _jpeg_frame_spans(data)
+    if not spans:
+        raise ValueError("empty mjpeg stream")
+    k = len(spans)
+    out = []
+    for f in range(frames):
+        s, e = spans[f * k // frames]
+        out.append(jpeg_pixels(data[s:e]))
+    return out
+
+
+register_frame_pixel_decoder("mjpeg", mjpeg_frame_pixels)
 
 
 def video_framehash(media: DataFrame, decode: str = "fake") -> DataFrame:
