@@ -85,6 +85,11 @@ HEADLINE = [
     "dedup_audio_fp",
     "video_framehash",
     "dedup_video_framehash",
+    # cluster-form media near-dup (r11): one row per id, no member-pair
+    # expansion — the scale-safe output the sf30 probes grade
+    "dedup_image_clusters",
+    "dedup_audio_clusters",
+    "dedup_video_clusters",
 ]
 
 

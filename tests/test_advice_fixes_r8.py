@@ -21,16 +21,17 @@ from snowalert_spark.functions.sampling import mixture_plan
 
 def test_registry_stats_single_source_of_truth():
     stats = workload.registry_stats()
-    # the numbers quoted in README.md and PARITY.md
+    # the numbers quoted in README.md and PARITY.md (r11: +3 cluster-
+    # form media rows + the zipf tokenizer-depth row)
     assert stats == {
-        "total": 96,
+        "total": 100,
         "driver_declared": 50,
-        "local_only": 46,
+        "local_only": 50,
         # oracle-complete since r10: every registry row has a
-        # cross-engine DuckDB oracle (bpe_encode_1k's is the 128-round
-        # training replay, exact under the exhaustion assert inside
-        # the query)
-        "with_oracle": 96,
+        # cross-engine DuckDB oracle (the cluster rows close theirs
+        # with recursive-CTE connected components; bpe_encode_zipf's
+        # is the 128-round training replay on the zipf sidecar)
+        "with_oracle": 100,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
     assert stats["local_only"] == len(workload.LOCAL_ONLY)

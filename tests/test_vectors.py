@@ -240,9 +240,16 @@ def test_driver_registry_is_exactly_capped(spark):
     # (embedding_label_stats joined it in the round-8 session-2
     # rotation — its agg shape ⊂ the declared q1 row)
     names = list(qs)
-    for n in ("ann_ivf_topk", "dedup_embedding_rplsh", "dedup_embedding_ivf"):
+    # (dedup_embedding_ivf rotated to LOCAL_ONLY in round 11 — its IVF
+    # training/assignment is the declared ann_ivf_topk and its
+    # candidate/verify shape is the declared dedup_embedding_rplsh)
+    for n in ("ann_ivf_topk", "dedup_embedding_rplsh"):
         assert names.index(n) < workload.DRIVER_QUERY_CAP
-    for n in ("dedup_embedding_cosine", "embedding_label_stats"):
+    for n in (
+        "dedup_embedding_cosine",
+        "embedding_label_stats",
+        "dedup_embedding_ivf",
+    ):
         assert n in workload.LOCAL_ONLY
         assert n in workload.oracle_sql(include_local=True)
 
