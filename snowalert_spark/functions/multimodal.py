@@ -872,9 +872,10 @@ VIDEO_MIN_FRAMES = 3  # near-dup rule: >= 3 of 4 aligned frames close
 
 #: Frame decoders for video hashing: ``fn(data: bytes, frames: int) ->
 #: list[list[float]]`` (one luminance scanline per sampled frame).
-#: MJPEG ships (concatenated baseline JPEGs — the one video container
-#: decodable with the in-repo JPEG decoder and no codec library);
-#: inter-frame codecs (H.26x, VP9, AV1) stay honest injectable stubs.
+#: MJPEG ships (concatenated baseline JPEGs — decodable with the
+#: in-repo JPEG decoder and no codec library), and so does animated
+#: GIF (pure-stdlib LZW + frame compositing, below); inter-frame
+#: codecs (H.26x, VP9, AV1) stay honest injectable stubs.
 #: The synthetic parity path slices the payload bytes into ``frames``
 #: equal segments and pools each like a frame.
 FRAME_PIXEL_DECODERS: dict[str, "object"] = {}
@@ -951,6 +952,170 @@ def mjpeg_frame_pixels(data: bytes, frames: int) -> list[list[float]]:
 
 
 register_frame_pixel_decoder("mjpeg", mjpeg_frame_pixels)
+
+
+# ---- GIF87a/89a (the second real video container: pure-stdlib LZW +
+# frame compositing; also serves stills via the first frame) ------------
+
+
+def _gif_lzw(min_size: int, buf: bytes, npix: int) -> bytearray:
+    """GIF-flavor LZW decode (LSB-first bit packing, CLEAR/EOI codes,
+    code width grows at table size 2^width up to 12 bits) -> palette
+    indices, truncated/validated against the expected pixel count."""
+    clear = 1 << min_size
+    eoi = clear + 1
+    base = [bytes([i]) for i in range(clear)] + [b"", b""]
+    table = list(base)
+    width = min_size + 1
+    acc = bits = 0
+    pos = 0
+    out = bytearray()
+    prev = None
+    while len(out) < npix:
+        while bits < width:
+            if pos >= len(buf):
+                raise ValueError("truncated LZW stream")
+            acc |= buf[pos] << bits
+            bits += 8
+            pos += 1
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        bits -= width
+        if code == clear:
+            table = list(base)
+            width = min_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if code < len(table):
+            entry = table[code]
+        elif code == len(table) and prev is not None:
+            entry = prev + prev[:1]
+        else:
+            raise ValueError(f"bad LZW code {code}")
+        out += entry
+        if prev is not None:
+            table.append(prev + entry[:1])
+            if len(table) == (1 << width) and width < 12:
+                width += 1
+        prev = entry
+    if len(out) < npix:
+        raise ValueError("LZW stream ended early")
+    return out[:npix]
+
+
+_GIF_INTERLACE = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def _gif_frames(data: bytes) -> tuple[int, int, list[list[float]]]:
+    """Decode every frame of a GIF87a/89a stream into full-canvas
+    luminance scanlines ((r+g+b)/3 per pixel, the ppm_pixels
+    convention): logical-screen canvas, per-frame rect compositing
+    with transparency, and disposal methods 1 (leave) / 2 (restore to
+    background) / 3 (restore to previous). GIF's LZW is sequential, so
+    unlike MJPEG every frame decodes — small-clip container, honest
+    cost."""
+    import struct
+
+    if data[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a gif")
+    w, h = struct.unpack("<HH", data[6:10])
+    packed, bg_idx = data[10], data[11]
+    pos = 13
+    gct: list[float] = []
+    if packed & 0x80:
+        n = 2 ** ((packed & 7) + 1)
+        gct = [
+            (data[pos + 3 * i] + data[pos + 3 * i + 1] + data[pos + 3 * i + 2])
+            / 3.0
+            for i in range(n)
+        ]
+        pos += 3 * n
+    bg = gct[bg_idx] if bg_idx < len(gct) else 0.0
+    canvas = [bg] * (w * h)
+    frames: list[list[float]] = []
+    disposal, transparent = 0, -1
+    while pos < len(data):
+        block = data[pos]
+        if block == 0x3B:  # trailer
+            break
+        if block == 0x21:  # extension
+            label = data[pos + 1]
+            pos += 2
+            if label == 0xF9 and data[pos] >= 4:  # graphic control
+                gp = data[pos + 1]
+                disposal = (gp >> 2) & 7
+                transparent = data[pos + 4] if gp & 1 else -1
+            while data[pos]:  # skip sub-blocks
+                pos += 1 + data[pos]
+            pos += 1
+            continue
+        if block != 0x2C:
+            raise ValueError(f"bad gif block 0x{block:02x} at byte {pos}")
+        left, top, iw, ih = struct.unpack("<4H", data[pos + 1 : pos + 9])
+        ipacked = data[pos + 9]
+        pos += 10
+        pal = gct
+        if ipacked & 0x80:
+            n = 2 ** ((ipacked & 7) + 1)
+            pal = [
+                (data[pos + 3 * i] + data[pos + 3 * i + 1] + data[pos + 3 * i + 2])
+                / 3.0
+                for i in range(n)
+            ]
+            pos += 3 * n
+        min_size = data[pos]
+        pos += 1
+        lzw = bytearray()
+        while data[pos]:
+            lzw += data[pos + 1 : pos + 1 + data[pos]]
+            pos += 1 + data[pos]
+        pos += 1
+        idx = _gif_lzw(min_size, bytes(lzw), iw * ih)
+        rows = range(ih)
+        if ipacked & 0x40:  # interlaced: 4-pass row order
+            rows = [r for start, step in _GIF_INTERLACE
+                    for r in range(start, ih, step)]
+        saved = list(canvas) if disposal == 3 else None
+        for src_row, r in enumerate(rows):
+            base_src = src_row * iw
+            base_dst = (top + r) * w + left
+            for c in range(iw):
+                v = idx[base_src + c]
+                if v != transparent:
+                    canvas[base_dst + c] = pal[v]
+        frames.append(list(canvas))
+        if disposal == 2:  # restore rect to background
+            for r in range(ih):
+                base_dst = (top + r) * w + left
+                canvas[base_dst : base_dst + iw] = [bg] * iw
+        elif disposal == 3 and saved is not None:
+            canvas = saved
+        disposal, transparent = 0, -1
+    if not frames:
+        raise ValueError("gif has no image blocks")
+    return w, h, frames
+
+
+def gif_frame_pixels(data: bytes, frames: int) -> list[list[float]]:
+    """Animated GIF -> ``frames`` fixed-stride sampled full-canvas
+    luminance scanlines — the FRAME_PIXEL_DECODERS member for format
+    'gif', same sampling rule as mjpeg_frame_pixels (short clips
+    repeat frames)."""
+    _, _, decoded = _gif_frames(data)
+    k = len(decoded)
+    return [decoded[f * k // frames] for f in range(frames)]
+
+
+def gif_pixels(data: bytes) -> list[float]:
+    """Still (or first frame of animated) GIF -> luminance scanline —
+    the PIXEL_DECODERS member for format 'gif', feeding image dHash."""
+    return _gif_frames(data)[2][0]
+
+
+register_frame_pixel_decoder("gif", gif_frame_pixels)
+register_pixel_decoder("gif", gif_pixels)
 
 
 def video_framehash(media: DataFrame, decode: str = "fake") -> DataFrame:

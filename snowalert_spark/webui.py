@@ -217,12 +217,29 @@ class WebApi:
 
     # ---- /api/sa/data (webui/api/data.py:50-116) -------------------------
     def get_data(self, environ) -> dict:
+        # ``connectors`` keeps the original map shape (webui_pages renders
+        # from it); ``connector_specs`` mirrors the reference payload the
+        # SPA consumes — one entry per connector with its options, the
+        # module docstring, and whether finalize/test stages exist
+        # (reference: src/connectors/__init__.py:65-77 builds the same
+        # list, frontend Connectors.tsx:195-211 keys the Create-vs-Next
+        # button off the ``finalize`` flag).
         return {
             "success": True,
             "connectors": {
                 name: getattr(mod, "CONNECTION_OPTIONS", [])
                 for name, mod in self.connectors.items()
             },
+            "connector_specs": [
+                {
+                    "connector": name,
+                    "options": getattr(mod, "CONNECTION_OPTIONS", []),
+                    "docstring": (mod.__doc__ or "").strip(),
+                    "finalize": callable(getattr(mod, "finalize", None)),
+                    "test": callable(getattr(mod, "test", None)),
+                }
+                for name, mod in self.connectors.items()
+            ],
             "baselines": self.baselines,
         }
 

@@ -88,7 +88,9 @@ def probe_dir(spark, sf_dir: str) -> dict:
             # be row-identical, not just row-count-identical
             res = fn(d, prefilter=mode)
             sums[mode] = res.agg(
-                F.sum(F.xxhash64(*res.columns)).alias("s"),
+                # decimal(38,0) sum: a long sum of 64-bit hashes
+                # overflows under ANSI mode
+                F.sum(F.xxhash64(*res.columns).cast("decimal(38,0)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             ).collect()[0]
         assert (sums[False]["s"], sums[False]["n"]) == (
