@@ -1153,22 +1153,27 @@ def _window_fingerprints(
 
     The fingerprint is a struct of two independently-seeded xxhash64s
     (h = struct<a:bigint, b:bigint>, 16 bytes): same 2^-128 collision
-    bound as the md5 hex string this replaced, but ~2.5x less hash CPU
-    in the expansion and ~60% fewer bytes through the corpus-sized
-    exchange (a 32-char string is 40+ bytes shuffled) — the two
-    dominant costs of the operator at scale. Only equality/grouping
-    ever touch ``h``, so the format is free to be whatever is
-    cheapest."""
+    bound as the md5 hex string this replaced, with ~60% fewer bytes
+    through the corpus-sized exchange (a 32-char string is 40+ bytes
+    shuffled) and measurably cheaper expansion (~10% wall on the full
+    count pipeline at sf0.1, ABBA-controlled vs md5-hex; unhex(md5)
+    ties locally but keeps md5's per-byte cost at wider windows). The
+    window substring is materialized ONCE in an inner transform and
+    hashed twice in the outer one — inlining the substring into both
+    hash calls measured ~20% slower than md5-hex. Only
+    equality/grouping ever touch ``h``, so the format is free to be
+    whatever is cheapest."""
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
             F.when(
                 F.length(text_col) >= L,
                 F.expr(
-                    f"transform(sequence(1, length({text_col}) - {L} + 1), "
-                    f"i -> struct(i AS pos, named_struct("
-                    f"'a', xxhash64(substring({text_col}, i, {L})), "
-                    f"'b', xxhash64(substring({text_col}, i, {L}), 1065353216L)"
+                    f"transform(transform("
+                    f"sequence(1, length({text_col}) - {L} + 1), "
+                    f"i -> struct(i AS pos, substring({text_col}, i, {L}) AS s)), "
+                    f"p -> struct(p.pos AS pos, named_struct("
+                    f"'a', xxhash64(p.s), 'b', xxhash64(p.s, 1065353216L)"
                     f") AS h))"
                 ),
             ).otherwise(
