@@ -37,9 +37,56 @@ def run_violations(spark, store, registry) -> None:
     violation_queries.suppress(spark, store, registry)
 
 
+def serve_webui(
+    spark,
+    registry,
+    host: str = "",
+    port: int = 8000,
+    ui: str = "spa",
+    secret: str | None = None,
+    connector_modules: list[str] | None = None,
+    serve: bool = True,
+):
+    """Serve the WebUI (reference: ``./run webui`` →
+    src/webui/backend/webui/app.py). ``ui='spa'`` serves the
+    single-page app shell everywhere + the JSON API under /api/
+    (the reference's React frontend analog); ``ui='pages'`` serves
+    the server-rendered HTML layer over the same API. The sid secret
+    comes from --secret or $SA_WEBUI_SECRET (empty = mutation
+    endpoints fail closed, matching WebApi's auth gate)."""
+    import importlib as _il
+    import os
+    from wsgiref.simple_server import make_server
+
+    from snowalert_spark.webui import WebApi
+    from snowalert_spark.webui_pages import WebPages
+    from snowalert_spark.webui_spa import WebSPA
+
+    connectors = {}
+    for path in connector_modules or ["snowalert_spark.sources.okta"]:
+        mod = _il.import_module(path)
+        if getattr(mod, "CONNECTION_OPTIONS", None) and callable(
+            getattr(mod, "connect", None)
+        ):
+            connectors[path.rsplit(".", 1)[-1]] = mod
+    api = WebApi(
+        registry,
+        secret=secret if secret is not None
+        else os.environ.get("SA_WEBUI_SECRET", ""),
+        spark=spark,
+        connectors=connectors,
+    )
+    app = WebSPA(api) if ui == "spa" else WebPages(api)
+    srv = make_server(host, port, app)
+    print(f"webui ({ui}) listening on :{srv.server_port}")
+    if serve:
+        srv.serve_forever()
+    return srv
+
+
 def main(argv: list[str] | None = None) -> int:
     p = argparse.ArgumentParser(prog="snowalert-spark")
-    p.add_argument("target", choices=["alerts", "violations", "all"])
+    p.add_argument("target", choices=["alerts", "violations", "all", "webui"])
     p.add_argument("--store", default="./results")
     p.add_argument(
         "--rules",
@@ -57,6 +104,14 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--cutoff-minutes", type=int, default=None)
     p.add_argument("--from-ts", default=None, help="ISO timestamp")
     p.add_argument("--to-ts", default=None, help="ISO timestamp")
+    # webui target options (reference: ./run webui)
+    p.add_argument("--host", default="")
+    p.add_argument("--port", type=int, default=8000)
+    p.add_argument("--ui", choices=["spa", "pages"], default="spa")
+    p.add_argument("--secret", default=None,
+                   help="sid secret (default $SA_WEBUI_SECRET)")
+    p.add_argument("--connectors", default=None,
+                   help="comma-separated connector module paths")
     args = p.parse_args(argv)
 
     import datetime as dt
@@ -84,6 +139,16 @@ def main(argv: list[str] | None = None) -> int:
             _packs.register_pack_rules(registry, f"{_packs.PACKS_DIR}/{f}")
             _packs.create_pack_data_views(spark, f"{_packs.PACKS_DIR}/{f}")
 
+    if args.target == "webui":
+        serve_webui(
+            spark, registry, host=args.host, port=args.port, ui=args.ui,
+            secret=args.secret,
+            connector_modules=(
+                [m.strip() for m in args.connectors.split(",") if m.strip()]
+                if args.connectors else None
+            ),
+        )
+        return 0
     if args.target in ("alerts", "all"):
         run_alerts(spark, store, registry, from_ts=from_ts, to_ts=to_ts)
     if args.target in ("violations", "all"):

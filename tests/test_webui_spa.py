@@ -154,34 +154,43 @@ globalThis.prompt = () => null;
 globalThis.confirm = () => false;
 const src = readFileSync(process.argv[3], 'utf8') + '\\nglobalThis.__route = route;';
 (0, eval)(src.replace('"use strict";', ''));
-const tick = (ms = 400) => new Promise(r => setTimeout(r, ms));
-const view = () => elements['view'].innerHTML;
+const view = () => (elements['view'] || {innerHTML: ''}).innerHTML;
+const html = (id) => (elements[id] || {innerHTML: ''}).innerHTML;
 const assert = (c, m) => { if (!c) { console.error('FAIL: ' + m); process.exit(1); } };
+// poll-wait: fixed sleeps are flaky when the suite runs in parallel
+async function until(cond, m, ms = 15000) {
+  const t0 = Date.now();
+  while (!cond()) {
+    if (Date.now() - t0 > ms) { console.error('FAIL: ' + m); process.exit(1); }
+    await new Promise(r => setTimeout(r, 50));
+  }
+}
 
-globalThis.location.hash = '#/alerts'; __route(); await tick();
-assert(view().includes('SPA_E2E'), 'alerts lists the query');
-globalThis.location.hash = '#/alerts/SPA_E2E_ALERT_QUERY'; __route(); await tick();
-assert(elements['editor'].innerHTML.includes('r-body'), 'editor rendered');
-assert(elements['editor'].innerHTML.includes('actor'), 'editor body has SQL');
-globalThis.location.hash = '#/violations'; __route(); await tick();
-assert(view().includes('Dashboard') || view().includes('rules loaded'), 'violations renders');
-globalThis.location.hash = '#/policies'; __route(); await tick();
-assert(view().includes('no policy definitions') || view().includes('card'), 'policies renders');
-globalThis.location.hash = '#/baselines'; __route(); await tick();
-assert(view().includes('bl_smoke'), 'baselines listed');
-globalThis.location.hash = '#/connectors/fake_api'; __route(); await tick();
-assert(elements['conn-card'].innerHTML.includes('Next'), 'finalize connector shows Next');
+globalThis.location.hash = '#/alerts'; __route();
+await until(() => view().includes('SPA_E2E'), 'alerts lists the query');
+globalThis.location.hash = '#/alerts/SPA_E2E_ALERT_QUERY'; __route();
+await until(() => html('editor').includes('r-body'), 'editor rendered');
+await until(() => html('editor').includes('actor'), 'editor body has SQL');
+globalThis.location.hash = '#/violations'; __route();
+await until(() => view().includes('Dashboard') || view().includes('rules loaded'), 'violations renders');
+globalThis.location.hash = '#/policies'; __route();
+await until(() => view().includes('no policy definitions') || view().includes('card'), 'policies renders');
+globalThis.location.hash = '#/baselines'; __route();
+await until(() => view().includes('bl_smoke'), 'baselines listed');
+globalThis.location.hash = '#/connectors/fake_api'; __route();
+await until(() => html('conn-card').includes('Next'), 'finalize connector shows Next');
 getEl('conn-name').value = 'smoke';
 globalThis.document.querySelectorAll = () => [
   {value: 'acme', dataset: {opt: 'subdomain'}}];
-await elements['conn-create'].onclick(); await tick(100);
-assert(elements['conn-out'].innerHTML.includes('finalize'), 'connect response shown');
-await elements['conn-finalize'].onclick(); await tick(100);
-assert(elements['conn-out'].innerHTML.includes('finalized'), 'finalize response shown');
-globalThis.location.hash = '#/alerts/%2BQUERY'; __route(); await tick();
+await elements['conn-create'].onclick();
+await until(() => html('conn-out').includes('finalize'), 'connect response shown');
+await elements['conn-finalize'].onclick();
+await until(() => html('conn-out').includes('finalized'), 'finalize response shown');
+globalThis.location.hash = '#/alerts/%2BQUERY'; __route();
+await until(() => elements['r-save'] && elements['r-save'].onclick, 'draft editor rendered');
 getEl('r-title').value = 'SPA_NEW';
 getEl('r-body').value = "SELECT 'y' AS actor";
-await elements['r-save'].onclick(); await tick(100);
+await elements['r-save'].onclick();
 const rules = await (await fetch('/api/sa/rules?target=ALERT')).json();
 assert(rules.rules.some(r => r.title === 'SPA_NEW'), 'editor save persisted');
 console.log('SPA_SMOKE_OK');
@@ -240,3 +249,40 @@ def test_spa_client_executes_every_route(tmp_path):
         assert "SPA_SMOKE_OK" in out.stdout
     finally:
         srv.shutdown()
+
+
+def test_serve_webui_cli_target():
+    """`python -m snowalert_spark.run webui` analog (reference: ./run
+    webui → webui/app.py): serve_webui builds the app over a live
+    registry + default connector set and serves real HTTP; both UI
+    flavors mount the same JSON API."""
+    import threading
+    import urllib.request
+
+    from snowalert_spark.run import serve_webui
+
+    reg = RuleRegistry()
+    reg.create("CLI_SMOKE_ALERT_QUERY", sql="SELECT 'u' AS actor",
+               comment="cli smoke")
+    for ui, marker in (("spa", b"spa-root"), ("pages", b"<nav>")):
+        srv = serve_webui(None, reg, host="127.0.0.1", port=0, ui=ui,
+                          secret=SECRET, serve=False)
+        t = threading.Thread(target=srv.serve_forever, daemon=True)
+        t.start()
+        try:
+            base = f"http://127.0.0.1:{srv.server_port}"
+            page = urllib.request.urlopen(f"{base}/", timeout=10).read()
+            assert marker in page
+            req = urllib.request.Request(
+                f"{base}/api/sa/rules?target=ALERT",
+                headers={"Cookie": f"sid={SECRET}"})
+            rules = json.loads(urllib.request.urlopen(req, timeout=10).read())
+            assert [r["title"] for r in rules["rules"]] == ["CLI_SMOKE"]
+            # the default connector set exposes okta with its options
+            data = json.loads(urllib.request.urlopen(
+                f"{base}/api/sa/data", timeout=10).read())
+            assert "okta" in data["connectors"]
+            assert any(s["connector"] == "okta"
+                       for s in data["connector_specs"])
+        finally:
+            srv.shutdown()
