@@ -995,7 +995,10 @@ def _gif_lzw(min_size: int, buf: bytes, npix: int) -> bytearray:
         else:
             raise ValueError(f"bad LZW code {code}")
         out += entry
-        if prev is not None:
+        # table freezes at 4096 codes (12-bit max) until the next
+        # CLEAR — the spec's deferred-clear mode; encoders emit only
+        # frozen-table codes past this point
+        if prev is not None and len(table) < 4096:
             table.append(prev + entry[:1])
             if len(table) == (1 << width) and width < 12:
                 width += 1
@@ -1032,8 +1035,10 @@ def _gif_frames(data: bytes) -> tuple[int, int, list[list[float]]]:
             for i in range(n)
         ]
         pos += 3 * n
+    import numpy as np
+
     bg = gct[bg_idx] if bg_idx < len(gct) else 0.0
-    canvas = [bg] * (w * h)
+    canvas = np.full((h, w), bg, dtype=np.float64)
     frames: list[list[float]] = []
     disposal, transparent = 0, -1
     while pos < len(data):
@@ -1073,23 +1078,27 @@ def _gif_frames(data: bytes) -> tuple[int, int, list[list[float]]]:
             pos += 1 + data[pos]
         pos += 1
         idx = _gif_lzw(min_size, bytes(lzw), iw * ih)
-        rows = range(ih)
-        if ipacked & 0x40:  # interlaced: 4-pass row order
-            rows = [r for start, step in _GIF_INTERLACE
-                    for r in range(start, ih, step)]
-        saved = list(canvas) if disposal == 3 else None
-        for src_row, r in enumerate(rows):
-            base_src = src_row * iw
-            base_dst = (top + r) * w + left
-            for c in range(iw):
-                v = idx[base_src + c]
-                if v != transparent:
-                    canvas[base_dst + c] = pal[v]
-        frames.append(list(canvas))
+        # numpy compositing: the per-pixel work is the throughput
+        # ceiling inside the Arrow-batched decode UDFs, so index
+        # lookup, transparency mask and rect blit are all vectorized
+        idx_arr = np.frombuffer(bytes(idx), dtype=np.uint8).reshape(ih, iw)
+        if ipacked & 0x40:  # interlaced: rows arrive in 4-pass order
+            order = [r for start, step in _GIF_INTERLACE
+                     for r in range(start, ih, step)]
+            display = np.empty_like(idx_arr)
+            display[order] = idx_arr
+            idx_arr = display
+        lum = np.asarray(pal, dtype=np.float64)[idx_arr]
+        saved = canvas.copy() if disposal == 3 else None
+        rect = canvas[top : top + ih, left : left + iw]
+        if transparent >= 0:
+            mask = idx_arr != transparent
+            rect[mask] = lum[mask]
+        else:
+            rect[:] = lum
+        frames.append([float(v) for v in canvas.reshape(-1)])
         if disposal == 2:  # restore rect to background
-            for r in range(ih):
-                base_dst = (top + r) * w + left
-                canvas[base_dst : base_dst + iw] = [bg] * iw
+            canvas[top : top + ih, left : left + iw] = bg
         elif disposal == 3 and saved is not None:
             canvas = saved
         disposal, transparent = 0, -1

@@ -35,8 +35,9 @@ def lzw_encode(min_size: int, seq: bytes) -> bytes:
             w = wc
             continue
         codes.append(table[w])
-        table[wc] = next_code
-        next_code += 1
+        if next_code < 4096:  # table freezes at 12-bit max (deferred clear)
+            table[wc] = next_code
+            next_code += 1
         w = bytes([ch])
     if w:
         codes.append(table[w])
@@ -59,7 +60,7 @@ def lzw_encode(min_size: int, seq: bytes) -> bytes:
             continue
         if code == eoi:
             break
-        if prev:
+        if prev and table_len < 4096:
             table_len += 1
             if table_len == (1 << width) and width < 12:
                 width += 1
@@ -234,3 +235,15 @@ def test_video_framehash_real_gif_stability(spark):
         for f in range(M.VIDEO_FRAMES))
     assert close_12 >= M.VIDEO_MIN_FRAMES
     assert close_13 < M.VIDEO_MIN_FRAMES
+
+
+def test_lzw_12bit_table_freeze():
+    """Random frames past ~4096 distinct patterns cross the 12-bit
+    code ceiling: both sides must freeze the table (deferred clear)
+    or the stream desyncs — regression for the large-frame case the
+    32x32 suites never reach."""
+    fr = _rand(42, 128, 128)
+    data = build_gif([fr], 128, 128)
+    assert M.gif_pixels(data) == [float(v) for v in fr.reshape(-1)]
+    seq = bytes(_rand(43, 200, 100).reshape(-1))  # 20k symbols
+    assert bytes(M._gif_lzw(8, lzw_encode(8, seq), len(seq))) == seq
