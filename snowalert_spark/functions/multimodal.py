@@ -1123,6 +1123,18 @@ def gif_pixels(data: bytes) -> list[float]:
     return _gif_frames(data)[2][0]
 
 
+def gif_decode(data: bytes) -> list[float]:
+    """GIF87a/89a feature vector for ``extract_features`` (the
+    DECODERS contract, like ppm_decode/png_decode): [width, height,
+    n_frames, mean first-frame luminance / 255]."""
+    w, h, frames = _gif_frames(data)
+    first = frames[0]
+    return [
+        float(w), float(h), float(len(frames)),
+        (sum(first) / len(first)) / 255.0 if first else 0.0,
+    ]
+
+
 register_frame_pixel_decoder("gif", gif_frame_pixels)
 register_pixel_decoder("gif", gif_pixels)
 

@@ -247,3 +247,22 @@ def test_lzw_12bit_table_freeze():
     assert M.gif_pixels(data) == [float(v) for v in fr.reshape(-1)]
     seq = bytes(_rand(43, 200, 100).reshape(-1))  # 20k symbols
     assert bytes(M._gif_lzw(8, lzw_encode(8, seq), len(seq))) == seq
+
+
+def test_extract_features_real_gif(spark):
+    """E2e: a real animated GIF lands in the binary media column and
+    decodes through the DECODERS registry inside the Arrow
+    mapInPandas stage (the png/ppm feature path, GIF member)."""
+    frames = [np.full((4, 4), 100, dtype=np.uint8),
+              np.full((4, 4), 200, dtype=np.uint8)]
+    media = spark.createDataFrame(
+        [(1, "video", build_gif(frames, 4, 4),
+          {"format": "gif", "width": 4, "height": 4, "duration_ms": None})],
+        M.MEDIA_SCHEMA)
+    M.register_decoder("gif", M.gif_decode)
+    try:
+        (row,) = M.extract_features(media, decode="real").collect()
+    finally:
+        M.DECODERS.clear()
+    assert row.feature[:3] == [4.0, 4.0, 2.0]
+    assert abs(row.feature[3] - 100.0 / 255.0) < 1e-6  # float32 column
