@@ -1151,9 +1151,16 @@ def _window_fingerprints(
     nothing). The O(corpus chars) stream both substring operators are
     built on.
 
-    The fingerprint is a struct of two independently-seeded xxhash64s
-    (h = struct<a:bigint, b:bigint>, 16 bytes): same 2^-128 collision
-    bound as the md5 hex string this replaced, with ~60% fewer bytes
+    The fingerprint is a struct of two xxhash64 passes under distinct
+    effective seeds (h = struct<a:bigint, b:bigint>, 16 bytes):
+    ``a = XXH64(s, seed=42)`` and ``b = XXH64(s, seed=XXH64(const,
+    42))`` — the constant goes FIRST so Spark's left-to-right fold
+    turns it into a seed prefix; putting it second would make ``b`` a
+    deterministic function of ``a`` (XXH64 of a constant seeded by
+    ``a``) and collapse the pair to 64-bit resistance (r11 advice).
+    Modeling the two seeded passes as independent gives ~2^-128
+    struct-collision probability — the same practical bound as the
+    md5 hex string this replaced — with ~60% fewer bytes
     through the corpus-sized exchange (a 32-char string is 40+ bytes
     shuffled) and measurably cheaper expansion (~10% wall on the full
     count pipeline at sf0.1, ABBA-controlled vs md5-hex; unhex(md5)
@@ -1173,7 +1180,7 @@ def _window_fingerprints(
                     f"sequence(1, length({text_col}) - {L} + 1), "
                     f"i -> struct(i AS pos, substring({text_col}, i, {L}) AS s)), "
                     f"p -> struct(p.pos AS pos, named_struct("
-                    f"'a', xxhash64(p.s), 'b', xxhash64(p.s, 1065353216L)"
+                    f"'a', xxhash64(p.s), 'b', xxhash64(1065353216L, p.s)"
                     f") AS h))"
                 ),
             ).otherwise(

@@ -1018,7 +1018,22 @@ def _gif_frames(data: bytes) -> tuple[int, int, list[list[float]]]:
     with transparency, and disposal methods 1 (leave) / 2 (restore to
     background) / 3 (restore to previous). GIF's LZW is sequential, so
     unlike MJPEG every frame decodes — small-clip container, honest
-    cost."""
+    cost.
+
+    Truncated streams raise ValueError like every other decoder here
+    (r11 advice): the block-walk indexes ``data[pos]`` freely, so a
+    stream cut mid-extension/sub-block/palette surfaces as IndexError/
+    struct.error — normalized at this single boundary rather than
+    bounds-checking each of the dozen read sites."""
+    import struct
+
+    try:
+        return _gif_frames_unchecked(data)
+    except (IndexError, struct.error) as e:
+        raise ValueError(f"truncated gif stream: {e}") from e
+
+
+def _gif_frames_unchecked(data: bytes) -> tuple[int, int, list[list[float]]]:
     import struct
 
     if data[:6] not in (b"GIF87a", b"GIF89a"):

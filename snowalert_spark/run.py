@@ -40,7 +40,7 @@ def run_violations(spark, store, registry) -> None:
 def serve_webui(
     spark,
     registry,
-    host: str = "",
+    host: str = "127.0.0.1",
     port: int = 8000,
     ui: str = "spa",
     secret: str | None = None,
@@ -69,6 +69,14 @@ def serve_webui(
             getattr(mod, "connect", None)
         ):
             connectors[path.rsplit(".", 1)[-1]] = mod
+        else:
+            # an explicitly-requested module that doesn't look like a
+            # connector is a config error, not something to silently
+            # drop from the UI (r11 advice)
+            raise ValueError(
+                f"connector module {path!r} lacks CONNECTION_OPTIONS or a "
+                f"callable connect() — not a connector module"
+            )
     api = WebApi(
         registry,
         secret=secret if secret is not None
@@ -105,7 +113,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--from-ts", default=None, help="ISO timestamp")
     p.add_argument("--to-ts", default=None, help="ISO timestamp")
     # webui target options (reference: ./run webui)
-    p.add_argument("--host", default="")
+    # loopback by default: binding all interfaces is an explicit
+    # operator choice (--host ''), not something a demo run does
+    p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.add_argument("--ui", choices=["spa", "pages"], default="spa")
     p.add_argument("--secret", default=None,

@@ -249,12 +249,20 @@ class WebApi:
         return self.connectors[connector]
 
     def connector_connect(self, environ, connector, name, options) -> dict:
+        # sid-gated like the rule mutations: the reference gates every
+        # data.py route with cache_oauth_connection (r11 advice — these
+        # POSTs configure/execute connectors, the most sensitive
+        # surface here)
+        if not self._sid_ok(environ):
+            return {"success": False, "message": "bad sid"}
         mod = self._module(connector)
         out = connector_config.configure(mod, name, options, self.encrypt)
         out.setdefault("success", True)
         return out
 
     def connector_finalize(self, environ, connector, name) -> dict:
+        if not self._sid_ok(environ):
+            return {"success": False, "message": "bad sid"}
         mod = self._module(connector)
         if not hasattr(mod, "finalize"):
             raise RuntimeError(f"connector {connector!r} has no finalize step")
@@ -263,6 +271,8 @@ class WebApi:
         return out
 
     def connector_test(self, environ, connector, name) -> dict:
+        if not self._sid_ok(environ):
+            return {"success": False, "message": "bad sid"}
         mod = self._module(connector)
         if not hasattr(mod, "test"):
             raise RuntimeError(f"connector {connector!r} has no test hook")

@@ -83,6 +83,8 @@ ul.rules li.sel{background:#e2eefb;color:#1d5e93}
 const $ = (id) => document.getElementById(id);
 const esc = (s) => String(s ?? "").replace(/[&<>"']/g,
   (c) => ({"&":"&amp;","<":"&lt;",">":"&gt;",'"':"&quot;","'":"&#39;"}[c]));
+const wireNav = () => document.querySelectorAll("li[data-nav]").forEach(
+  (el) => el.addEventListener("click", () => { location.hash = el.dataset.nav; }));
 async function api(path, body) {               // frontend/src/api.ts
   const opts = body === undefined ? {} : {
     method: "POST",
@@ -131,10 +133,14 @@ async function rulesView(page, sel) {
   const selRule = rules.find((r) => `${r.title}_${r.target}_${r.type}` === sel)
     || (sel === "+QUERY" && {title: "", target, type: "QUERY", body: "", draft: 1})
     || (sel === "+SUPPRESSION" && {title: "", target, type: "SUPPRESSION", body: "", draft: 1});
+  // nav targets ride a data attribute + addEventListener, never an
+  // inline handler attribute: encodeURIComponent leaves ' ( )
+  // unescaped, so a name inside a quoted inline-JS string is one
+  // naming-rule relaxation away from DOM XSS (r11 advice)
   const li = (r) => {
     const vn = `${r.title}_${r.target}_${r.type}`;
     return `<li class="${vn === sel ? "sel" : ""}"
-      onclick="location.hash='#/${page}/${encodeURIComponent(vn)}'">${esc(r.title)}</li>`;
+      data-nav="${esc(`#/${page}/${encodeURIComponent(vn)}`)}">${esc(r.title)}</li>`;
   };
   $("view").innerHTML = `
   <div class="row">
@@ -151,6 +157,7 @@ async function rulesView(page, sel) {
       <div id="editor"></div>
     </div></div>
   </div>`;
+  wireNav();
   if (selRule) editor(page, selRule);
   else $("editor").innerHTML =
     `<p class="muted">${rules.length} rules loaded — select one to edit,` +
@@ -236,7 +243,7 @@ async function connectorsView(page, sel) {
   const spec = specs.find((s) => s.connector === sel);
   const li = (s) =>
     `<li class="${s.connector === sel ? "sel" : ""}"
-      onclick="location.hash='#/connectors/${encodeURIComponent(s.connector)}'">${esc(s.connector)}</li>`;
+      data-nav="${esc(`#/connectors/${encodeURIComponent(s.connector)}`)}">${esc(s.connector)}</li>`;
   $("view").innerHTML = `
   <div class="row">
     <div class="tree"><div class="card"><h3>Connectors</h3>
@@ -245,6 +252,7 @@ async function connectorsView(page, sel) {
       <p class="muted">select a connector to configure a new connection</p>
     </div></div>
   </div>`;
+  wireNav();
   if (!spec) return;
   const fields = (spec.options || []).map((o) => `
     <label>${esc(o.title || o.name)}${o.required ? " *" : ""}

@@ -180,8 +180,8 @@ await until(() => view().includes('bl_smoke'), 'baselines listed');
 globalThis.location.hash = '#/connectors/fake_api'; __route();
 await until(() => html('conn-card').includes('Next'), 'finalize connector shows Next');
 getEl('conn-name').value = 'smoke';
-globalThis.document.querySelectorAll = () => [
-  {value: 'acme', dataset: {opt: 'subdomain'}}];
+globalThis.document.querySelectorAll = (sel) => sel === '[data-opt]'
+  ? [{value: 'acme', dataset: {opt: 'subdomain'}}] : [];
 await elements['conn-create'].onclick();
 await until(() => html('conn-out').includes('finalize'), 'connect response shown');
 await elements['conn-finalize'].onclick();
