@@ -226,7 +226,17 @@ def bpe_train_batched(
 #: word-count table); corpora past the budget take the distributed
 #: batched rounds.
 LOCAL_VOCAB_MAX_WORDS = 65536
-LOCAL_TRAIN_MAX_OPS = 200_000_000
+#: measured crossover (BENCH_r11_bpe_train, 60k-word zipf corpus,
+#: 1,024 merges = ~553M ops): driver-local trains at ~2M ops/s
+#: (281 s) while a batched round costs ~2.4 s of Spark overhead
+#: regardless of size (588 s for the same table) — so any corpus
+#: whose word table fits the vocab budget should train locally up to
+#: ~2B ops (~20 driver-minutes, still bounded), NOT the r10 cap of
+#: 200M that routed the zipf corpus to the 2.1x-slower batched path.
+#: The batched trainer remains the >driver-memory insurance: its cost
+#: is per-ROUND, so it wins exactly when the word table itself cannot
+#: collect (vocab cap above), never on ops volume alone in local mode.
+LOCAL_TRAIN_MAX_OPS = 2_000_000_000
 
 
 def _merge_greedy_local(syms: list[str], lhs: str, rhs: str) -> list[str]:
@@ -274,16 +284,13 @@ def bpe_train_local(
     return out
 
 
-def bpe_train_auto(
+def bpe_train_dispatch(
     docs: DataFrame, n_merges: int, text_col: str = "text"
-) -> list[tuple[int, str, str, int]]:
-    """Cost-based trainer dispatch (the PPJoin-style strategy choice):
-    one cheap aggregate sizes the word-frequency table; within the
-    driver budget the table collects and :func:`bpe_train_local` runs
-    sequentially in memory (exact, milliseconds per merge), otherwise
-    the distributed :func:`bpe_train_batched` rounds run with the
-    sequential-equivalence guard. All three trainers are bit-identical
-    (test-pinned), so this is a pure strategy choice."""
+) -> str:
+    """'local' or 'batched' — the cost-based trainer decision, exposed
+    separately so tests pin it without paying for training (r11
+    verdict item 3: the dispatch must not route a driver-feasible
+    corpus to the measured-2.1x-slower batched path)."""
     wf = word_freqs(docs, text_col)
     sz = wf.agg(
         F.count(F.lit(1)).alias("n"),
@@ -295,7 +302,25 @@ def bpe_train_auto(
         n_words <= LOCAL_VOCAB_MAX_WORDS
         and (total_syms + n_words) * max(n_merges, 1) <= LOCAL_TRAIN_MAX_OPS
     ):
-        rows = wf.collect()  # bounded driver protocol (budget above)
+        return "local"
+    return "batched"
+
+
+def bpe_train_auto(
+    docs: DataFrame, n_merges: int, text_col: str = "text"
+) -> list[tuple[int, str, str, int]]:
+    """Cost-based trainer dispatch (the PPJoin-style strategy choice):
+    one cheap aggregate sizes the word-frequency table; within the
+    driver budget (:data:`LOCAL_VOCAB_MAX_WORDS` words and
+    :data:`LOCAL_TRAIN_MAX_OPS` symbol-merge ops — the latter set
+    from the measured local/batched crossover, see the constant's
+    note) the table collects and :func:`bpe_train_local` runs
+    sequentially in memory (exact, milliseconds per merge), otherwise
+    the distributed :func:`bpe_train_batched` rounds run with the
+    sequential-equivalence guard. All three trainers are bit-identical
+    (test-pinned), so this is a pure strategy choice."""
+    if bpe_train_dispatch(docs, n_merges, text_col) == "local":
+        rows = word_freqs(docs, text_col).collect()  # bounded (budget)
         return bpe_train_local([(r.word, int(r.cnt)) for r in rows], n_merges)
     return bpe_train_batched(docs, n_merges, text_col)
 

@@ -1323,13 +1323,60 @@ def winnow_hit_docs(
     return ex.join(rep, "hv").select("doc_id").distinct()
 
 
+#: auto-mode ceiling on the phase-1 hit fraction: above this, so much
+#: of the corpus feeds phase 2 anyway that the prefilter's exchange
+#: saving can't repay its scan (the dense-duplication probe at
+#: hit_frac 0.54 LOST wall both SFs — BENCH_r11_substring_prefilter
+#: loss analysis put the crossover in the 0.1-0.2 band; 0.2 is its
+#: conservative edge)
+SUBSTR_PREFILTER_MAX_HIT_FRAC = 0.2
+
+
+def _resolve_substring_scan(
+    docs: DataFrame,
+    L: int,
+    id_col: str,
+    text_col: str,
+    prefilter,
+) -> tuple[DataFrame, bool, float | None]:
+    """The corpus slice feeding the stride-1 fingerprint stream, per
+    the ``prefilter`` mode of the two substring operators:
+
+    - ``False`` — every doc (the plain path);
+    - ``True`` — docs flagged by :func:`winnow_hit_docs` (forced);
+    - ``'auto'`` (the default) — run phase 1, measure the hit
+      fraction, and only restrict phase 2 when it is at most
+      :data:`SUBSTR_PREFILTER_MAX_HIT_FRAC`; denser corpora fall
+      through to the plain path with phase 1 as the only overhead.
+      The two counts are bounded driver scalars (one winnow job, one
+      corpus count), and the decision can't affect output — both
+      branches are bit-identical by the winnowing guarantee.
+
+    Returns ``(scan, used, hit_frac)`` — ``hit_frac`` is None unless
+    auto mode measured it (the test pin for the decision rule)."""
+    if prefilter is False or prefilter is None:
+        return docs, False, None
+    hit_ids = winnow_hit_docs(
+        docs, L, id_col=id_col, text_col=text_col
+    ).withColumnRenamed("doc_id", id_col)
+    if prefilter == "auto":
+        n = docs.count()
+        if n == 0:
+            return docs, False, 0.0
+        frac = hit_ids.count() / n
+        if frac > SUBSTR_PREFILTER_MAX_HIT_FRAC:
+            return docs, False, frac
+        return docs.join(hit_ids, id_col, "left_semi"), True, frac
+    return docs.join(hit_ids, id_col, "left_semi"), True, None
+
+
 def repeated_substring_spans(
     docs: DataFrame,
     window: int = 40,
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefilter: bool = False,
+    prefilter: bool | str = "auto",
 ) -> DataFrame:
     """Exact repeated-substring detection (the substring-level dedup of
     Lee et al., "Deduplicating Training Data Makes Language Models
@@ -1366,15 +1413,14 @@ def repeated_substring_spans(
     the 100 TB shape when duplication is sparse. Output is
     bit-identical either way (non-hit docs hold only unique windows);
     the zero rows for filtered docs come from the same final left
-    join every doc already passes through.
+    join every doc already passes through. The default ``'auto'``
+    measures phase 1's hit fraction and only restricts when at most
+    :data:`SUBSTR_PREFILTER_MAX_HIT_FRAC` of docs are flagged (the
+    sparse-duplication regime where the probe measured the win);
+    denser corpora fall through to the plain path.
     """
     L = int(window)
-    scan = docs
-    if prefilter:
-        hit_ids = winnow_hit_docs(
-            docs, L, id_col=id_col, text_col=text_col
-        ).withColumnRenamed("doc_id", id_col)
-        scan = docs.join(hit_ids, id_col, "left_semi")
+    scan, _, _ = _resolve_substring_scan(docs, L, id_col, text_col, prefilter)
     wins = _window_fingerprints(scan, L, id_col, text_col)
     hits = _repeated_positions(wins, min_count)
     # merge sorted positions into maximal spans: window at pos covers
@@ -1438,7 +1484,7 @@ def remove_repeated_substrings(
     min_count: int = 2,
     id_col: str = "doc_id",
     text_col: str = "text",
-    prefilter: bool = False,
+    prefilter: bool | str = "auto",
 ) -> DataFrame:
     """The cleaning counterpart of :func:`repeated_substring_spans` —
     Lee et al. (arXiv:2107.06499) REMOVE every duplicated substring,
@@ -1464,15 +1510,11 @@ def remove_repeated_substrings(
     work profile to the detection operator, including the optional
     winnowing ``prefilter`` (bit-identical output; kept-one windows
     in non-hit docs are untouched because a non-hit doc holds no
-    repeated window at all).
+    repeated window at all) and the same ``'auto'`` default
+    (:func:`_resolve_substring_scan`'s hit-fraction rule).
     """
     L = int(window)
-    scan = docs
-    if prefilter:
-        hit_ids = winnow_hit_docs(
-            docs, L, id_col=id_col, text_col=text_col
-        ).withColumnRenamed("doc_id", id_col)
-        scan = docs.join(hit_ids, id_col, "left_semi")
+    scan, _, _ = _resolve_substring_scan(docs, L, id_col, text_col, prefilter)
     wins = _window_fingerprints(scan, L, id_col, text_col)
     flagged = _repeated_positions(wins, min_count, exclude_first=True)
     cuts = flagged.groupBy("doc_id").agg(

@@ -71,7 +71,8 @@ LOCAL_ONLY = {
     # Round-7 session-2 curation additions (mixture planning,
     # deterministic shuffle sharding) — same local DuckDB oracle
     # coverage.
-    "corpus_mixture_plan",
+    # (corpus_mixture_plan — local since r7 — was promoted into the
+    # declared gate in the round-12 rotation below.)
     "corpus_shuffle_shards",
     "curation_funnel_stats",
     "dedup_cross_snapshot_minhash",
@@ -289,14 +290,22 @@ LOCAL_ONLY = {
     # + decontaminate_ngram (declared; the same eval-side-broadcast
     # decontamination LeftAnti semantics — the corpus never shuffles).
     "decontaminate_semantic",
-    # New in r11, beyond the gate cap: the image/audio cluster-form
-    # rows (local recursive-CTE oracles; their shared rep-graph +
-    # star-edge engine and closure semantics are gate-covered by the
-    # declared dedup_video_clusters, which exercises the same
-    # _clusters_from_rep_graph path through the strictest qualifying
-    # relation).
-    "dedup_image_clusters",
-    "dedup_audio_clusters",
+    # Round-12 gate rotation (r11 verdict item 5): promote the
+    # never-declared cluster siblings dedup_image_clusters and
+    # dedup_audio_clusters (they exercise the banded-SQL cluster path
+    # the video row doesn't) and corpus_mixture_plan (never-declared
+    # curation row). The three rows demoted to make room are the
+    # media PAIR forms, each strictly inside its promoted/declared
+    # cluster sibling (the cluster row computes the same decode →
+    # fingerprint → multi-block candidate → exact-verify pairs before
+    # collapsing them to components):
+    # dedup_image_dhash ⊂ dedup_image_clusters,
+    "dedup_image_dhash",
+    # dedup_audio_fp ⊂ dedup_audio_clusters,
+    "dedup_audio_fp",
+    # dedup_video_framehash ⊂ dedup_video_clusters (declared r11; same
+    # frame-signature collapse + aligned candidate/verify first).
+    "dedup_video_framehash",
     # ... and the tokenizer-depth row: 128 REAL merges trained +
     # encoded on the rich-vocabulary zipf sidecar corpus (the driver
     # corpora exhaust at ~89 — r10 verdict item 2), full 128-round

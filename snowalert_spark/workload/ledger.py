@@ -61,11 +61,11 @@ LEDGER: dict[str, dict] = {
     "dsir_select": _e(declared_in="r8"),
     "dedup_substring_removal": _e(declared_in="r8"),
     "unigram_logprob_scores": _e(declared_in="r8"),
-    "dedup_image_dhash": _e(declared_in="r8"),
+    "dedup_image_dhash": _e("r8", "r12", subsumed_by="dedup_image_clusters (declared r12; same decode -> dHash -> multi-block candidate -> popcount-verify pairs feed its rep graph)"),
     "doc_topic_clusters": _e(declared_in="r8"),
-    "dedup_audio_fp": _e(declared_in="r8"),
+    "dedup_audio_fp": _e("r8", "r12", subsumed_by="dedup_audio_clusters (declared r12; same fingerprint pair engine feeds its rep graph)"),
     "ann_ivfpq_topk": _e(declared_in="r9", added_in="r8"),
-    "dedup_video_framehash": _e(declared_in="r9", added_in="r8"),
+    "dedup_video_framehash": _e("r9", "r12", added_in="r8", subsumed_by="dedup_video_clusters (declared r11; same frame-signature collapse + aligned candidate/verify pairs feed its rep graph)"),
     "topic_balanced_sample": _e(declared_in="r9", added_in="r8"),
     "bigram_logprob_scores": _e(declared_in="r10", added_in="r9"),
     "bpe_encode_128": _e(declared_in="r10"),
@@ -94,7 +94,7 @@ LEDGER: dict[str, dict] = {
     "text_repetition_stats": _e(None, None, "r7", "text_quality_scores (same featurizer family)"),
     "embedding_quantize_int8": _e(None, None, "r7", "bit-exact local oracle"),
     "doc_chunk_packing": _e(None, None, "r7", "curation_filter_pipeline (same map-only shape)"),
-    "corpus_mixture_plan": _e(None, None, "r7", "local oracle (mixture planner)"),
+    "corpus_mixture_plan": _e(declared_in="r12", added_in="r7"),
     "corpus_shuffle_shards": _e(None, None, "r7", "local oracle (deterministic shard assignment)"),
     "curation_funnel_stats": _e(None, None, "r7", "curation_filter_pipeline (declared composite gate)"),
     "dedup_cross_snapshot_minhash": _e(None, None, "r7", "dedup_cross_snapshot (declared; same LeftAnti) + dedup_minhash_lsh"),
@@ -102,7 +102,7 @@ LEDGER: dict[str, dict] = {
     "embedding_pq_codes": _e(None, None, "r7", "ann_pq_topk/ann_ivfpq_topk (same PQ coding, oracle-checked end to end)"),
     # --- r8 rotations ----------------------------------------------------
     "union_dedupe_nationkeys": _e("r1", "r8", subsumed_by="dedup_exact collapse semantics + pack corpus UNION ALL verbatim"),
-    "image_dhash": _e(None, None, "r8", "dedup_image_dhash (declared; computes the same hashes before the band join)"),
+    "image_dhash": _e(None, None, "r8", "dedup_image_clusters (declared r12; computes the same hashes before the band join)"),
     "not_in_subquery_orders": _e("r1", "r8", subsumed_by="anti_join_parts_no_bulk_orders (identical LeftAnti plan) + pack corpus NOT IN"),
     "try_cast_coercion": _e("r1", "r8", subsumed_by="conditional_functions (same TRY_*/IFF rewrite path) + pack corpus"),
     "embedding_label_stats": _e("r1", "r8", subsumed_by="q1_pricing_summary (decimal-exact SUM/AVG) + ANN rows' norm arithmetic"),
@@ -111,8 +111,8 @@ LEDGER: dict[str, dict] = {
     "cosine_topk_bruteforce": _e("r1", "r8", subsumed_by="ann_ivf_topk (oracle verifies exact-cosine ranking); recall tests keep the baseline"),
     "json_path_extract": _e("r1", "r8", subsumed_by="recursive_flatten_paths + object_construct_canonical + pack corpus col:path"),
     "text_token_stats": _e("r1", "r8", subsumed_by="text_quality_scores + corpus_vocab_topk + bpe encode rows count every token"),
-    "audio_fingerprint": _e(None, None, "r8", "dedup_audio_fp (declared; same fingerprints before the band join)"),
-    "video_framehash": _e(None, None, "r8", "dedup_video_framehash (declared; same frame hashes before the aligned join)"),
+    "audio_fingerprint": _e(None, None, "r8", "dedup_audio_clusters (declared r12; same fingerprints before the band join)"),
+    "video_framehash": _e(None, None, "r8", "dedup_video_clusters (declared r11; same frame hashes before the aligned join)"),
     "bpe_encode_1k": _e(None, None, "r9", "bpe_encode_128 (declared; same vocab-join path) + exhaustion-asserted 128-round oracle"),
     # --- r9 rotations ----------------------------------------------------
     "object_construct_canonical": _e("r1", "r9", subsumed_by="violation_md5_identity (S7 drives OBJECT_CONSTRUCT -> MD5 e2e) + pack corpus"),
@@ -122,14 +122,14 @@ LEDGER: dict[str, dict] = {
     # --- r10 rotations ---------------------------------------------------
     "bpe_merges": _e("r9", "r10", added_in="r8", subsumed_by="bpe_encode_128 (its oracle's first six training rounds)"),
     "bpe_encode_docs": _e("r8", "r10", subsumed_by="bpe_encode_128 (same encode_docs_via_vocab path above the fold ceiling)"),
-    "multimodal_features": _e("r1", "r10", subsumed_by="dedup_image_dhash + dedup_audio_fp (same Arrow decode stage)"),
+    "multimodal_features": _e("r1", "r10", subsumed_by="dedup_image_clusters + dedup_audio_clusters (declared r12; same Arrow decode stage)"),
     # --- r11 rotations ---------------------------------------------------
     "datetime_functions": _e("r1", "r11", subsumed_by="timezone_and_array_functions (same date/time compat family) + pack corpus"),
     "ann_pq_topk": _e("r9", "r11", added_in="r8", subsumed_by="ann_ivfpq_topk (same PQ coding + ADC LUT, verified as every probe's scoring stage)"),
     "dedup_embedding_ivf": _e("r1", "r11", subsumed_by="ann_ivf_topk (same IVF training/assignment) + dedup_embedding_rplsh (same candidate/verify)"),
     "decontaminate_semantic": _e("r8", "r11", subsumed_by="semantic_dedup (same codebook assignment + verify) + decontaminate_ngram (same LeftAnti)"),
-    "dedup_image_clusters": _e(None, None, "r11", "dedup_video_clusters (declared; same _clusters_from_rep_graph engine, strictest relation)"),
-    "dedup_audio_clusters": _e(None, None, "r11", "dedup_video_clusters (declared; same cluster engine)"),
+    "dedup_image_clusters": _e(declared_in="r12", added_in="r11"),
+    "dedup_audio_clusters": _e(declared_in="r12", added_in="r11"),
     "bpe_encode_zipf": _e(None, None, "r11", "full 128-round training-replay oracle on the zipf sidecar (non-sf_dir corpus, so local by construction)"),
 }
 

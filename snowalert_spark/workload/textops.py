@@ -1780,43 +1780,64 @@ def bpe_encode_128(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_apply(d, merges)
 
 
+#: bpe_encode_1k's production merge budget
+BPE_BUDGET_1K = 1024
+
+
+def bpe_encode_budget(
+    spark: SparkSession, sf_dir: str, docs: DataFrame, budget: int
+) -> DataFrame:
+    """Train-at-budget + vocab-join apply — the corpus-adaptive body
+    of :func:`bpe_encode_1k`, runnable on ANY corpus (r11 verdict
+    item 2: the old guard-raise made the row error on every
+    vocabulary-rich corpus, putting a designed failure in each
+    full-registry scale run). Its exact cross-engine oracle is
+    ``_bpe_encode_oracle_sql(depth)`` replayed at the row's TRUE
+    trained depth:
+
+    - exhausted vocabulary (the driver corpora: 31 words, ~89
+      trainable merges) — any replay depth >= the exhaustion depth is
+      exact because post-exhaustion rounds are identity; the
+      registered 128-round oracle covers every budget;
+    - rich vocabulary (the zipf sidecar) — trained depth =
+      min(budget, trainable), and the replay must run exactly that
+      many rounds; tests/test_bpe_budget_oracle.py drives this row
+      end-to-end against the depth-parameterized replay on a
+      no-exhaustion corpus (the full 1,024-round DuckDB unroll is
+      planner-infeasible, so the cross-engine check runs at a real
+      >128 depth and the 1,024-budget run is pinned shape-only).
+    """
+    from snowalert_spark.functions import bpe as B
+
+    merges = B.trained_merges(spark, sf_dir, docs, budget)
+    if len(merges) <= B.BPE_FOLD_MAX:  # literal path cannot run this
+        raise ValueError(
+            f"bpe_encode_budget must exercise the vocab-join path above "
+            f"BPE_FOLD_MAX ({B.BPE_FOLD_MAX}); trained {len(merges)}"
+        )
+    return _bpe_apply(docs, merges)
+
+
 @_q("bpe_encode_1k", _bpe_encode_oracle_sql(BPE_MERGES_128))
 def bpe_encode_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer application at a production merge BUDGET: 1,024
-    trained merges (r9 item 2 — the batched/local trainers make
-    sequential-identical training feasible at this count; previously
-    this row had to substitute the frequency-ranked round-0 table)
-    through the vocab-join encode path, which the literal-fold plan
-    cannot reach (expression depth).
+    trained merges (r9 item 2) through the vocab-join encode path,
+    which the literal-fold plan cannot reach (expression depth).
 
-    Oracle: the 128-round training-replay chain. A 1,024-round unroll
-    is infeasible, but it is also unnecessary on the driver corpora:
-    their 31-word vocabulary EXHAUSTS at ~89 trainable merges, so the
-    1,024- and 128-budget trained tables are identical and the
-    128-round replay (whose post-exhaustion rounds are identity) is an
-    exact oracle. The assert below makes that equivalence condition
-    mechanical — on a corpus supporting >=128 merges this row fails
-    loudly instead of silently drifting from its oracle (swap in the
-    full-budget chain there)."""
-    from snowalert_spark.functions import bpe as B
-
+    Corpus-adaptive since r12: the row runs everywhere
+    (:func:`bpe_encode_budget`). The REGISTERED oracle is the
+    128-round training replay — exact on the driver corpora because
+    their 31-word vocabulary exhausts at ~89 merges (post-exhaustion
+    rounds are identity, so the 1,024- and 128-budget tables are
+    equal). On a vocabulary-rich corpus the trained table is deeper
+    and this registered string would NOT be exact — there the oracle
+    is the same replay parameterized by the actual trained depth,
+    exercised by tests/test_bpe_budget_oracle.py on the zipf sidecar;
+    any drift at the driver SF surfaces as a loud hash mismatch at
+    the gate rather than a designed ValueError (the r11 guard-raise
+    this replaces, which erred on every sf1+ sidecar run)."""
     d = table(spark, sf_dir, "documents")
-    merges = B.trained_merges(spark, sf_dir, d, 1024)
-    # explicit raises, not asserts: these are the conditions making the
-    # 128-round oracle exact, and asserts vanish under `python -O` —
-    # a richer corpus must fail loudly, never drift from the oracle
-    if len(merges) <= B.BPE_FOLD_MAX:  # literal path cannot run this
-        raise ValueError(
-            f"bpe_encode_1k must exercise the vocab-join path above "
-            f"BPE_FOLD_MAX ({B.BPE_FOLD_MAX}); trained {len(merges)}"
-        )
-    if len(merges) >= BPE_MERGES_128:
-        raise ValueError(
-            "bpe_encode_1k's 128-round oracle replay assumes the corpus "
-            "vocabulary exhausts below 128 merges; this corpus supports "
-            f"{len(merges)} — register the full-budget oracle instead"
-        )
-    return _bpe_apply(d, merges)
+    return bpe_encode_budget(spark, sf_dir, d, BPE_BUDGET_1K)
 
 
 # --- tokenizer depth on a rich vocabulary (r10 verdict item 2) --------

@@ -25,17 +25,13 @@ from snowalert_spark.sources.collect import replace_cached_view
 
 
 def test_bpe_rows_raise_not_assert(spark, monkeypatch):
-    """On a corpus supporting >= 128 merges, bpe_encode_1k must raise
-    (its oracle would otherwise drift); below BPE_FOLD_MAX both rows
-    must raise (the vocab-join path would go unexercised). Explicit
-    ValueError, so `python -O` cannot strip the guard."""
+    """Below BPE_FOLD_MAX both rows must raise (the vocab-join path
+    would go unexercised) — explicit ValueError, so `python -O`
+    cannot strip the guard. The r11 rich-corpus raise is GONE (r12:
+    bpe_encode_1k is corpus-adaptive and must RUN on a vocabulary-rich
+    corpus — tests/test_bpe_budget_oracle.py owns that check)."""
     from snowalert_spark.functions import bpe as B
     from snowalert_spark.workload import textops
-
-    rich = [(f"x{i}", f"y{i}") for i in range(200)]
-    monkeypatch.setattr(B, "trained_merges", lambda *a, **k: rich)
-    with pytest.raises(ValueError, match="full-budget oracle"):
-        textops.bpe_encode_1k(spark, "/root/testdata/sf0.001")
 
     poor = [("a", "b")]
     monkeypatch.setattr(B, "trained_merges", lambda *a, **k: poor)

@@ -341,3 +341,38 @@ def test_bpe_encode_1k_runs_vocab_path(spark):
         toks = r.bpe_text.split(" ") if r.bpe_text else []
         assert r.n_bpe_tokens == len(toks)
         assert r.n_words <= r.n_bpe_tokens or r.n_bpe_tokens == 0
+
+
+def test_trainer_dispatch_crossover(spark, monkeypatch):
+    """r11 verdict item 3: the cost-based dispatch must keep any
+    corpus whose word table fits the driver budget on the local
+    trainer — BENCH_r11_bpe_train measured batched 2.1x SLOWER than
+    driver-local at the full 60k-word zipf corpus and 1,024 merges,
+    i.e. the old 200M-ops cap routed a driver-feasible corpus to the
+    slow path. The batched trainer is the >driver-memory insurance
+    (vocab cap), not an ops-volume escape hatch in local mode."""
+    from snowalert_spark.sources.zipf_corpus import ensure_zipf_corpus
+
+    d = spark.read.parquet(f"{ensure_zipf_corpus()}/documents.parquet")
+    # the measured regime: full zipf corpus, production merge budget
+    assert B.bpe_train_dispatch(d, 1024) == "local"
+    # ops cap still bounds driver CPU at extreme merge counts
+    assert B.bpe_train_dispatch(d, 10**6) == "batched"
+    # vocab past the driver budget -> batched, regardless of merges
+    monkeypatch.setattr(B, "LOCAL_VOCAB_MAX_WORDS", 100)
+    assert B.bpe_train_dispatch(d, 8) == "batched"
+
+
+def test_train_auto_uses_dispatch(spark, monkeypatch):
+    """bpe_train_auto routes through bpe_train_dispatch (one decision
+    point), and the local path on a tiny corpus equals the batched
+    path bit-for-bit (the existing parity, re-pinned through the
+    dispatch seam)."""
+    rows = [(i, "low lower lowest new newer newest") for i in range(4)]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    assert B.bpe_train_dispatch(d, 6) == "local"
+    local = B.bpe_train_auto(d, 6)
+    monkeypatch.setattr(B, "bpe_train_dispatch",
+                        lambda *a, **k: "batched")
+    batched = B.bpe_train_auto(d, 6)
+    assert local == batched and len(local) == 6

@@ -81,7 +81,7 @@ def test_prefilter_identical_on_planted_corpora(spark):
     for seed in (1, 2, 3):
         d = _mkdocs(spark, _corpus(seed))
         plain = sorted(
-            map(tuple, DD.repeated_substring_spans(d).collect())
+            map(tuple, DD.repeated_substring_spans(d, prefilter=False).collect())
         )
         pre = sorted(
             map(
@@ -90,8 +90,12 @@ def test_prefilter_identical_on_planted_corpora(spark):
             )
         )
         assert plain == pre, f"spans diverged under prefilter (seed {seed})"
+        auto = sorted(
+            map(tuple, DD.repeated_substring_spans(d, prefilter="auto").collect())
+        )
+        assert plain == auto, f"spans diverged under auto (seed {seed})"
         plain_r = sorted(
-            map(tuple, DD.remove_repeated_substrings(d).collect())
+            map(tuple, DD.remove_repeated_substrings(d, prefilter=False).collect())
         )
         pre_r = sorted(
             map(
@@ -170,3 +174,59 @@ def test_removal_keeps_globally_first_occurrence(spark):
     }
     assert got[1] == (shared + "x", 0)
     assert got[2] == ("yz", L)
+
+
+def test_auto_mode_restricts_sparse_corpus(spark):
+    """r11 verdict item 4: auto mode measures phase 1's hit fraction
+    and restricts phase 2 only in the sparse regime. A 100-doc corpus
+    with ONE duplicated pair is far under the 0.2 ceiling."""
+    rng = random.Random(13)
+    shared = _rand_text(rng, L + 5)
+    rows = [(i, _rand_text(rng, 180)) for i in range(98)]
+    rows += [(98, "a" + shared + "b"), (99, "cd" + shared)]
+    d = _mkdocs(spark, rows)
+    scan, used, frac = DD._resolve_substring_scan(
+        d, L, "doc_id", "text", "auto"
+    )
+    assert used is True
+    assert frac is not None and frac <= DD.SUBSTR_PREFILTER_MAX_HIT_FRAC
+    # the restricted scan holds only the flagged docs
+    assert scan.count() < len(rows)
+    # and the operator output through auto still matches brute force
+    want = _brute_spans(rows)
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
+        for r in DD.repeated_substring_spans(d, prefilter="auto").collect()
+    }
+    assert got == want
+
+
+def test_auto_mode_falls_through_dense_corpus(spark):
+    """Every doc shares one boilerplate window (hit_frac 1.0): auto
+    must NOT restrict — the prefilter loses wall in this regime
+    (BENCH_r11_substring_prefilter loss analysis)."""
+    rng = random.Random(17)
+    boiler = _rand_text(rng, L)
+    rows = [(i, boiler + _rand_text(rng, 60)) for i in range(50)]
+    d = _mkdocs(spark, rows)
+    scan, used, frac = DD._resolve_substring_scan(
+        d, L, "doc_id", "text", "auto"
+    )
+    assert used is False
+    assert frac is not None and frac > DD.SUBSTR_PREFILTER_MAX_HIT_FRAC
+    assert scan is d  # the plain path, phase 1 was the only overhead
+    want = _brute_spans(rows)
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
+        for r in DD.repeated_substring_spans(d, prefilter="auto").collect()
+    }
+    assert got == want
+
+
+def test_auto_mode_empty_corpus(spark):
+    d = _mkdocs(spark, [])
+    scan, used, frac = DD._resolve_substring_scan(
+        d, L, "doc_id", "text", "auto"
+    )
+    assert used is False and frac == 0.0
+    assert DD.repeated_substring_spans(d, prefilter="auto").count() == 0
