@@ -53,12 +53,25 @@ def main(base_dir: str, target_dir: str, out_path: str,
         for q in shared
     }
     worst = max(ratios, key=ratios.get) if ratios else None
+    passes = os.environ.get("SPARK_GRAFT_BENCH_PASSES", "1")
+    prov = (
+        f" Provenance: this file's note, bases and ratios all come from "
+        f"the SAME run of tools/make_sidecar.py (one base subprocess, one "
+        f"target subprocess, each sweeping "
+        f"SPARK_GRAFT_BENCH_PASSES={passes} identical pass(es) with "
+        f"per-row min-of-passes reported; pass_dispersion below is the "
+        f"same-HEAD noise measured IN this run)."
+        if passes != "1" else
+        f" Provenance: note, bases and ratios from one run of "
+        f"tools/make_sidecar.py (single pass per dir)."
+    )
     out = {
         "note": (
             f"scale sidecar: identical bench.py harness at {base_dir} vs "
             f"{target_dir} ({data_ratio:g}x the data). 'ratio' is "
             f"target/base wall per query; linear scaling would be "
             f"{data_ratio:g}, the 2x-of-linear bound is {2 * data_ratio:g}."
+            + prov
         ),
         "base_dir": base_dir,
         "target_dir": target_dir,
@@ -77,6 +90,16 @@ def main(base_dir: str, target_dir: str, out_path: str,
     for side, res in (("base", base), ("target", target)):
         if res.get("errors"):
             out[f"{side}_errors"] = res["errors"]
+        # two-pass bench artifacts: keep the same-HEAD noise evidence
+        # next to the ratios it qualifies
+        for k in ("pass_dispersion", "passes"):
+            if res.get(k):
+                out.setdefault(f"{side}_{k}", res[k])
+        if res.get("calibration"):
+            out[f"{side}_calibration"] = {
+                kk: res["calibration"][kk]
+                for kk in ("floor", "median", "dispersion_max_over_min")
+            }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
         f.write("\n")
