@@ -1288,10 +1288,14 @@ def winnow_hit_docs(
     # `window` have < w grams (no selection window fits) and can't
     # contain a repeated window anyway — they emit nothing, exactly
     # like the main path's guard
+    # gram hash: xxhash64 directly (r12 — the md5-hex + base-16 conv
+    # this replaces was the dominant phase-1 compute; winnowing's
+    # guarantee is hash-agnostic, and the final operator output is
+    # bit-identical under ANY gram hash because the hit-doc set is
+    # always a superset of the true dup docs)
     hl = (
         f"transform(sequence(1, length({text_col}) - {g} + 1), "
-        f"i -> CAST(conv(substring(md5(substring({text_col}, i, {g})), 1, 15), "
-        f"16, 10) AS BIGINT))"
+        f"i -> xxhash64(substring({text_col}, i, {g})))"
     )
     # size guard: sequence(1, n) DESCENDS for n < 1, so an empty gram
     # array (doc shorter than `window`) must short-circuit to array()
@@ -1331,6 +1335,17 @@ def winnow_hit_docs(
 #: conservative edge)
 SUBSTR_PREFILTER_MAX_HIT_FRAC = 0.2
 
+#: auto-mode sample probe size: before paying the full phase-1 scan,
+#: winnow a ~this-many-doc sample — a sample's hit fraction can only
+#: UNDERestimate the corpus one (a doc's duplicate partner may be
+#: outside the sample, never the reverse), so a sample verdict of
+#: "dense" is certain and skips phase 1 entirely; a "sparse" verdict
+#: falls through to the exact full-corpus decision. Keeps the dense
+#: fall-through overhead at ~probe/corpus of a phase-1 scan instead
+#: of a whole one (the r12 two-pass bench measured full phase 1 at
+#: ~2.3x row wall on the dense driver corpus).
+SUBSTR_PREFILTER_PROBE_DOCS = 512
+
 
 def _resolve_substring_scan(
     docs: DataFrame,
@@ -1344,29 +1359,53 @@ def _resolve_substring_scan(
 
     - ``False`` — every doc (the plain path);
     - ``True`` — docs flagged by :func:`winnow_hit_docs` (forced);
-    - ``'auto'`` (the default) — run phase 1, measure the hit
-      fraction, and only restrict phase 2 when it is at most
-      :data:`SUBSTR_PREFILTER_MAX_HIT_FRAC`; denser corpora fall
-      through to the plain path with phase 1 as the only overhead.
-      The two counts are bounded driver scalars (one winnow job, one
-      corpus count), and the decision can't affect output — both
-      branches are bit-identical by the winnowing guarantee.
+    - ``'auto'`` (the default) — a two-stage decision. First a
+      ~:data:`SUBSTR_PREFILTER_PROBE_DOCS`-doc sampled winnow: its
+      hit fraction can only underestimate the corpus one, so a sample
+      already over :data:`SUBSTR_PREFILTER_MAX_HIT_FRAC` proves the
+      corpus dense and the plain path runs with only the tiny probe
+      as overhead. Otherwise the full phase 1 runs and the exact hit
+      fraction decides: at most the ceiling → phase 2 restricts to
+      hit docs; above it → plain path with phase 1 as the overhead.
+      All counts are bounded driver scalars, and the decision can't
+      affect output — every branch is bit-identical by the winnowing
+      guarantee (the hit-doc set is a superset of all true dup docs).
 
     Returns ``(scan, used, hit_frac)`` — ``hit_frac`` is None unless
-    auto mode measured it (the test pin for the decision rule)."""
+    auto mode measured one (sampled or exact — the test pin for the
+    decision rule)."""
     if prefilter is False or prefilter is None:
         return docs, False, None
-    hit_ids = winnow_hit_docs(
-        docs, L, id_col=id_col, text_col=text_col
-    ).withColumnRenamed("doc_id", id_col)
     if prefilter == "auto":
         n = docs.count()
         if n == 0:
             return docs, False, 0.0
+        if n > SUBSTR_PREFILTER_PROBE_DOCS:
+            sample = docs.sample(
+                fraction=min(1.0, SUBSTR_PREFILTER_PROBE_DOCS / n),
+                seed=20107,
+            )
+            s_n = sample.count()
+            if s_n > 0:
+                s_frac = (
+                    winnow_hit_docs(
+                        sample, L, id_col=id_col, text_col=text_col
+                    ).count()
+                    / s_n
+                )
+                if s_frac > SUBSTR_PREFILTER_MAX_HIT_FRAC:
+                    # certainly dense (sampling never overestimates)
+                    return docs, False, s_frac
+        hit_ids = winnow_hit_docs(
+            docs, L, id_col=id_col, text_col=text_col
+        ).withColumnRenamed("doc_id", id_col)
         frac = hit_ids.count() / n
         if frac > SUBSTR_PREFILTER_MAX_HIT_FRAC:
             return docs, False, frac
         return docs.join(hit_ids, id_col, "left_semi"), True, frac
+    hit_ids = winnow_hit_docs(
+        docs, L, id_col=id_col, text_col=text_col
+    ).withColumnRenamed("doc_id", id_col)
     return docs.join(hit_ids, id_col, "left_semi"), True, None
 
 

@@ -230,3 +230,60 @@ def test_auto_mode_empty_corpus(spark):
     )
     assert used is False and frac == 0.0
     assert DD.repeated_substring_spans(d, prefilter="auto").count() == 0
+
+
+def test_auto_mode_sampled_dense_fast_path(spark, monkeypatch):
+    """Corpora bigger than the probe size get a sampled winnow first;
+    a dense sample verdict (sound: sampling never overestimates the
+    hit fraction) must skip the full phase-1 scan — exactly one
+    winnow job (the sample), not two."""
+    rng = random.Random(23)
+    boiler = _rand_text(rng, L)
+    rows = [(i, boiler + _rand_text(rng, 60)) for i in range(60)]
+    d = _mkdocs(spark, rows)
+    monkeypatch.setattr(DD, "SUBSTR_PREFILTER_PROBE_DOCS", 20)
+    calls = []
+    real = DD.winnow_hit_docs
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(DD, "winnow_hit_docs", counting)
+    scan, used, frac = DD._resolve_substring_scan(
+        d, L, "doc_id", "text", "auto"
+    )
+    assert used is False and scan is d
+    assert frac is not None and frac > DD.SUBSTR_PREFILTER_MAX_HIT_FRAC
+    assert len(calls) == 1, "dense sample verdict must skip full phase 1"
+
+
+def test_auto_mode_sampled_sparse_falls_to_exact(spark, monkeypatch):
+    """A sparse sample verdict is only a maybe — the exact full
+    phase 1 must still run and make the restriction decision."""
+    rng = random.Random(29)
+    shared = _rand_text(rng, L + 3)
+    rows = [(i, _rand_text(rng, 150)) for i in range(58)]
+    rows += [(58, shared + "q"), (59, "rr" + shared)]
+    d = _mkdocs(spark, rows)
+    monkeypatch.setattr(DD, "SUBSTR_PREFILTER_PROBE_DOCS", 20)
+    calls = []
+    real = DD.winnow_hit_docs
+
+    def counting(*a, **k):
+        calls.append(1)
+        return real(*a, **k)
+
+    monkeypatch.setattr(DD, "winnow_hit_docs", counting)
+    scan, used, frac = DD._resolve_substring_scan(
+        d, L, "doc_id", "text", "auto"
+    )
+    assert used is True
+    assert frac == 2 / 60
+    assert len(calls) == 2, "sparse sample must fall through to exact"
+    want = _brute_spans(rows)
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
+        for r in DD.repeated_substring_spans(d, prefilter="auto").collect()
+    }
+    assert got == want
