@@ -1327,13 +1327,25 @@ def winnow_hit_docs(
     return ex.join(rep, "hv").select("doc_id").distinct()
 
 
-#: auto-mode ceiling on the phase-1 hit fraction: above this, so much
-#: of the corpus feeds phase 2 anyway that the prefilter's exchange
-#: saving can't repay its scan (the dense-duplication probe at
+#: auto-mode ceiling on the SAMPLED phase-1 hit fraction: a sample
+#: already this dense proves the corpus dense (sampling never
+#: overestimates) and phase 1 is skipped entirely — its exchange
+#: saving couldn't repay its scan (the dense-duplication probe at
 #: hit_frac 0.54 LOST wall both SFs — BENCH_r11_substring_prefilter
 #: loss analysis put the crossover in the 0.1-0.2 band; 0.2 is its
 #: conservative edge)
 SUBSTR_PREFILTER_MAX_HIT_FRAC = 0.2
+
+#: once the FULL phase 1 has already run, its cost is sunk and
+#: restricting phase 2 to hit docs is bit-identical and strictly
+#: cheaper than the plain path — each skipped doc is skipped in BOTH
+#: materializations of the salted exchange. The only regime where
+#: restriction loses is hit_frac ~ 1, where it saves nothing and adds
+#: a semi-join; above this ceiling the plain path runs instead. (The
+#: r12 session measured the old always-fall-through rule paying full
+#: phase 1 AND full phase 2 on the dense driver corpus — the worst of
+#: the three strategies.)
+SUBSTR_RESTRICT_MAX_HIT_FRAC = 0.9
 
 #: auto-mode sample probe size: before paying the full phase-1 scan,
 #: winnow a ~this-many-doc sample — a sample's hit fraction can only
@@ -1364,12 +1376,26 @@ def _resolve_substring_scan(
       hit fraction can only underestimate the corpus one, so a sample
       already over :data:`SUBSTR_PREFILTER_MAX_HIT_FRAC` proves the
       corpus dense and the plain path runs with only the tiny probe
-      as overhead. Otherwise the full phase 1 runs and the exact hit
-      fraction decides: at most the ceiling → phase 2 restricts to
-      hit docs; above it → plain path with phase 1 as the overhead.
-      All counts are bounded driver scalars, and the decision can't
-      affect output — every branch is bit-identical by the winnowing
-      guarantee (the hit-doc set is a superset of all true dup docs).
+      as overhead. Otherwise the full phase 1 runs — and because its
+      cost is then SUNK, phase 2 restricts to hit docs whenever that
+      saves anything at all (exact hit_frac at most
+      :data:`SUBSTR_RESTRICT_MAX_HIT_FRAC`): each skipped doc is
+      skipped in BOTH materializations of the salted exchange, so
+      restriction strictly beats falling through to the plain path
+      (the r12 fix — the old rule paid full phase 1 AND full phase 2
+      on sample-underestimated dense corpora). All counts are bounded
+      driver scalars, and the decision can't affect output — every
+      branch is bit-identical by the winnowing guarantee (the hit-doc
+      set is a superset of all true dup docs).
+
+    The hit-id table (doc ids only — orders of magnitude smaller than
+    the corpus) is persisted at MEMORY_AND_DISK before use, because
+    the downstream salted exchange materializes its input subtree
+    twice (the documented _salted_exchange reuse limitation): without
+    the persist the whole winnow scan would run once per consumer —
+    measured at 2x phase-1 wall in BENCH_r11_substring_prefilter's
+    removal rows. Eviction is left to Spark's LRU (same policy as the
+    n-gram cache at dedup.py:231).
 
     Returns ``(scan, used, hit_frac)`` — ``hit_frac`` is None unless
     auto mode measured one (sampled or exact — the test pin for the
@@ -1396,17 +1422,79 @@ def _resolve_substring_scan(
                 if s_frac > SUBSTR_PREFILTER_MAX_HIT_FRAC:
                     # certainly dense (sampling never overestimates)
                     return docs, False, s_frac
-        hit_ids = winnow_hit_docs(
-            docs, L, id_col=id_col, text_col=text_col
-        ).withColumnRenamed("doc_id", id_col)
+        hit_ids = (
+            winnow_hit_docs(docs, L, id_col=id_col, text_col=text_col)
+            .withColumnRenamed("doc_id", id_col)
+            .persist()
+        )
         frac = hit_ids.count() / n
-        if frac > SUBSTR_PREFILTER_MAX_HIT_FRAC:
+        if frac > SUBSTR_RESTRICT_MAX_HIT_FRAC:
+            # restriction would skip almost nothing; don't add the join
+            hit_ids.unpersist()
             return docs, False, frac
         return docs.join(hit_ids, id_col, "left_semi"), True, frac
-    hit_ids = winnow_hit_docs(
-        docs, L, id_col=id_col, text_col=text_col
-    ).withColumnRenamed("doc_id", id_col)
+    hit_ids = (
+        winnow_hit_docs(docs, L, id_col=id_col, text_col=text_col)
+        .withColumnRenamed("doc_id", id_col)
+        .persist()
+    )
     return docs.join(hit_ids, id_col, "left_semi"), True, None
+
+
+def _span_stats_agg(L: int):
+    """Aggregate expression merging the sorted dup-window positions of
+    one doc into maximal spans — (n_spans, covered, cur_end) struct.
+    A window at pos covers [pos, pos+L-1]; a window starts a new span
+    iff pos > prev_end + 1. Single sorted fold, O(positions per doc).
+    Shared by :func:`repeated_substring_spans` and
+    :func:`dedupe_substrings`."""
+    return F.aggregate(
+        F.array_sort(F.collect_list("pos")),
+        F.expr(
+            "struct(CAST(0 AS BIGINT) AS n_spans, "
+            "CAST(0 AS BIGINT) AS covered, "
+            "CAST(-2 AS BIGINT) AS cur_end)"
+        ),
+        lambda acc, pos: F.when(
+            pos.cast("bigint") > acc["cur_end"] + 1,
+            F.struct(
+                (acc["n_spans"] + 1).alias("n_spans"),
+                (acc["covered"] + L).alias("covered"),
+                (pos.cast("bigint") + L - 1).alias("cur_end"),
+            ),
+        ).otherwise(
+            F.struct(
+                acc["n_spans"].alias("n_spans"),
+                (
+                    acc["covered"] + pos.cast("bigint") + L - 1 - acc["cur_end"]
+                ).alias("covered"),
+                (pos.cast("bigint") + L - 1).alias("cur_end"),
+            )
+        ),
+    )
+
+
+def _excise_expr(L: int):
+    """Excision fold over columns ``ps`` (sorted cut positions) and
+    ``text``: walk the sorted flagged positions; ``nk`` is the next
+    keep-start (1-based). For each pos: emit the kept gap [nk, pos-1]
+    if non-empty, then advance nk past the cut window. Shared by
+    :func:`remove_repeated_substrings` and :func:`dedupe_substrings`."""
+    return F.expr(
+        f"""aggregate(
+            ps,
+            struct(CAST(1 AS BIGINT) AS nk, CAST('' AS STRING) AS out),
+            (acc, p) -> struct(
+                CAST(greatest(acc.nk, CAST(p AS BIGINT) + {L}) AS BIGINT) AS nk,
+                CASE WHEN CAST(p AS BIGINT) > acc.nk
+                     THEN concat(acc.out,
+                                 substring(text, CAST(acc.nk AS INT),
+                                           CAST(CAST(p AS BIGINT) - acc.nk AS INT)))
+                     ELSE acc.out END AS out),
+            acc -> concat(acc.out,
+                          substring(text, CAST(acc.nk AS INT), length(text)))
+        )"""
+    )
 
 
 def repeated_substring_spans(
@@ -1466,30 +1554,7 @@ def repeated_substring_spans(
     # [pos, pos+L-1]; a window starts a new span iff pos > prev_end + 1
     merged = hits.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_dup_windows"),
-        F.aggregate(
-            F.array_sort(F.collect_list("pos")),
-            F.expr(
-                "struct(CAST(0 AS BIGINT) AS n_spans, "
-                "CAST(0 AS BIGINT) AS covered, "
-                "CAST(-2 AS BIGINT) AS cur_end)"
-            ),
-            lambda acc, pos: F.when(
-                pos.cast("bigint") > acc["cur_end"] + 1,
-                F.struct(
-                    (acc["n_spans"] + 1).alias("n_spans"),
-                    (acc["covered"] + L).alias("covered"),
-                    (pos.cast("bigint") + L - 1).alias("cur_end"),
-                ),
-            ).otherwise(
-                F.struct(
-                    acc["n_spans"].alias("n_spans"),
-                    (
-                        acc["covered"] + pos.cast("bigint") + L - 1 - acc["cur_end"]
-                    ).alias("covered"),
-                    (pos.cast("bigint") + L - 1).alias("cur_end"),
-                )
-            ),
-        ).alias("sp"),
+        _span_stats_agg(L).alias("sp"),
     ).select(
         "doc_id",
         "n_dup_windows",
@@ -1560,24 +1625,7 @@ def remove_repeated_substrings(
         F.count(F.lit(1)).alias("n_removed_windows"),
         F.array_sort(F.collect_list("pos")).alias("ps"),
     )
-    # excision fold: walk the sorted flagged positions; `nk` is the
-    # next keep-start (1-based). For each pos: emit the kept gap
-    # [nk, pos-1] if non-empty, then advance nk past the cut window.
-    clean = F.expr(
-        f"""aggregate(
-            ps,
-            struct(CAST(1 AS BIGINT) AS nk, CAST('' AS STRING) AS out),
-            (acc, p) -> struct(
-                CAST(greatest(acc.nk, CAST(p AS BIGINT) + {L}) AS BIGINT) AS nk,
-                CASE WHEN CAST(p AS BIGINT) > acc.nk
-                     THEN concat(acc.out,
-                                 substring(text, CAST(acc.nk AS INT),
-                                           CAST(CAST(p AS BIGINT) - acc.nk AS INT)))
-                     ELSE acc.out END AS out),
-            acc -> concat(acc.out,
-                          substring(text, CAST(acc.nk AS INT), length(text)))
-        )"""
-    )
+    clean = _excise_expr(L)
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
         .join(cuts, "doc_id", "left")
@@ -1594,6 +1642,109 @@ def remove_repeated_substrings(
         .select(
             "doc_id",
             "clean_text",
+            (F.length("text") - F.length("clean_text"))
+            .cast("long")
+            .alias("removed_chars"),
+            "n_removed_windows",
+        )
+    )
+
+
+def dedupe_substrings(
+    docs: DataFrame,
+    window: int = 40,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    prefilter: bool | str = "auto",
+) -> DataFrame:
+    """Combined Lee et al. (arXiv:2107.06499) substring dedup: the
+    spans REPORT of :func:`repeated_substring_spans` and the cleaned
+    text of :func:`remove_repeated_substrings` in one output row per
+    doc, computed from ONE window-fingerprint stream. A curation
+    pipeline almost always wants both (the report drives the
+    drop-vs-clean decision, the clean text is what ships); running the
+    two single-purpose operators back-to-back pays the corpus-chars
+    fingerprint expansion, the salted (h, salt) exchange, the per-hash
+    totals aggregate, and the docs join TWICE. This operator shares
+    all of them: one scan decision (:func:`_resolve_substring_scan`'s
+    auto prefilter probe runs once), one fingerprint stream, one
+    salted exchange whose totals aggregate computes the occurrence
+    count AND the globally-first occurrence together, and ONE per-doc
+    groupBy producing both the span stats and the sorted cut
+    positions. At 100 TB that halves the dominant shuffle of the
+    substring family.
+
+    Returns one row per input doc with the union of both operators'
+    columns, bit-identical to running them separately (pinned by
+    tests/test_substring_combined.py): (doc_id, clean_text,
+    n_dup_windows, n_spans, dup_chars, dup_frac, removed_chars,
+    n_removed_windows).
+    """
+    L = int(window)
+    scan, _, _ = _resolve_substring_scan(docs, L, id_col, text_col, prefilter)
+    wins = _window_fingerprints(scan, L, id_col, text_col)
+    ex = _salted_exchange(wins)
+    totals = (
+        ex.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        .filter(F.col("n_occ") >= min_count)
+    )
+    hit = ex.join(totals, "h").select(
+        "doc_id",
+        "pos",
+        (F.struct("doc_id", "pos") == F.col("first")).alias("is_first"),
+    )
+    # one per-doc aggregate feeds BOTH folds: every hit position for
+    # the span merge, the non-first subset (collect_list skips the
+    # NULLs the `when` leaves) for the excision
+    merged = hit.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_dup_windows"),
+        _span_stats_agg(L).alias("sp"),
+        F.array_sort(
+            F.collect_list(F.when(~F.col("is_first"), F.col("pos")))
+        ).alias("ps"),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+        .join(merged, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.when(
+                F.col("ps").isNull() | (F.size("ps") == 0), F.col("text")
+            )
+            .otherwise(_excise_expr(L))
+            .alias("clean_text"),
+            F.coalesce("n_dup_windows", F.lit(0))
+            .cast("long")
+            .alias("n_dup_windows"),
+            F.coalesce(F.col("sp.n_spans"), F.lit(0))
+            .cast("long")
+            .alias("n_spans"),
+            F.coalesce(F.col("sp.covered"), F.lit(0))
+            .cast("long")
+            .alias("dup_chars"),
+            F.coalesce(F.size("ps"), F.lit(0))
+            .cast("long")
+            .alias("n_removed_windows"),
+        )
+        .select(
+            "doc_id",
+            "clean_text",
+            "n_dup_windows",
+            "n_spans",
+            "dup_chars",
+            quantize(
+                F.when(
+                    F.length("text") > 0,
+                    F.col("dup_chars") / F.length("text"),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("dup_frac"),
             (F.length("text") - F.length("clean_text"))
             .cast("long")
             .alias("removed_chars"),

@@ -313,6 +313,14 @@ LOCAL_ONLY = {
     # its corpus is the seed-deterministic sidecar, not an sf_dir
     # table (the driver gate only feeds sf dirs).
     "bpe_encode_zipf",
+    # dedup_substring_full (r12): the combined spans-report + removal
+    # operator — one fingerprint exchange feeding both folds. LOCAL_ONLY
+    # with the gate at cap; its two single-purpose halves
+    # (dedup_substring_spans, dedup_substring_removal) are BOTH
+    # driver-declared and bit-identity to them is pytest-pinned
+    # (tests/test_substring_combined.py), so the driver already checks
+    # every column this row emits.
+    "dedup_substring_full",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -472,6 +472,101 @@ def dedup_substring_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.remove_repeated_substrings(d, window=_SSW, min_count=2)
 
 
+@_q(
+    "dedup_substring_full",
+    f"""
+    WITH wins AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(substr(text, CAST(i AS INT), {_SSW})) AS h
+        FROM documents,
+             unnest(range(1, greatest(len(text) - {_SSW} + 1, 0) + 1)) AS t(i)
+    ),
+    occ AS (
+        SELECT doc_id, pos,
+               ROW_NUMBER() OVER (PARTITION BY h
+                                  ORDER BY doc_id, pos) AS rnk,
+               COUNT(*) OVER (PARTITION BY h) AS n_occ
+        FROM wins),
+    hits AS (SELECT doc_id, pos FROM occ WHERE n_occ >= 2),
+    flags AS (SELECT doc_id, pos FROM occ WHERE n_occ >= 2 AND rnk > 1),
+    hmarks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SSW}
+                    THEN 0 ELSE 1 END AS brk
+        FROM hits),
+    hgrp AS (SELECT doc_id, pos,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+             FROM hmarks),
+    hspans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + {_SSW} - 1 AS e
+               FROM hgrp GROUP BY doc_id, g),
+    hagg AS (SELECT doc_id, COUNT(*) AS n_spans, SUM(e - s + 1) AS dup_chars
+             FROM hspans GROUP BY doc_id),
+    hcnt AS (SELECT doc_id, COUNT(*) AS n_dup_windows FROM hits
+             GROUP BY doc_id),
+    fmarks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SSW}
+                    THEN 0 ELSE 1 END AS brk
+        FROM flags),
+    fgrp AS (SELECT doc_id, pos,
+                    SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+             FROM fmarks),
+    fspans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + {_SSW} - 1 AS e
+               FROM fgrp GROUP BY doc_id, g),
+    kept AS (
+        SELECT doc_id,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+               s - 1 AS ke
+        FROM fspans
+        UNION ALL
+        SELECT doc_id, MAX(e) + 1 AS ks, NULL AS ke
+        FROM fspans GROUP BY doc_id),
+    cleaned AS (
+        SELECT k.doc_id,
+               string_agg(
+                   CASE WHEN ks > len(d.text) THEN ''
+                        WHEN ke IS NULL THEN substr(d.text, CAST(ks AS INT))
+                        WHEN ke >= ks THEN substr(d.text, CAST(ks AS INT),
+                                                  CAST(ke - ks + 1 AS INT))
+                        ELSE '' END,
+                   '' ORDER BY ks) AS clean_text
+        FROM kept k JOIN documents d USING (doc_id)
+        GROUP BY k.doc_id),
+    fcnt AS (SELECT doc_id, COUNT(*) AS n_removed_windows
+             FROM flags GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(cl.clean_text, d.text) AS clean_text,
+           CAST(COALESCE(c.n_dup_windows, 0) AS BIGINT) AS n_dup_windows,
+           CAST(COALESCE(a.n_spans, 0) AS BIGINT) AS n_spans,
+           CAST(COALESCE(a.dup_chars, 0) AS BIGINT) AS dup_chars,
+           CASE WHEN len(d.text) > 0 THEN
+               {quantize_sql('COALESCE(a.dup_chars, 0) / len(d.text)', 6)}
+           ELSE 0.0 END AS dup_frac,
+           CAST(len(d.text) - len(COALESCE(cl.clean_text, d.text)) AS BIGINT)
+               AS removed_chars,
+           CAST(COALESCE(n.n_removed_windows, 0) AS BIGINT)
+               AS n_removed_windows
+    FROM documents d
+    LEFT JOIN hagg a USING (doc_id)
+    LEFT JOIN hcnt c USING (doc_id)
+    LEFT JOIN cleaned cl USING (doc_id)
+    LEFT JOIN fcnt n USING (doc_id)
+    """,
+)
+def dedup_substring_full(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Combined substring dedup (Lee et al. arXiv:2107.06499): the
+    spans report AND the cleaned text in one row per doc, off ONE
+    window-fingerprint exchange (functions/dedup.py:dedupe_substrings)
+    — the report-drives-the-decision, clean-text-ships pipeline shape
+    without paying the corpus-chars shuffle twice. The oracle shares
+    one `wins`/`occ` scan between the replayed spans (all hits) and
+    cut set (non-first hits), mirroring the engine's shared exchange."""
+    d = table(spark, sf_dir, "documents")
+    return D.dedupe_substrings(d, window=_SSW, min_count=2)
+
+
 TFIDF_TOPK = 5
 
 

@@ -202,9 +202,9 @@ def test_auto_mode_restricts_sparse_corpus(spark):
 
 
 def test_auto_mode_falls_through_dense_corpus(spark):
-    """Every doc shares one boilerplate window (hit_frac 1.0): auto
-    must NOT restrict — the prefilter loses wall in this regime
-    (BENCH_r11_substring_prefilter loss analysis)."""
+    """Every doc shares one boilerplate window (hit_frac 1.0 — above
+    SUBSTR_RESTRICT_MAX_HIT_FRAC): restriction would skip nothing, so
+    auto must run the plain path with phase 1 as the only overhead."""
     rng = random.Random(17)
     boiler = _rand_text(rng, L)
     rows = [(i, boiler + _rand_text(rng, 60)) for i in range(50)]
@@ -213,8 +213,37 @@ def test_auto_mode_falls_through_dense_corpus(spark):
         d, L, "doc_id", "text", "auto"
     )
     assert used is False
-    assert frac is not None and frac > DD.SUBSTR_PREFILTER_MAX_HIT_FRAC
+    assert frac is not None and frac > DD.SUBSTR_RESTRICT_MAX_HIT_FRAC
     assert scan is d  # the plain path, phase 1 was the only overhead
+    want = _brute_spans(rows)
+    got = {
+        r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
+        for r in DD.repeated_substring_spans(d, prefilter="auto").collect()
+    }
+    assert got == want
+
+
+def test_auto_mode_restricts_mid_density_after_sunk_phase1(spark):
+    """r12 sunk-cost rule: once the full phase 1 has run, a
+    mid-density corpus (hit_frac ~0.5 — above the old 0.2 sampled
+    ceiling, below SUBSTR_RESTRICT_MAX_HIT_FRAC) must RESTRICT phase 2
+    to hit docs: each skipped doc is skipped in both materializations
+    of the salted exchange, so restriction strictly beats the old
+    fall-through-to-plain (which paid full phase 1 AND full phase 2)."""
+    rng = random.Random(41)
+    boiler = _rand_text(rng, L)
+    rows = [
+        (i, (boiler if i % 2 == 0 else "") + _rand_text(rng, 80))
+        for i in range(50)
+    ]
+    d = _mkdocs(spark, rows)
+    scan, used, frac = DD._resolve_substring_scan(
+        d, L, "doc_id", "text", "auto"
+    )
+    assert used is True
+    assert frac is not None
+    assert DD.SUBSTR_PREFILTER_MAX_HIT_FRAC < frac <= DD.SUBSTR_RESTRICT_MAX_HIT_FRAC
+    assert scan is not d  # the hit-doc restriction is in the plan
     want = _brute_spans(rows)
     got = {
         r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
