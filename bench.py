@@ -60,6 +60,7 @@ HEADLINE = [
     "pii_scrub_events",
     "dedup_substring_spans",
     "dedup_substring_removal",
+    "dedup_substring_full",
     "corpus_vocab_topk",
     "doc_tfidf_topterms",
     "unigram_logprob_scores",

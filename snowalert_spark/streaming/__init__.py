@@ -747,6 +747,172 @@ def neardup_media_stream_ingest(
     q.awaitTermination()
 
 
+def substring_stream_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    state_dir: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    window: int = 40,
+    retention_batches: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming SUBSTRING dedup ingest — the incremental form of
+    :func:`~snowalert_spark.functions.dedup.remove_repeated_substrings`
+    (Lee et al. arXiv:2107.06499 keep-one removal) for a continuously
+    growing corpus. Each arriving doc's length-``window`` sliding
+    windows are cut from the text when their fingerprint has been seen
+    before — in the accumulated state (an earlier micro-batch kept
+    that content once already) or earlier in this batch by the same
+    global (doc_id, pos) rule the batch operator uses. Docs are never
+    DROPPED at this tier (that's the near-dup tiers' job): every doc
+    lands, with its already-seen substrings excised.
+
+    Equivalence: if the corpus arrives in ``(doc_id)`` order (any tick
+    split), the concatenated output equals the batch operator run on
+    the whole corpus, because the keep-one rule is prefix-monotone —
+    a window's cut decision depends only on occurrences ordered before
+    it (pinned by tests/test_streaming_substring.py). Out-of-id-order
+    arrival is still deterministic per arrival order; it just answers
+    "first SEEN" rather than "smallest id".
+
+    Mechanics per micro-batch (``foreachBatch``):
+
+    1. the batch's stride-1 window fingerprints (the shared
+       ``_window_fingerprints`` 16-byte xxhash64 pair, flattened to
+       two longs for the parquet state) aggregate to per-hash
+       (n_occ, first occurrence) — map-side combined, so a hot
+       boilerplate hash collapses per partition before the shuffle;
+    2. a window is flagged for excision iff its hash exists in state
+       (left_semi against the h-partitioned state relation) OR it
+       repeats within the batch and is not the batch-first occurrence
+       (and the hash is absent from state);
+    3. per-doc flagged positions run the batch operator's sorted
+       excision fold; every doc publishes (clean_text, removed_chars,
+       n_removed_windows) to a ``batch_id={b}`` output partition;
+    4. the batch's DISTINCT fingerprints append to state (distinct —
+       the kept-first occurrence's content survives in the output, so
+       one state row per hash serves every future match).
+
+    State and crash safety follow the other tiers exactly: one
+    ``batch_id={b}`` partition directory per sink with per-directory
+    OVERWRITE (a replayed batch rewrites only its own directories;
+    state reads exclude the current batch id so a crashed attempt
+    can't self-match), ``retention_batches`` bounds lookback like a
+    watermark, expired directories are deleted whole.
+
+    100 TB shape: state is ONE relation of 16-byte hashes — the same
+    O(corpus chars) footprint as the batch operator's exchange, but
+    amortized across ticks: each micro-batch shuffles only its own
+    fingerprints plus one equi-join against the (h-partitioned,
+    batch-pruned) state, never a re-scan of prior text. The join keys
+    are the hash pair, so AQE's skew split handles a boilerplate hash
+    arriving at 10^6 occurrences in one tick.
+    """
+    from snowalert_spark.functions.dedup import (
+        _excise_expr,
+        _window_fingerprints,
+    )
+
+    L = int(window)
+    fp_dir = os.path.join(state_dir, "seen_fingerprints")
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        cached = [batch.cache()]
+        batch = cached[0]
+        wins = _window_fingerprints(
+            batch.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            ),
+            L,
+            "doc_id",
+            "text",
+        ).select(
+            "doc_id", "pos", F.col("h.a").alias("ha"), F.col("h.b").alias("hb")
+        ).cache()
+        cached.append(wins)
+
+        state = _read_batched_state(
+            spark, fp_dir, "ha long, hb long, batch_id long",
+            batch_id, retention_batches,
+        ).select("ha", "hb")
+
+        # per-hash in-batch totals: count + batch-first occurrence
+        totals = wins.groupBy("ha", "hb").agg(
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(F.struct("doc_id", "pos")).alias("first"),
+        )
+        # hashes already in state: every batch occurrence is cut
+        seen = totals.join(state, ["ha", "hb"], "left_semi").select(
+            "ha", "hb", F.lit(True).alias("all_cut")
+        )
+        flagged = (
+            wins.join(totals, ["ha", "hb"])
+            .join(seen, ["ha", "hb"], "left")
+            .filter(
+                F.coalesce(F.col("all_cut"), F.lit(False))
+                | (
+                    (F.col("n_occ") >= 2)
+                    & (F.struct("doc_id", "pos") != F.col("first"))
+                )
+            )
+            .select("doc_id", "pos")
+        )
+        cuts = flagged.groupBy("doc_id").agg(
+            F.count(F.lit(1)).alias("n_removed_windows"),
+            F.array_sort(F.collect_list("pos")).alias("ps"),
+        )
+        out = (
+            batch.select(
+                F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+            )
+            .join(cuts, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("ps").isNull(), F.col("text"))
+                .otherwise(_excise_expr(L))
+                .alias("clean_text"),
+                "text",
+                F.coalesce("n_removed_windows", F.lit(0))
+                .cast("long")
+                .alias("n_removed_windows"),
+            )
+            .select(
+                "doc_id",
+                "clean_text",
+                (F.length("text") - F.length("clean_text"))
+                .cast("long")
+                .alias("removed_chars"),
+                "n_removed_windows",
+            )
+        )
+        out.write.mode("overwrite").parquet(_batch_dir(dst_path, batch_id))
+        # state append: one row per DISTINCT batch hash (totals is
+        # already one row per hash — reuse it instead of a second
+        # distinct over the window stream)
+        totals.select("ha", "hb").write.mode("overwrite").parquet(
+            _batch_dir(fp_dir, batch_id)
+        )
+        if retention_batches is not None:
+            _compact_expired_state((fp_dir,), batch_id, retention_batches)
+        for df in cached:
+            df.unpersist()
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(src_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+
 def file_stream_ingest(
     spark: SparkSession,
     src_path: str,

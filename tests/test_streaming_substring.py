@@ -1,0 +1,161 @@
+"""Streaming substring-dedup tier (r12): the incremental keep-one
+removal of Lee et al. arXiv:2107.06499 over a corpus arriving in
+micro-batches.
+
+Pins:
+1. prefix-monotone equivalence — a corpus arriving in doc_id order
+   across ticks produces, concatenated, EXACTLY the batch
+   remove_repeated_substrings output on the whole corpus;
+2. in-batch keep-one (first (doc_id, pos) occurrence survives);
+3. cross-tick cut: content kept in tick 1 is excised from tick-2 docs
+   via the fingerprint state, never by re-scanning tick-1 text;
+4. retention horizon: retention_batches=1 forgets prior ticks (the
+   watermark analog), so a later repeat survives;
+5. re-running the stream with no new files changes nothing
+   (checkpointed exactly-once).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import types as T
+
+from snowalert_spark.functions import dedup as DD
+from snowalert_spark.streaming import substring_stream_ingest
+
+from test_substring_prefilter import _corpus, _mkdocs, _rand_text
+
+L = 40
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+    ]
+)
+
+OUT_SCHEMA = (
+    "doc_id long, clean_text string, removed_chars long, "
+    "n_removed_windows long"
+)
+
+
+def _write(src, name, rows):
+    os.makedirs(src, exist_ok=True)
+    with open(os.path.join(src, name), "w") as f:
+        for doc_id, text in rows:
+            f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+
+
+def _run(spark, tmp, retention=None):
+    substring_stream_ingest(
+        spark,
+        src_path=f"{tmp}/src",
+        dst_path=f"{tmp}/out",
+        checkpoint=f"{tmp}/ckpt",
+        state_dir=f"{tmp}/state",
+        schema=SCHEMA,
+        window=L,
+        retention_batches=retention,
+    )
+
+
+def _out_rows(spark, tmp):
+    return {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["removed_chars"],
+            r["n_removed_windows"],
+        )
+        for r in spark.read.schema(OUT_SCHEMA)
+        .parquet(f"{tmp}/out")
+        .collect()
+    }
+
+
+def test_ticked_stream_equals_batch_operator(spark, tmp_path):
+    tmp = str(tmp_path)
+    rows = _corpus(13)
+    rows.sort()  # arrival in doc_id order -> prefix-monotone equivalence
+    thirds = [rows[:8], rows[8:16], rows[16:]]
+    for i, chunk in enumerate(thirds):
+        _write(f"{tmp}/src", f"tick{i}.json", chunk)
+        _run(spark, tmp)
+    got = _out_rows(spark, tmp)
+    want = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["removed_chars"],
+            r["n_removed_windows"],
+        )
+        for r in DD.remove_repeated_substrings(
+            _mkdocs(spark, rows), window=L
+        ).collect()
+    }
+    assert got == want
+
+
+def test_in_batch_keep_one(spark, tmp_path):
+    tmp = str(tmp_path)
+    import random
+
+    rng = random.Random(7)
+    shared = _rand_text(rng, L)
+    a, b = _rand_text(rng, 50), _rand_text(rng, 50)
+    _write(f"{tmp}/src", "t0.json", [(1, a + shared), (2, shared + b)])
+    _run(spark, tmp)
+    got = _out_rows(spark, tmp)
+    assert got[1] == (a + shared, 0, 0)  # first occurrence kept whole
+    assert got[2][0] == b  # the shared window excised from doc 2
+    assert got[2][1] == L
+
+
+def test_cross_tick_cut_via_state(spark, tmp_path):
+    tmp = str(tmp_path)
+    import random
+
+    rng = random.Random(9)
+    shared = _rand_text(rng, L + 10)
+    other = _rand_text(rng, 80)
+    _write(f"{tmp}/src", "t0.json", [(1, shared)])
+    _run(spark, tmp)
+    _write(f"{tmp}/src", "t1.json", [(2, other + shared)])
+    _run(spark, tmp)
+    got = _out_rows(spark, tmp)
+    assert got[1] == (shared, 0, 0)
+    assert got[2][0] == other
+    assert got[2][1] == len(shared)
+
+
+def test_retention_horizon_forgets(spark, tmp_path):
+    tmp = str(tmp_path)
+    import random
+
+    rng = random.Random(11)
+    shared = _rand_text(rng, L)
+    _write(f"{tmp}/src", "t0.json", [(1, shared)])
+    _run(spark, tmp, retention=1)
+    _write(f"{tmp}/src", "t1.json", [(2, shared)])
+    _run(spark, tmp, retention=1)
+    got = _out_rows(spark, tmp)
+    # retention=1 = in-batch only: tick-0 state fell out of the
+    # horizon, so the tick-1 repeat survives untouched
+    assert got[2] == (shared, 0, 0)
+    # and the expired state directory was compacted away
+    fp = f"{tmp}/state/seen_fingerprints"
+    assert sorted(os.listdir(fp)) == ["batch_id=1"]
+
+
+def test_rerun_with_no_new_files_is_noop(spark, tmp_path):
+    tmp = str(tmp_path)
+    import random
+
+    rng = random.Random(15)
+    shared = _rand_text(rng, L)
+    _write(f"{tmp}/src", "t0.json", [(1, shared), (2, "x" + shared)])
+    _run(spark, tmp)
+    before = _out_rows(spark, tmp)
+    _run(spark, tmp)  # checkpoint: no new files, no new batch
+    assert _out_rows(spark, tmp) == before

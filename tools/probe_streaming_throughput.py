@@ -61,33 +61,46 @@ def _tiers(spark, sf_dir):
         )
         return MM.image_dhash(media, decode="fake")
 
+    # row sources are (count, iterator-factory) pairs: tick files are
+    # written straight off toLocalIterator so the driver never holds
+    # the whole table as a Python list (at sf10 the documents table is
+    # multi-GB in dict form — the old .collect() capped the probe at
+    # ~sf1)
+    def _doc_rows():
+        for r in docs.select("doc_id", "text").toLocalIterator():
+            yield {"doc_id": r["doc_id"], "text": r["text"]}
+
+    def _vec_rows():
+        for r in vecs.select("vec_id", "embedding").toLocalIterator():
+            yield {"vec_id": r["vec_id"],
+                   "embedding": [float(x) for x in r["embedding"]]}
+
+    def _media_rows():
+        for r in docs.select("doc_id", "text").toLocalIterator():
+            yield {"media_id": r["doc_id"], "text": r["text"]}
+
+    n_docs = docs.count()
+    n_vecs = vecs.count()
     return {
         "text": {
-            "rows": [
-                {"doc_id": r["doc_id"], "text": r["text"]}
-                for r in docs.select("doc_id", "text").collect()
-            ],
+            "n": n_docs,
+            "rows": _doc_rows,
             "run": lambda spark, tmp: S.neardup_stream_ingest(
                 spark, src_path=f"{tmp}/src", dst_path=f"{tmp}/out",
                 checkpoint=f"{tmp}/ckpt", state_dir=f"{tmp}/state",
                 schema=doc_schema),
         },
         "embedding": {
-            "rows": [
-                {"vec_id": r["vec_id"],
-                 "embedding": [float(x) for x in r["embedding"]]}
-                for r in vecs.select("vec_id", "embedding").collect()
-            ],
+            "n": n_vecs,
+            "rows": _vec_rows,
             "run": lambda spark, tmp: S.neardup_embedding_stream_ingest(
                 spark, src_path=f"{tmp}/src", dst_path=f"{tmp}/out",
                 checkpoint=f"{tmp}/ckpt", state_dir=f"{tmp}/state",
                 schema=vec_schema, dim=dim),
         },
         "media": {
-            "rows": [
-                {"media_id": r["doc_id"], "text": r["text"]}
-                for r in docs.select("doc_id", "text").collect()
-            ],
+            "n": n_docs,
+            "rows": _media_rows,
             "run": lambda spark, tmp: S.neardup_media_stream_ingest(
                 spark, src_path=f"{tmp}/src", dst_path=f"{tmp}/out",
                 checkpoint=f"{tmp}/ckpt", state_dir=f"{tmp}/state",
@@ -96,17 +109,23 @@ def _tiers(spark, sf_dir):
     }
 
 
-def probe_tier(spark, name, rows, run, ticks) -> dict:
+def probe_tier(spark, name, n, rows, run, ticks) -> dict:
     tmp = tempfile.mkdtemp(prefix=f"streamprobe_{name}_")
     os.makedirs(f"{tmp}/src")
-    per = len(rows) // ticks
+    per = n // ticks
     walls = []
+    it = rows()
     try:
         for t in range(ticks):
-            chunk = rows[t * per : (t + 1) * per]
+            # tick-file write happens OUTSIDE the timer; the iterator
+            # is consumed lazily so only one tick's rows are ever
+            # buffered driver-side
             with open(f"{tmp}/src/tick{t}.json", "w") as f:
-                for row in chunk:
-                    f.write(json.dumps(row) + "\n")
+                for _ in range(per):
+                    try:
+                        f.write(json.dumps(next(it)) + "\n")
+                    except StopIteration:
+                        break
             t0 = time.perf_counter()
             run(spark, tmp)
             walls.append(round(time.perf_counter() - t0, 2))
@@ -143,8 +162,8 @@ def main(out_path: str, sf_dir: str = "/root/testdata/sf0.1",
         "sf_dir": sf_dir,
     }
     for name, spec in tiers.items():
-        doc[name] = probe_tier(spark, name, spec["rows"], spec["run"],
-                               int(ticks))
+        doc[name] = probe_tier(spark, name, spec["n"], spec["rows"],
+                               spec["run"], int(ticks))
         print(json.dumps({name: doc[name]}), flush=True)
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
