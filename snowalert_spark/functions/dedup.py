@@ -1650,6 +1650,128 @@ def remove_repeated_substrings(
     )
 
 
+def substring_fingerprint_counts(
+    docs: DataFrame,
+    window: int = 40,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-fingerprint occurrence counts of a corpus's length-``window``
+    sliding windows — ``(h struct<a,b>, n_base)``, one row per distinct
+    fingerprint. This is the publishable state of a substring-deduped
+    snapshot: persist it next to the corpus and later recrawls clean
+    against it via :func:`cross_snapshot_substring_removal` without
+    ever re-scanning the snapshot's text. Map-side combined groupBy —
+    a boilerplate hash collapses per partition before the shuffle."""
+    return (
+        _window_fingerprints(docs, int(window), id_col, text_col)
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("n_base"))
+    )
+
+
+def cross_snapshot_substring_removal(
+    new_docs: DataFrame,
+    base_docs: DataFrame | None = None,
+    base_counts: DataFrame | None = None,
+    window: int = 40,
+    min_count: int = 2,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-snapshot substring dedup (Lee et al. arXiv:2107.06499
+    keep-one removal, incremental form): clean a NEW batch of docs
+    against an already-published BASE corpus plus themselves. A
+    length-``window`` sliding window of a new doc is cut when its
+    fingerprint's total occurrence count (base + new) reaches
+    ``min_count`` — unless it is the globally-first occurrence, which
+    is only ever a NEW position when the fingerprint is absent from
+    base (a base occurrence already keeps that content, published and
+    immutable). Base docs are never modified and never re-emitted.
+
+    Pass ``base_docs`` to fingerprint the base here, or
+    ``base_counts`` (the persisted output of
+    :func:`substring_fingerprint_counts`) to skip the base scan
+    entirely — the 100 TB recrawl shape: the snapshot publishes its
+    fingerprint table once; every subsequent crawl batch pays only
+    its own fingerprints plus one equi-join against it.
+
+    Equivalence (the oracle): with every base id ordered before every
+    new id, this equals :func:`remove_repeated_substrings` on
+    base ∪ new restricted to the new ids — the keep-one rule is
+    prefix-monotone, so the union's (doc_id, pos)-first occurrence
+    for a base-present fingerprint is the base one (pinned by
+    tests/test_substring_cross_snapshot.py for min_count 2 and 3,
+    and for the precomputed base_counts path bit-identically).
+
+    Returns the :func:`remove_repeated_substrings` row shape for the
+    new docs only: (doc_id, clean_text, removed_chars,
+    n_removed_windows).
+    """
+    if (base_docs is None) == (base_counts is None):
+        raise ValueError("pass exactly one of base_docs / base_counts")
+    L = int(window)
+    if base_counts is None:
+        base_counts = substring_fingerprint_counts(
+            base_docs, L, id_col, text_col
+        )
+    wins = _window_fingerprints(new_docs, L, id_col, text_col)
+    ex = _salted_exchange(wins)
+    totals = (
+        ex.groupBy("h")
+        .agg(
+            F.count(F.lit(1)).alias("n_new"),
+            F.min(F.struct("doc_id", "pos")).alias("first_new"),
+        )
+        .join(base_counts, "h", "left")
+        .select(
+            "h",
+            "n_new",
+            "first_new",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+        )
+        .filter(F.col("n_new") + F.col("n_base") >= min_count)
+    )
+    flagged = (
+        ex.join(totals, "h")
+        .filter(
+            ~(
+                (F.col("n_base") == 0)
+                & (F.struct("doc_id", "pos") == F.col("first_new"))
+            )
+        )
+        .select("doc_id", "pos")
+    )
+    cuts = flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_removed_windows"),
+        F.array_sort(F.collect_list("pos")).alias("ps"),
+    )
+    return (
+        new_docs.select(
+            F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+        )
+        .join(cuts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            F.when(F.col("ps").isNull(), F.col("text"))
+            .otherwise(_excise_expr(L))
+            .alias("clean_text"),
+            F.coalesce("n_removed_windows", F.lit(0))
+            .cast("long")
+            .alias("n_removed_windows"),
+        )
+        .select(
+            "doc_id",
+            "clean_text",
+            (F.length("text") - F.length("clean_text"))
+            .cast("long")
+            .alias("removed_chars"),
+            "n_removed_windows",
+        )
+    )
+
+
 def dedupe_substrings(
     docs: DataFrame,
     window: int = 40,

@@ -321,6 +321,14 @@ LOCAL_ONLY = {
     # (tests/test_substring_combined.py), so the driver already checks
     # every column this row emits.
     "dedup_substring_full",
+    # dedup_substring_cross_snapshot (r12): incremental keep-one
+    # removal of a new crawl against a published base snapshot.
+    # LOCAL_ONLY with the gate at cap; by the prefix-monotone rule it
+    # is exactly the declared dedup_substring_removal restricted to
+    # the new ids (the oracle replays that identity), and the
+    # base_counts fast path is pytest-pinned bit-identical
+    # (tests/test_substring_cross_snapshot.py).
+    "dedup_substring_cross_snapshot",
 }
 
 DRIVER_QUERY_CAP = 50

@@ -132,6 +132,7 @@ LEDGER: dict[str, dict] = {
     "dedup_audio_clusters": _e(declared_in="r12", added_in="r11"),
     "bpe_encode_zipf": _e(None, None, "r11", "full 128-round training-replay oracle on the zipf sidecar (non-sf_dir corpus, so local by construction)"),
     "dedup_substring_full": _e(None, None, "r12", "dedup_substring_spans + dedup_substring_removal (both declared; bit-identity to their union pinned by tests/test_substring_combined.py)"),
+    "dedup_substring_cross_snapshot": _e(None, None, "r12", "dedup_substring_removal (declared; prefix-monotone identity — the incremental result IS the whole-corpus removal restricted to new ids, replayed by the oracle)"),
 }
 
 

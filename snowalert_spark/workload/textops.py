@@ -567,6 +567,92 @@ def dedup_substring_full(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dedupe_substrings(d, window=_SSW, min_count=2)
 
 
+@_q(
+    "dedup_substring_cross_snapshot",
+    f"""
+    WITH thr AS (
+        SELECT CAST(FLOOR((MIN(doc_id) + MAX(doc_id)) / 2.0) AS BIGINT) AS k
+        FROM documents),
+    wins AS (
+        SELECT doc_id, CAST(i AS INT) AS pos,
+               md5(substr(text, CAST(i AS INT), {_SSW})) AS h
+        FROM documents,
+             unnest(range(1, greatest(len(text) - {_SSW} + 1, 0) + 1)) AS t(i)
+    ),
+    flags AS (
+        SELECT doc_id, pos FROM (
+            SELECT doc_id, pos,
+                   ROW_NUMBER() OVER (PARTITION BY h
+                                      ORDER BY doc_id, pos) AS rnk,
+                   COUNT(*) OVER (PARTITION BY h) AS n_occ
+            FROM wins)
+        WHERE n_occ >= 2 AND rnk > 1),
+    marks AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - LAG(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SSW}
+                    THEN 0 ELSE 1 END AS brk
+        FROM flags),
+    grp AS (SELECT doc_id, pos,
+                   SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS g
+            FROM marks),
+    spans AS (SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + {_SSW} - 1 AS e
+              FROM grp GROUP BY doc_id, g),
+    kept AS (
+        SELECT doc_id,
+               COALESCE(LAG(e) OVER (PARTITION BY doc_id ORDER BY s), 0) + 1 AS ks,
+               s - 1 AS ke
+        FROM spans
+        UNION ALL
+        SELECT doc_id, MAX(e) + 1 AS ks, NULL AS ke
+        FROM spans GROUP BY doc_id),
+    cleaned AS (
+        SELECT k.doc_id,
+               string_agg(
+                   CASE WHEN ks > len(d.text) THEN ''
+                        WHEN ke IS NULL THEN substr(d.text, CAST(ks AS INT))
+                        WHEN ke >= ks THEN substr(d.text, CAST(ks AS INT),
+                                                  CAST(ke - ks + 1 AS INT))
+                        ELSE '' END,
+                   '' ORDER BY ks) AS clean_text
+        FROM kept k JOIN documents d USING (doc_id)
+        GROUP BY k.doc_id),
+    cnt AS (SELECT doc_id, COUNT(*) AS n_removed_windows
+            FROM flags GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(c.clean_text, d.text) AS clean_text,
+           CAST(len(d.text) - len(COALESCE(c.clean_text, d.text)) AS BIGINT)
+               AS removed_chars,
+           CAST(COALESCE(n.n_removed_windows, 0) AS BIGINT)
+               AS n_removed_windows
+    FROM documents d
+    LEFT JOIN cleaned c USING (doc_id)
+    LEFT JOIN cnt n USING (doc_id)
+    WHERE d.doc_id > (SELECT k FROM thr)
+    """,
+)
+def dedup_substring_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot substring dedup (Lee et al. arXiv:2107.06499
+    incremental keep-one removal): the upper-id half of the documents
+    table is a NEW crawl cleaned against the lower-id half as the
+    published BASE snapshot — base text is never re-emitted and, when
+    the persisted fingerprint-counts table is supplied, never even
+    re-scanned (functions/dedup.py:cross_snapshot_substring_removal).
+    The oracle exploits the prefix-monotone keep-one rule: with every
+    base id below every new id, the incremental result is EXACTLY the
+    whole-corpus removal restricted to new ids, so the SQL replays
+    the plain removal over base ∪ new and filters."""
+    d = table(spark, sf_dir, "documents")
+    k = d.agg(
+        F.floor((F.min("doc_id") + F.max("doc_id")) / 2.0).cast("long")
+    ).collect()[0][0]
+    base = d.filter(F.col("doc_id") <= k)
+    new = d.filter(F.col("doc_id") > k)
+    return D.cross_snapshot_substring_removal(
+        new, base_docs=base, window=_SSW, min_count=2
+    )
+
+
 TFIDF_TOPK = 5
 
 

@@ -22,17 +22,17 @@ from snowalert_spark.functions.sampling import mixture_plan
 def test_registry_stats_single_source_of_truth():
     stats = workload.registry_stats()
     # the numbers quoted in README.md and PARITY.md (r11: +3 cluster-
-    # form media rows + the zipf tokenizer-depth row; r12: +the
-    # combined substring spans+removal row)
+    # form media rows + the zipf tokenizer-depth row; r12: +the combined
+    # substring spans+removal row and its cross-snapshot sibling)
     assert stats == {
-        "total": 101,
+        "total": 102,
         "driver_declared": 50,
-        "local_only": 51,
+        "local_only": 52,
         # oracle-complete since r10: every registry row has a
         # cross-engine DuckDB oracle (the cluster rows close theirs
         # with recursive-CTE connected components; bpe_encode_zipf's
         # is the 128-round training replay on the zipf sidecar)
-        "with_oracle": 101,
+        "with_oracle": 102,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
     assert stats["local_only"] == len(workload.LOCAL_ONLY)
