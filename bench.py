@@ -61,6 +61,7 @@ HEADLINE = [
     "dedup_substring_spans",
     "dedup_substring_removal",
     "dedup_substring_full",
+    "dedup_substring_cross_snapshot",
     "corpus_vocab_topk",
     "doc_tfidf_topterms",
     "unigram_logprob_scores",
