@@ -36,12 +36,13 @@ def probe_dir(spark, sf_dir: str) -> dict:
     hit = DD.winnow_hit_docs(d, WINDOW)
     n_hit = hit.count()
     wall_phase1 = round(time.perf_counter() - t0, 2)
-    # selected-gram rows = phase-1 exchange volume
+    # selected-gram rows = phase-1 exchange volume (same xxhash64 gram
+    # hash as winnow_hit_docs since r12 — the replica must select the
+    # same positions the operator selects)
     g = WINDOW - DD.WINNOW_W + 1
     hl = (
         f"transform(sequence(1, length(text) - {g} + 1), "
-        f"i -> CAST(conv(substring(md5(substring(text, i, {g})), 1, 15), "
-        f"16, 10) AS BIGINT))"
+        f"i -> xxhash64(substring(text, i, {g})))"
     )
     sel_rows = (
         d.select(
@@ -78,13 +79,19 @@ def probe_dir(spark, sf_dir: str) -> dict:
     ):
         walls = {}
         sums = {}
-        for mode in (False, True):
+        # three modes: plain, forced prefilter, and the r12 auto (sunk-
+        # cost rule: after full phase 1, restrict whenever hit_frac <=
+        # SUBSTR_RESTRICT_MAX_HIT_FRAC) — all three must be
+        # row-identical, and on this mid-density corpus auto should
+        # beat BOTH forced modes (restriction skips ~(1-hit_frac) of
+        # docs in both materializations of the salted exchange)
+        for mode in (False, True, "auto"):
             t0 = time.perf_counter()
             fn(d, prefilter=mode).write.format("noop").mode(
                 "overwrite"
             ).save()
             walls[mode] = round(time.perf_counter() - t0, 2)
-            # order-independent whole-output checksum: both modes must
+            # order-independent whole-output checksum: all modes must
             # be row-identical, not just row-count-identical
             res = fn(d, prefilter=mode)
             sums[mode] = res.agg(
@@ -93,14 +100,16 @@ def probe_dir(spark, sf_dir: str) -> dict:
                 F.sum(F.xxhash64(*res.columns).cast("decimal(38,0)")).alias("s"),
                 F.count(F.lit(1)).alias("n"),
             ).collect()[0]
-        assert (sums[False]["s"], sums[False]["n"]) == (
-            sums[True]["s"],
-            sums[True]["n"],
-        ), f"{label}: prefilter output diverged"
+        for mode in (True, "auto"):
+            assert (sums[False]["s"], sums[False]["n"]) == (
+                sums[mode]["s"],
+                sums[mode]["n"],
+            ), f"{label}: prefilter={mode} output diverged"
         assert sums[False]["n"] == n_docs
         out[label] = {
             "wall_plain_s": walls[False],
             "wall_prefilter_s": walls[True],
+            "wall_auto_s": walls["auto"],
         }
     return out
 
