@@ -90,6 +90,14 @@ def _tiers(spark, sf_dir):
                 checkpoint=f"{tmp}/ckpt", state_dir=f"{tmp}/state",
                 schema=doc_schema),
         },
+        "substring": {
+            "n": n_docs,
+            "rows": _doc_rows,
+            "run": lambda spark, tmp: S.substring_stream_ingest(
+                spark, src_path=f"{tmp}/src", dst_path=f"{tmp}/out",
+                checkpoint=f"{tmp}/ckpt", state_dir=f"{tmp}/state",
+                schema=doc_schema),
+        },
         "embedding": {
             "n": n_vecs,
             "rows": _vec_rows,
