@@ -890,12 +890,18 @@ def substring_stream_ingest(
             )
         )
         out.write.mode("overwrite").parquet(_batch_dir(dst_path, batch_id))
-        # state append: one row per DISTINCT batch hash (totals is
-        # already one row per hash — reuse it instead of a second
-        # distinct over the window stream)
-        totals.select("ha", "hb").write.mode("overwrite").parquet(
-            _batch_dir(fp_dir, batch_id)
-        )
+        # state append: one row per batch hash NOT already in state
+        # (totals is already one row per hash). A hash present in
+        # state cuts every future occurrence regardless, so re-writing
+        # it only grows the per-tick state join — this keeps the store
+        # at distinct-hashes-EVER, the minimum, which is what bounds
+        # the join for recrawl-heavy streams where most windows repeat
+        # across ticks. Deterministic under replay: the state read
+        # excludes the current batch id, so a replayed batch computes
+        # the same left_anti result and rewrites its own directory.
+        totals.select("ha", "hb").join(
+            state, ["ha", "hb"], "left_anti"
+        ).write.mode("overwrite").parquet(_batch_dir(fp_dir, batch_id))
         if retention_batches is not None:
             _compact_expired_state((fp_dir,), batch_id, retention_batches)
         for df in cached:

@@ -148,6 +148,29 @@ def test_retention_horizon_forgets(spark, tmp_path):
     assert sorted(os.listdir(fp)) == ["batch_id=1"]
 
 
+def test_state_stores_only_new_hashes(spark, tmp_path):
+    """A tick whose content is entirely already-seen must append ZERO
+    state rows (distinct-hashes-ever bound), while a tick with fresh
+    content appends exactly its new distinct hashes."""
+    tmp = str(tmp_path)
+    import random
+
+    rng = random.Random(19)
+    text = _rand_text(rng, L + 7)
+    _write(f"{tmp}/src", "t0.json", [(1, text)])
+    _run(spark, tmp)
+    _write(f"{tmp}/src", "t1.json", [(2, text)])  # byte-identical redelivery
+    _run(spark, tmp)
+    fp = f"{tmp}/state/seen_fingerprints"
+    n0 = spark.read.parquet(f"{fp}/batch_id=0").count()
+    n1 = spark.read.parquet(f"{fp}/batch_id=1").count()
+    assert n0 == 8  # len(text)-L+1 distinct windows
+    assert n1 == 0  # nothing new to remember
+    got = _out_rows(spark, tmp)
+    assert got[2][0] == ""  # the whole redelivered text excised
+    assert got[1] == (text, 0, 0)
+
+
 def test_rerun_with_no_new_files_is_noop(spark, tmp_path):
     tmp = str(tmp_path)
     import random
