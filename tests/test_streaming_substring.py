@@ -97,6 +97,35 @@ def test_ticked_stream_equals_batch_operator(spark, tmp_path):
     assert got == want
 
 
+def test_random_tick_splits_equal_batch_operator(spark, tmp_path):
+    """The prefix-monotone equivalence must hold for ANY id-ordered
+    tick split, not just thirds: random split points (including a
+    1-doc tick and an empty-tail guard) still reproduce the batch
+    operator exactly."""
+    import random
+
+    rng = random.Random(37)
+    rows = sorted(_corpus(17))
+    cuts = sorted(rng.sample(range(1, len(rows)), 4))
+    ticks = [rows[a:b] for a, b in zip([0] + cuts, cuts + [len(rows)])]
+    tmp = str(tmp_path)
+    for i, chunk in enumerate(ticks):
+        _write(f"{tmp}/src", f"tick{i}.json", chunk)
+        _run(spark, tmp)
+    got = _out_rows(spark, tmp)
+    want = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["removed_chars"],
+            r["n_removed_windows"],
+        )
+        for r in DD.remove_repeated_substrings(
+            _mkdocs(spark, rows), window=L
+        ).collect()
+    }
+    assert got == want
+
+
 def test_in_batch_keep_one(spark, tmp_path):
     tmp = str(tmp_path)
     import random
