@@ -1358,6 +1358,42 @@ SUBSTR_RESTRICT_MAX_HIT_FRAC = 0.9
 #: ~2.3x row wall on the dense driver corpus).
 SUBSTR_PREFILTER_PROBE_DOCS = 512
 
+#: Bounded pool of the hit-id tables persisted by
+#: :func:`_resolve_substring_scan`. The persist is needed because the
+#: returned plan materializes the winnow scan twice (the documented
+#: _salted_exchange reuse limitation) and the consuming action is the
+#: CALLER's (the operators return lazy DataFrames), so the operator
+#: cannot unpersist before returning. Without a bound, every
+#: substring-operator call in a long-lived session would accumulate a
+#: cached table (MEMORY_AND_DISK blocks spilled to disk are reclaimed
+#: only by unpersist or session end, not LRU — r12 advice). The pool
+#: keeps the most recent :data:`SUBSTR_HIT_CACHE_SLOTS` handles and
+#: unpersists the oldest beyond that; unpersisting is always safe
+#: (a still-live plan just recomputes). Call
+#: :func:`release_substring_caches` to drain it eagerly.
+SUBSTR_HIT_CACHE_SLOTS = 2
+_HIT_ID_CACHE_POOL: list = []
+
+
+def _pool_persist(df: DataFrame) -> DataFrame:
+    df = df.persist()
+    _HIT_ID_CACHE_POOL.append(df)
+    while len(_HIT_ID_CACHE_POOL) > SUBSTR_HIT_CACHE_SLOTS:
+        _HIT_ID_CACHE_POOL.pop(0).unpersist()
+    return df
+
+
+def release_substring_caches() -> int:
+    """Unpersist every hit-id table still cached by the substring
+    operators' winnowing prefilter and return how many were released.
+    Safe at any time: a result DataFrame that is materialized after
+    its hit-id cache is released recomputes the winnow scan instead
+    of reading the cache (bit-identical output, slower)."""
+    n = len(_HIT_ID_CACHE_POOL)
+    while _HIT_ID_CACHE_POOL:
+        _HIT_ID_CACHE_POOL.pop().unpersist()
+    return n
+
 
 def _resolve_substring_scan(
     docs: DataFrame,
@@ -1394,8 +1430,11 @@ def _resolve_substring_scan(
     twice (the documented _salted_exchange reuse limitation): without
     the persist the whole winnow scan would run once per consumer —
     measured at 2x phase-1 wall in BENCH_r11_substring_prefilter's
-    removal rows. Eviction is left to Spark's LRU (same policy as the
-    n-gram cache at dedup.py:231).
+    removal rows. The handle lives in the bounded
+    :data:`_HIT_ID_CACHE_POOL` (r12 advice: LRU does not reclaim
+    disk-spilled MEMORY_AND_DISK blocks, so unbounded persists leak
+    across a long session); callers needing eager cleanup use
+    :func:`release_substring_caches`.
 
     Returns ``(scan, used, hit_frac)`` — ``hit_frac`` is None unless
     auto mode measured one (sampled or exact — the test pin for the
@@ -1422,21 +1461,20 @@ def _resolve_substring_scan(
                 if s_frac > SUBSTR_PREFILTER_MAX_HIT_FRAC:
                     # certainly dense (sampling never overestimates)
                     return docs, False, s_frac
-        hit_ids = (
+        hit_ids = _pool_persist(
             winnow_hit_docs(docs, L, id_col=id_col, text_col=text_col)
             .withColumnRenamed("doc_id", id_col)
-            .persist()
         )
         frac = hit_ids.count() / n
         if frac > SUBSTR_RESTRICT_MAX_HIT_FRAC:
             # restriction would skip almost nothing; don't add the join
+            _HIT_ID_CACHE_POOL.remove(hit_ids)
             hit_ids.unpersist()
             return docs, False, frac
         return docs.join(hit_ids, id_col, "left_semi"), True, frac
-    hit_ids = (
+    hit_ids = _pool_persist(
         winnow_hit_docs(docs, L, id_col=id_col, text_col=text_col)
         .withColumnRenamed("doc_id", id_col)
-        .persist()
     )
     return docs.join(hit_ids, id_col, "left_semi"), True, None
 
@@ -1662,12 +1700,49 @@ def substring_fingerprint_counts(
     snapshot: persist it next to the corpus and later recrawls clean
     against it via :func:`cross_snapshot_substring_removal` without
     ever re-scanning the snapshot's text. Map-side combined groupBy —
-    a boilerplate hash collapses per partition before the shuffle."""
+    a boilerplate hash collapses per partition before the shuffle.
+
+    The ``window`` the table was built with is embedded as a constant
+    column (r12 advice): fingerprints of different window lengths are
+    incomparable, and a mismatched table silently yields wrong cut
+    decisions — :func:`cross_snapshot_substring_removal` checks the
+    embedded value against its own ``window`` and refuses a mismatch."""
     return (
         _window_fingerprints(docs, int(window), id_col, text_col)
         .groupBy("h")
         .agg(F.count(F.lit(1)).alias("n_base"))
+        .withColumn("window", F.lit(int(window)))
     )
+
+
+def _validate_base_counts(base_counts: DataFrame, L: int) -> DataFrame:
+    """Schema + window guard for a caller-supplied persisted counts
+    table (r12 advice: a table built with a different window silently
+    produced wrong cut decisions). Requires ``h struct<a,b>`` and
+    ``n_base``; when the ``window`` stamp column is present (written
+    by :func:`substring_fingerprint_counts` since r13) its value must
+    equal the operator's — checked from one row, so the guard costs a
+    single-task read, never a scan. Returns the table reduced to the
+    join columns."""
+    fields = dict(base_counts.dtypes)
+    if "n_base" not in fields or "h" not in fields:
+        raise ValueError(
+            "base_counts must be a substring_fingerprint_counts table "
+            f"with columns (h struct<a,b>, n_base); got {base_counts.columns}"
+        )
+    if not fields["h"].startswith("struct"):
+        raise ValueError(
+            f"base_counts.h must be the fingerprint struct<a,b>; got {fields['h']}"
+        )
+    if "window" in fields:
+        row = base_counts.select("window").first()
+        if row is not None and int(row[0]) != L:
+            raise ValueError(
+                f"base_counts was built with window={int(row[0])} but the "
+                f"operator is running with window={L}; fingerprints of "
+                "different window lengths are incomparable"
+            )
+    return base_counts.select("h", "n_base")
 
 
 def cross_snapshot_substring_removal(
@@ -1714,7 +1789,9 @@ def cross_snapshot_substring_removal(
     if base_counts is None:
         base_counts = substring_fingerprint_counts(
             base_docs, L, id_col, text_col
-        )
+        ).select("h", "n_base")
+    else:
+        base_counts = _validate_base_counts(base_counts, L)
     wins = _window_fingerprints(new_docs, L, id_col, text_col)
     ex = _salted_exchange(wins)
     totals = (

@@ -127,9 +127,12 @@ def probe_tier(spark, name, n, rows, run, ticks) -> dict:
         for t in range(ticks):
             # tick-file write happens OUTSIDE the timer; the iterator
             # is consumed lazily so only one tick's rows are ever
-            # buffered driver-side
+            # buffered driver-side. The LAST tick takes the n % ticks
+            # remainder too (r12 advice: silently dropping it made the
+            # sidecar throughput cover fewer rows than the table holds).
+            want = per if t < ticks - 1 else per + n % ticks
             with open(f"{tmp}/src/tick{t}.json", "w") as f:
-                for _ in range(per):
+                for _ in range(want):
                     try:
                         f.write(json.dumps(next(it)) + "\n")
                     except StopIteration:
@@ -144,9 +147,12 @@ def probe_tier(spark, name, n, rows, run, ticks) -> dict:
     return {
         "ticks": ticks,
         "rows_per_tick": per,
+        "rows_total": n,
         "tick_walls_s": walls,
         "survivors_total": survivors,
-        "steady_rows_per_s": round(per / (sum(steady) / len(steady)), 1),
+        "steady_rows_per_s": round(
+            per / max(sum(steady) / len(steady), 1e-9), 1
+        ),
         # flat-cost signal: last tick (max state) vs first steady tick
         "last_over_first_steady": round(
             walls[-1] / max(steady[0], 1e-9), 2),
