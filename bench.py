@@ -584,6 +584,41 @@ def main() -> None:
                 json.dump(out, f, indent=1)
         except OSError:
             pass  # read-only cwd must not fail the bench
+    # LAST line: a compact summary guaranteed to fit whole inside the
+    # driver's 2000-char stdout tail, so BENCH_r{N}.json always parses
+    # (r12 verdict item 3: the full blob alone truncated mid-JSON and
+    # landed as parsed: null two rounds running). Per-query detail at 2
+    # decimals; if the registry ever grows the line past the window,
+    # the slowest rows are kept and the rest counted in
+    # queries_omitted — totals and normalization never drop.
+    print(_compact_summary_line(out))
+
+
+def _compact_summary_line(out: dict, budget: int = 1900) -> str:
+    summary = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": out["sf"],
+        "value_normalized": out.get("value_normalized"),
+        "calibration_floor": out.get("calibration", {}).get("floor"),
+        "queries": {k: round(v, 2) for k, v in out["queries"].items()},
+    }
+    if out.get("errors"):
+        summary["errors_n"] = len(out["errors"])
+    line = json.dumps(summary, separators=(",", ":"))
+    if len(line) <= budget:
+        return line
+    ranked = sorted(
+        summary["queries"].items(), key=lambda kv: kv[1], reverse=True
+    )
+    keep = dict(ranked)
+    while keep and len(line) > budget:
+        keep = dict(ranked[: max(0, len(keep) - 8)])
+        summary["queries"] = keep
+        summary["queries_omitted"] = len(ranked) - len(keep)
+        line = json.dumps(summary, separators=(",", ":"))
+    return line
 
 
 if __name__ == "__main__":
