@@ -9,6 +9,8 @@ w/ field_delimiter/skip_header/null_if ≈ sep/header/nullValue.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -159,6 +161,170 @@ def read_flow_log_csv(spark: SparkSession, path: str) -> DataFrame:
     return df.withColumn(
         "start_time", F.timestamp_seconds("start_time")
     ).withColumn("end_time", F.timestamp_seconds("end_time"))
+
+
+# aws_flow_log.py:65-76 — data.network_protocol_mapping dimension
+# (IANA protocol number → keyword/name), uploaded from
+# connectors/protocol_table.csv at connect time (PUT + COPY, :108-114).
+# The CSV is a connect-time input artifact, read at run time like the
+# pack SQL (packs.PACKS_DIR) rather than vendored.
+PROTOCOL_MAPPING_CSV = os.environ.get(
+    "SNOWALERT_PROTOCOL_CSV",
+    "/root/reference/src/connectors/protocol_table.csv",
+)
+
+PROTOCOL_MAPPING_SCHEMA = T.StructType(
+    [
+        T.StructField("protocol_id", T.IntegerType()),
+        T.StructField("protocol_keyword", T.StringType()),
+        T.StructField("protocol_name", T.StringType()),
+        T.StructField("protocol_ipv6_extension_header", T.StringType()),
+    ]
+)
+
+
+def read_protocol_mapping_csv(
+    spark: SparkSession, path: str = PROTOCOL_MAPPING_CSV
+) -> DataFrame:
+    """The ``data.network_protocol_mapping`` dimension table
+    (aws_flow_log.py:65-76 DDL, :44-46 file format: CSV, skip_header=1,
+    comma, empty-as-NULL). The Y/N extension-header flag lands as the
+    DDL's BOOLEAN. ~150 rows — a broadcast dimension for rule views
+    that decode ``flow_log.protocol`` numbers into names."""
+    df = (
+        spark.read.schema(PROTOCOL_MAPPING_SCHEMA)
+        .option("sep", ",")
+        .option("header", "true")
+        .option("nullValue", "")
+        .csv(path)
+    )
+    return df.withColumn(
+        "protocol_ipv6_extension_header",
+        F.col("protocol_ipv6_extension_header") == F.lit("Y"),
+    )
+
+
+def connect_flow_log(
+    spark: SparkSession,
+    log_path: str,
+    connection_name: str = "default",
+    protocol_csv: str = PROTOCOL_MAPPING_CSV,
+) -> dict[str, DataFrame]:
+    """Flow-log connect (aws_flow_log.py:86-135): register the typed
+    landing view AND the ``data.network_protocol_mapping`` dimension —
+    the reference creates both at connect time, so rule views can join
+    protocol numbers to names immediately. View names follow the
+    catalog-flattening convention (``data.x`` → ``data_x``). The
+    mapping is created once per session (``ifnotexists=True`` parity:
+    re-connecting another flow-log connection reuses it)."""
+    landing = read_flow_log_csv(spark, log_path)
+    view = f"data_aws_vpc_flow_log_{connection_name}_connection"
+    landing.createOrReplaceTempView(view)
+    mapping_view = "data_network_protocol_mapping"
+    if not spark.catalog.tableExists(mapping_view):
+        read_protocol_mapping_csv(spark, protocol_csv).createOrReplaceTempView(
+            mapping_view
+        )
+    return {
+        "landing": spark.table(view),
+        "network_protocol_mapping": spark.table(mapping_view),
+    }
+
+
+# aws_config.py:49-65 — the landing DDL; item paths per the ingest
+# task's SELECT (:172-193). The reference SELECT has a stray alias
+# (`value:resourceType::STRING aws_region`, :184) — the INSERT's
+# column list (:174-176) is what binds, landing resourceType as
+# resource_type; this projection follows the DDL.
+CONFIG_LANDING_COLS: dict[str, str] = {
+    "configuration_item_capture_time": "r.configurationItemCaptureTime",
+    "account_id": "r.awsAccountId",
+    "aws_region": "r.awsRegion",
+    "resource_type": "r.resourceType",
+    "arn": "r.ARN",
+    "availability_zone": "r.availabilityZone",
+    "resource_creation_time": "r.resourceCreationTime",
+    "resource_name": "r.resourceName",
+    "resource_id": "r.resourceId",
+    "relationships": "r.relationships",
+    "configuration": "r.configuration",
+    "tags": "r.tags",
+}
+
+_CONFIG_VARIANT_COLS = {"relationships", "configuration", "tags"}
+_CONFIG_TIMESTAMP_COLS = {
+    "configuration_item_capture_time",
+    "resource_creation_time",
+}
+
+# aws_config.py:166-169 — the snapshot filename carries the delivery
+# timestamp (…20190225T093000Z…); REGEXP_REPLACE to ISO-8601 then cast
+_CONFIG_FILENAME_TS = r".+(\d{4})(\d{2})(\d{2})T(\d{2})(\d{2})(\d{2})Z.*"
+
+
+def read_config_json(spark: SparkSession, path: str) -> DataFrame:
+    """AWS Config snapshot/history files: JSON objects whose
+    ``configurationItems`` array holds one row per resource state
+    (aws_config.py:172-195: COPY + LATERAL FLATTEN(v:configurationItems)
+    WHERE ARRAY_SIZE > 0 — explode drops empty/missing arrays the same
+    way). ``event_time`` is parsed from the FILE NAME's
+    ``yyyymmddThhmmssZ`` stamp (:166-169), matching the reference; a
+    file named without one lands a NULL event_time instead of garbage.
+    VARIANT columns (relationships/configuration/tags) land as JSON
+    text so pack SQL's col:path access works over them."""
+    raw = spark.read.option("multiLine", "true").json(path)
+    if (
+        "configurationItems" not in raw.columns
+        or not isinstance(
+            _path_type(raw.schema, "configurationItems"), T.ArrayType
+        )
+        or not isinstance(
+            _path_type(raw.schema, "configurationItems").elementType,
+            T.StructType,
+        )
+    ):
+        # no items anywhere in the batch (ARRAY_SIZE > 0 lands nothing):
+        # schema inference had no element to type, so project the empty
+        # landing shape explicitly
+        ts = ", ".join(f"{c} timestamp" for c in _CONFIG_TIMESTAMP_COLS)
+        strs = ", ".join(
+            f"{c} string"
+            for c in CONFIG_LANDING_COLS
+            if c not in _CONFIG_TIMESTAMP_COLS
+        )
+        return spark.createDataFrame(
+            [], f"raw string, hash_raw long, event_time timestamp, {ts}, {strs}"
+        ).select(
+            "raw", "hash_raw", "event_time", *CONFIG_LANDING_COLS
+        )
+    rec = raw.select(
+        F.explode("configurationItems").alias("r"),
+        F.input_file_name().alias("_fname"),
+    )
+
+    def land(name, src):
+        col, dtype = _safe_path(rec.schema, src), _path_type(rec.schema, src)
+        if name in _CONFIG_VARIANT_COLS and isinstance(
+            dtype, (T.StructType, T.ArrayType, T.MapType)
+        ):
+            return F.to_json(col).alias(name)
+        if name in _CONFIG_TIMESTAMP_COLS:
+            return F.try_to_timestamp(col.cast("string")).alias(name)
+        return col.cast("string").alias(name)
+
+    cols = [land(name, src) for name, src in CONFIG_LANDING_COLS.items()]
+    fname_ts = F.when(
+        F.col("_fname").rlike(_CONFIG_FILENAME_TS),
+        F.regexp_replace(
+            F.col("_fname"), _CONFIG_FILENAME_TS, r"$1-$2-$3T$4:$5:$6Z"
+        ),
+    )
+    return rec.select(
+        F.to_json("r").alias("raw"),
+        F.xxhash64(F.to_json("r")).alias("hash_raw"),  # HASH(value) dedupe key
+        F.try_to_timestamp(fname_ts).alias("event_time"),
+        *cols,
+    )
 
 
 def _jget(col: str, path: str, cast: str | None = None):
