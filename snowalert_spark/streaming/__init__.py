@@ -747,6 +747,193 @@ def neardup_media_stream_ingest(
     q.awaitTermination()
 
 
+class _BucketedFingerprintState:
+    """Hash-bucketed persistent state for the streaming substring tier
+    (r12 verdict item 1): one external Spark-catalog table of 16-byte
+    fingerprint pairs, ``CLUSTERED BY (ha, hb) INTO buckets`` and
+    ``PARTITIONED BY (batch_id)``.
+
+    Why a catalog table: the r12 layout (plain per-batch parquet dirs)
+    made every tick's batch-vs-state join re-shuffle the WHOLE state
+    relation — per-tick cost grew with distinct-hashes-ever (2.15x
+    last/first at ~104M accumulated fingerprints in the sf10 double
+    run). A bucketed scan satisfies the join's hashpartitioning
+    requirement by itself, so the tick join plans as a ShuffledHashJoin
+    whose only Exchange is the (tick-sized) batch side: the state is
+    scanned in place, one task per bucket, never re-shuffled or sorted
+    (pinned by tests/test_streaming_substring.py). Per-tick cost is
+    then O(state scan I/O) + O(batch shuffle) — flat in tick count.
+
+    Layout properties the tiers rely on, preserved from the dir-based
+    stores: ``batch_id={b}`` partition directories (state reads exclude
+    the current batch id, so a crashed attempt never self-matches);
+    per-batch replay overwrite (``overwrite_batch`` deletes the
+    partition's files, drops its metadata, then appends — ALTER TABLE
+    DROP PARTITION alone is metadata-only on external tables);
+    retention expiry as whole-partition deletes.
+
+    ``fold`` (compaction) bounds file count for long unbounded streams:
+    every committed partition below the current batch rewrites into ONE
+    partition labelled ``batch_id = -b`` (negative = folded at batch b;
+    always below any live batch id, so reads keep seeing it). The fold
+    write goes to a FRESH label before the source partitions drop, so
+    no crash window loses state; a replayed fold that finds its label
+    already registered only re-drops the sources. The fold itself is
+    Exchange-free: bucketed scan → distinct (clustering already
+    satisfied) → bucketed write. ``distinct`` also heals the one
+    double-write window (crash between a fold's commit and its source
+    drops), which is why duplicates can never accumulate.
+
+    The bucket count is pinned in ``_meta.json`` at the table location:
+    bucket ids live in file names, so re-creating the catalog entry
+    (new session) MUST declare the count the files were written with —
+    the persisted value always wins over the constructor's.
+    """
+
+    def __init__(self, spark: SparkSession, location: str, buckets: int):
+        import hashlib
+
+        self.spark = spark
+        self.location = os.path.abspath(location)
+        self.meta_path = os.path.join(self.location, "_meta.json")
+        self.buckets = int(buckets)
+        self.table = (
+            "substring_state_"
+            + hashlib.md5(self.location.encode()).hexdigest()[:12]
+        )
+
+    # -- setup ---------------------------------------------------------
+    def ensure(self) -> None:
+        if os.path.exists(self.meta_path):
+            with open(self.meta_path) as f:
+                self.buckets = int(json.load(f)["buckets"])
+        elif os.path.isdir(self.location) and any(
+            n.startswith("batch_id=") for n in os.listdir(self.location)
+        ):
+            raise ValueError(
+                f"state location {self.location} holds pre-r13 unbucketed "
+                "batch_id= directories but no _meta.json: the bucketed "
+                "store cannot adopt them (bucket ids live in file names, "
+                "so a bucketed scan over unbucketed files would silently "
+                "miss matches). Rewrite each old partition through "
+                "overwrite_batch on a fresh location, or start a fresh "
+                "state_dir."
+            )
+        os.makedirs(self.location, exist_ok=True)
+        exists = self.spark.catalog.tableExists(self.table)
+        if not exists:
+            self.spark.sql(
+                f"""CREATE TABLE {self.table} (ha BIGINT, hb BIGINT)
+                USING PARQUET
+                PARTITIONED BY (batch_id BIGINT)
+                CLUSTERED BY (ha, hb) SORTED BY (ha, hb)
+                INTO {self.buckets} BUCKETS
+                LOCATION '{self.location}'"""
+            )
+            # session restart over an existing store: re-adopt its
+            # partitions into the fresh catalog entry
+            self.spark.sql(f"ALTER TABLE {self.table} RECOVER PARTITIONS")
+        if not os.path.exists(self.meta_path):
+            os.makedirs(self.location, exist_ok=True)
+            with open(self.meta_path, "w") as f:
+                json.dump({"buckets": self.buckets}, f)
+
+    # -- reads ---------------------------------------------------------
+    def read_before(self, batch_id: int, retention_batches) -> DataFrame:
+        """State rows visible to micro-batch ``batch_id``: everything
+        previously committed (current batch excluded — replay safety),
+        bounded below by the retention horizon. Both bounds are
+        partition filters; fold labels (negative) pass the upper bound
+        by construction and are only used on unbounded streams."""
+        df = self.spark.table(self.table).filter(F.col("batch_id") < batch_id)
+        if retention_batches is not None:
+            df = df.filter(F.col("batch_id") > batch_id - retention_batches)
+        return df.select("ha", "hb")
+
+    def seen_in_state(self, batch_hashes: DataFrame, batch_id: int,
+                      retention_batches) -> DataFrame:
+        """The subset of ``batch_hashes`` (distinct (ha, hb) rows)
+        already present in state — the tick's ONE state-relation pass.
+        Shaped so the state side never exchanges: state is the stream
+        side of a ShuffledHashJoin LeftSemi (bucketed scan satisfies
+        the join's distribution), the batch side shuffles into the
+        bucket count and builds the per-partition hash maps. State
+        holds one row per hash, so the output IS the matched hash set;
+        the defensive ``dropDuplicates`` costs only an output-sized
+        (tick-bounded) exchange and makes even a mid-fold-crash
+        double-row harmless to downstream counts."""
+        return (
+            self.read_before(batch_id, retention_batches)
+            .join(batch_hashes.hint("shuffle_hash"), ["ha", "hb"], "left_semi")
+            .dropDuplicates(["ha", "hb"])
+        )
+
+    # -- writes --------------------------------------------------------
+    def _append(self, df: DataFrame, batch_id: int) -> None:
+        (
+            df.select("ha", "hb")
+            .withColumn("batch_id", F.lit(int(batch_id)))
+            .write.mode("append")
+            .partitionBy("batch_id")
+            .bucketBy(self.buckets, "ha", "hb")
+            .sortBy("ha", "hb")
+            .format("parquet")
+            .saveAsTable(self.table)
+        )
+
+    def _drop_partition(self, batch_id: int) -> None:
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self.location, f"batch_id={batch_id}"),
+            ignore_errors=True,
+        )
+        self.spark.sql(
+            f"ALTER TABLE {self.table} DROP IF EXISTS "
+            f"PARTITION (batch_id={batch_id})"
+        )
+
+    def overwrite_batch(self, df: DataFrame, batch_id: int) -> None:
+        """Idempotent per-batch state write: a replayed batch first
+        deletes its own partition (files AND metadata), then appends —
+        per-partition overwrite semantics on the bucketed table."""
+        self._drop_partition(batch_id)
+        self._append(df, batch_id)
+
+    def partitions(self) -> list[int]:
+        return sorted(
+            int(r[0].split("=", 1)[1])
+            for r in self.spark.sql(f"SHOW PARTITIONS {self.table}").collect()
+        )
+
+    def expire(self, batch_id: int, retention_batches: int) -> None:
+        for b in self.partitions():
+            if b <= batch_id - retention_batches:
+                self._drop_partition(b)
+
+    def fold(self, batch_id: int) -> None:
+        """Compact every committed partition below ``batch_id`` into
+        one ``batch_id = -batch_id`` partition (file-count hygiene for
+        unbounded streams; content unchanged). Write-new-then-drop-old:
+        no crash window loses state, and a replayed fold whose label
+        already exists skips straight to re-dropping sources."""
+        target = -int(batch_id)
+        parts = [b for b in self.partitions() if b < batch_id]
+        sources = [b for b in parts if b != target]
+        if not sources:
+            return
+        if target not in parts:
+            folded = (
+                self.spark.table(self.table)
+                .filter(F.col("batch_id") < batch_id)
+                .select("ha", "hb")
+                .dropDuplicates(["ha", "hb"])
+            )
+            self._append(folded, target)
+        for b in sources:
+            self._drop_partition(b)
+
+
 def substring_stream_ingest(
     spark: SparkSession,
     src_path: str,
@@ -759,6 +946,8 @@ def substring_stream_ingest(
     retention_batches: int | None = None,
     id_col: str = "doc_id",
     text_col: str = "text",
+    state_buckets: int = 64,
+    compact_every: int | None = 16,
 ) -> None:
     """Streaming SUBSTRING dedup ingest — the incremental form of
     :func:`~snowalert_spark.functions.dedup.remove_repeated_substrings`
@@ -787,9 +976,10 @@ def substring_stream_ingest(
        (n_occ, first occurrence) — map-side combined, so a hot
        boilerplate hash collapses per partition before the shuffle;
     2. a window is flagged for excision iff its hash exists in state
-       (left_semi against the h-partitioned state relation) OR it
-       repeats within the batch and is not the batch-first occurrence
-       (and the hash is absent from state);
+       (one membership probe of the batch's distinct hashes against
+       the bucketed state table — the state side never exchanges) OR
+       it repeats within the batch and is not the batch-first
+       occurrence (and the hash is absent from state);
     3. per-doc flagged positions run the batch operator's sorted
        excision fold; every doc publishes (clean_text, removed_chars,
        n_removed_windows) to a ``batch_id={b}`` output partition;
@@ -797,20 +987,32 @@ def substring_stream_ingest(
        the kept-first occurrence's content survives in the output, so
        one state row per hash serves every future match).
 
-    State and crash safety follow the other tiers exactly: one
-    ``batch_id={b}`` partition directory per sink with per-directory
-    OVERWRITE (a replayed batch rewrites only its own directories;
-    state reads exclude the current batch id so a crashed attempt
-    can't self-match), ``retention_batches`` bounds lookback like a
-    watermark, expired directories are deleted whole.
+    Crash safety follows the other tiers: output is one ``batch_id={b}``
+    partition directory with per-directory OVERWRITE; state reads
+    exclude the current batch id (a crashed attempt can't self-match)
+    and state writes are per-partition overwrites. Retention note
+    (r12 advice): because only hashes NEW to the store are written, a
+    state row's batch_id is its FIRST-KEPT tick — with
+    ``retention_batches`` set, expiry is a *first-kept-age* horizon,
+    not a last-seen recency watermark: content that recurs every tick
+    still expires at first-kept + retention, and exactly one duplicate
+    occurrence is reintroduced per expiry cycle before its hash
+    re-registers. That is the intended trade (state stays at distinct
+    hashes per horizon, the minimum); use an unbounded store when
+    recurrence must never slip through.
 
-    100 TB shape: state is ONE relation of 16-byte hashes — the same
-    O(corpus chars) footprint as the batch operator's exchange, but
-    amortized across ticks: each micro-batch shuffles only its own
-    fingerprints plus one equi-join against the (h-partitioned,
-    batch-pruned) state, never a re-scan of prior text. The join keys
-    are the hash pair, so AQE's skew split handles a boilerplate hash
-    arriving at 10^6 occurrences in one tick.
+    100 TB shape (r12 verdict item 1): state is ONE catalog table of
+    16-byte hash pairs, ``CLUSTERED BY (ha, hb) INTO state_buckets``
+    (:class:`_BucketedFingerprintState`). The tick's batch-vs-state
+    membership probe plans as a ShuffledHashJoin whose only Exchange
+    is the tick's own (distinct) fingerprints — the state side is a
+    bucketed scan, read in place, never re-shuffled and never sorted,
+    so per-tick cost is O(state scan) I/O plus O(tick) shuffle instead
+    of an O(state) exchange every tick (the r12 curve doubled by
+    ~104M accumulated fingerprints; the plan is pinned by
+    tests/test_streaming_substring.py). ``compact_every`` folds
+    committed partitions into one (Exchange-free bucketed rewrite)
+    so file count stays bounded on unbounded streams.
     """
     from snowalert_spark.functions.dedup import (
         _excise_expr,
@@ -818,9 +1020,19 @@ def substring_stream_ingest(
     )
 
     L = int(window)
-    fp_dir = os.path.join(state_dir, "seen_fingerprints")
+    state = _BucketedFingerprintState(
+        spark, os.path.join(state_dir, "seen_fingerprints"), state_buckets
+    )
+    state.ensure()
 
     def process(batch: DataFrame, batch_id: int) -> None:
+        if (
+            compact_every
+            and retention_batches is None
+            and batch_id > 0
+            and batch_id % compact_every == 0
+        ):
+            state.fold(batch_id)
         cached = [batch.cache()]
         batch = cached[0]
         wins = _window_fingerprints(
@@ -835,23 +1047,24 @@ def substring_stream_ingest(
         ).cache()
         cached.append(wins)
 
-        state = _read_batched_state(
-            spark, fp_dir, "ha long, hb long, batch_id long",
-            batch_id, retention_batches,
-        ).select("ha", "hb")
-
         # per-hash in-batch totals: count + batch-first occurrence
         totals = wins.groupBy("ha", "hb").agg(
             F.count(F.lit(1)).alias("n_occ"),
             F.min(F.struct("doc_id", "pos")).alias("first"),
-        )
-        # hashes already in state: every batch occurrence is cut
-        seen = totals.join(state, ["ha", "hb"], "left_semi").select(
-            "ha", "hb", F.lit(True).alias("all_cut")
-        )
+        ).cache()
+        cached.append(totals)
+        # hashes already in state: every batch occurrence is cut. ONE
+        # state pass per tick (cached; the state-append anti-join below
+        # runs against this tick-sized set, not the state again)
+        seen = state.seen_in_state(
+            totals.select("ha", "hb"), batch_id, retention_batches
+        ).cache()
+        cached.append(seen)
         flagged = (
             wins.join(totals, ["ha", "hb"])
-            .join(seen, ["ha", "hb"], "left")
+            .join(
+                seen.withColumn("all_cut", F.lit(True)), ["ha", "hb"], "left"
+            )
             .filter(
                 F.coalesce(F.col("all_cut"), F.lit(False))
                 | (
@@ -891,19 +1104,20 @@ def substring_stream_ingest(
         )
         out.write.mode("overwrite").parquet(_batch_dir(dst_path, batch_id))
         # state append: one row per batch hash NOT already in state
-        # (totals is already one row per hash). A hash present in
-        # state cuts every future occurrence regardless, so re-writing
-        # it only grows the per-tick state join — this keeps the store
-        # at distinct-hashes-EVER, the minimum, which is what bounds
-        # the join for recrawl-heavy streams where most windows repeat
-        # across ticks. Deterministic under replay: the state read
-        # excludes the current batch id, so a replayed batch computes
-        # the same left_anti result and rewrites its own directory.
-        totals.select("ha", "hb").join(
-            state, ["ha", "hb"], "left_anti"
-        ).write.mode("overwrite").parquet(_batch_dir(fp_dir, batch_id))
+        # (totals is one row per hash; seen is the tick-sized subset
+        # already present, so the anti-join never touches the state
+        # relation a second time). A hash present in state cuts every
+        # future occurrence regardless, so re-writing it only grows
+        # the store — this keeps it at distinct-hashes-EVER, the
+        # minimum. Deterministic under replay: the state read excludes
+        # the current batch id, so a replayed batch computes the same
+        # result and overwrites its own partition.
+        state.overwrite_batch(
+            totals.select("ha", "hb").join(seen, ["ha", "hb"], "left_anti"),
+            batch_id,
+        )
         if retention_batches is not None:
-            _compact_expired_state((fp_dir,), batch_id, retention_batches)
+            state.expire(batch_id, retention_batches)
         for df in cached:
             df.unpersist()
 

@@ -172,9 +172,10 @@ def test_retention_horizon_forgets(spark, tmp_path):
     # retention=1 = in-batch only: tick-0 state fell out of the
     # horizon, so the tick-1 repeat survives untouched
     assert got[2] == (shared, 0, 0)
-    # and the expired state directory was compacted away
+    # and the expired state partition was dropped (files and metadata)
     fp = f"{tmp}/state/seen_fingerprints"
-    assert sorted(os.listdir(fp)) == ["batch_id=1"]
+    parts = sorted(n for n in os.listdir(fp) if n.startswith("batch_id="))
+    assert parts == ["batch_id=1"]
 
 
 def test_state_stores_only_new_hashes(spark, tmp_path):
@@ -190,9 +191,9 @@ def test_state_stores_only_new_hashes(spark, tmp_path):
     _run(spark, tmp)
     _write(f"{tmp}/src", "t1.json", [(2, text)])  # byte-identical redelivery
     _run(spark, tmp)
-    fp = f"{tmp}/state/seen_fingerprints"
-    n0 = spark.read.parquet(f"{fp}/batch_id=0").count()
-    n1 = spark.read.parquet(f"{fp}/batch_id=1").count()
+    fp = spark.read.parquet(f"{tmp}/state/seen_fingerprints")
+    n0 = fp.filter("batch_id = 0").count()
+    n1 = fp.filter("batch_id = 1").count()
     assert n0 == 8  # len(text)-L+1 distinct windows
     assert n1 == 0  # nothing new to remember
     got = _out_rows(spark, tmp)
@@ -211,3 +212,159 @@ def test_rerun_with_no_new_files_is_noop(spark, tmp_path):
     before = _out_rows(spark, tmp)
     _run(spark, tmp)  # checkpoint: no new files, no new batch
     assert _out_rows(spark, tmp) == before
+
+
+# ---- r13: hash-bucketed state (the r12 scale fix) ---------------------
+
+
+def _mk_state(spark, tmp_path, buckets=8):
+    from snowalert_spark.streaming import _BucketedFingerprintState
+
+    st = _BucketedFingerprintState(
+        spark, str(tmp_path / "seen_fingerprints"), buckets
+    )
+    st.ensure()
+    return st
+
+
+def _hashes(spark, lo, hi, batch=None):
+    import pyspark.sql.functions as F
+
+    df = spark.range(lo, hi).select(
+        (F.col("id") * 7919).alias("ha"), (F.col("id") * 104729).alias("hb")
+    )
+    return df
+
+
+def test_state_tick_join_has_no_exchange_on_state_side(spark, tmp_path):
+    """THE r13 plan pin: the per-tick membership probe must read the
+    state as a bucketed scan (no Exchange, no Sort on the state side)
+    and shuffle only the tick's own hashes — the exact plan shape that
+    keeps per-tick cost flat as accumulated state grows (r12: the
+    unbucketed state re-shuffled every tick and doubled by ~104M
+    fingerprints)."""
+    st = _mk_state(spark, tmp_path)
+    for b in range(3):  # multiple partitions AND multiple files/bucket
+        st.overwrite_batch(_hashes(spark, b * 1000, (b + 1) * 1000), b)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen = st.seen_in_state(_hashes(spark, 500, 1500), 3, None)
+        plan = seen._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan
+        assert "ShuffledHashJoin" in plan
+        # exactly ONE Exchange in the whole tick probe: the batch side
+        # of the join. The state relation is scanned in place (no
+        # Exchange, no Sort), and even the defensive dropDuplicates
+        # rides the join output's bucketed distribution
+        join_part = plan.split("ShuffledHashJoin", 1)[1]
+        state_side = join_part.split("Exchange", 1)[0]
+        assert "FileScan" in state_side  # state scanned in place
+        assert plan.count("Exchange") == 1, plan
+        assert "Sort" not in plan.split("ShuffledHashJoin", 1)[1].split(
+            "Exchange", 1
+        )[0]
+        assert seen.count() == 1000  # ids 500..1499 all in state
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_state_overwrite_batch_is_replay_idempotent(spark, tmp_path):
+    st = _mk_state(spark, tmp_path)
+    st.overwrite_batch(_hashes(spark, 0, 100), 0)
+    st.overwrite_batch(_hashes(spark, 100, 150), 1)
+    # replay batch 1 with different content: its partition is replaced,
+    # batch 0 untouched
+    st.overwrite_batch(_hashes(spark, 100, 120), 1)
+    df = spark.table(st.table)
+    assert df.filter("batch_id = 0").count() == 100
+    assert df.filter("batch_id = 1").count() == 20
+    assert st.partitions() == [0, 1]
+
+
+def test_state_fold_compacts_and_preserves_membership(spark, tmp_path):
+    st = _mk_state(spark, tmp_path)
+    for b in range(4):
+        st.overwrite_batch(_hashes(spark, b * 100, (b + 1) * 100), b)
+    st.fold(4)
+    assert st.partitions() == [-4]
+    # content identical, still bucket-joinable, visible to later reads
+    assert st.read_before(4, None).count() == 400
+    seen = st.seen_in_state(_hashes(spark, 350, 450), 4, None)
+    assert seen.count() == 50
+    # fold replay (crash between fold write and source drops): label
+    # exists -> no rewrite, idempotent
+    st.fold(4)
+    assert st.partitions() == [-4]
+    assert st.read_before(4, None).count() == 400
+    # a later fold absorbs the previous fold label plus newer batches
+    st.overwrite_batch(_hashes(spark, 400, 500), 5)
+    st.fold(6)
+    assert st.partitions() == [-6]
+    assert st.read_before(6, None).count() == 500
+
+
+def test_state_survives_session_restart(spark, tmp_path):
+    """A fresh catalog entry over an existing store re-adopts its
+    partitions and its PINNED bucket count (file bucket ids must match
+    the declared count, or joins silently miss)."""
+    st = _mk_state(spark, tmp_path, buckets=8)
+    st.overwrite_batch(_hashes(spark, 0, 100), 0)
+    spark.sql(f"DROP TABLE {st.table}")  # simulate a new session
+    from snowalert_spark.streaming import _BucketedFingerprintState
+
+    st2 = _BucketedFingerprintState(
+        spark, str(tmp_path / "seen_fingerprints"), buckets=999
+    )
+    st2.ensure()
+    assert st2.buckets == 8  # _meta.json wins over the constructor
+    assert st2.read_before(1, None).count() == 100
+
+
+def test_state_rejects_pre_r13_unbucketed_layout(spark, tmp_path):
+    import pytest
+
+    loc = tmp_path / "seen_fingerprints"
+    (loc / "batch_id=0").mkdir(parents=True)
+    _hashes(spark, 0, 10).write.mode("overwrite").parquet(
+        str(loc / "batch_id=0")
+    )
+    from snowalert_spark.streaming import _BucketedFingerprintState
+
+    st = _BucketedFingerprintState(spark, str(loc), 8)
+    with pytest.raises(ValueError, match="pre-r13 unbucketed"):
+        st.ensure()
+
+
+def test_stream_compaction_folds_state(spark, tmp_path):
+    """End-to-end: with compact_every=2, tick 2 folds ticks 0-1 into
+    one partition and the output still equals the batch operator."""
+    tmp = str(tmp_path)
+    rows = sorted(_corpus(29))
+    thirds = [rows[:8], rows[8:16], rows[16:]]
+    for i, chunk in enumerate(thirds):
+        _write(f"{tmp}/src", f"tick{i}.json", chunk)
+        substring_stream_ingest(
+            spark,
+            src_path=f"{tmp}/src",
+            dst_path=f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            state_dir=f"{tmp}/state",
+            schema=SCHEMA,
+            window=L,
+            compact_every=2,
+        )
+    fp = f"{tmp}/state/seen_fingerprints"
+    parts = sorted(n for n in os.listdir(fp) if n.startswith("batch_id="))
+    assert parts == ["batch_id=-2", "batch_id=2"]  # 0,1 folded at tick 2
+    got = _out_rows(spark, tmp)
+    want = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["removed_chars"],
+            r["n_removed_windows"],
+        )
+        for r in DD.remove_repeated_substrings(
+            _mkdocs(spark, rows), window=L
+        ).collect()
+    }
+    assert got == want
