@@ -74,7 +74,8 @@ LOCAL_ONLY = {
     # (corpus_mixture_plan — local since r7 — was promoted into the
     # declared gate in the round-12 rotation below.)
     "corpus_shuffle_shards",
-    "curation_funnel_stats",
+    # (curation_funnel_stats — local since r7 — was promoted into the
+    # declared gate in the round-13 rotation below.)
     "dedup_cross_snapshot_minhash",
     "quality_percentile_filter",
     "embedding_pq_codes",
@@ -313,22 +314,33 @@ LOCAL_ONLY = {
     # its corpus is the seed-deterministic sidecar, not an sf_dir
     # table (the driver gate only feeds sf dirs).
     "bpe_encode_zipf",
-    # dedup_substring_full (r12): the combined spans-report + removal
-    # operator — one fingerprint exchange feeding both folds. LOCAL_ONLY
-    # with the gate at cap; its two single-purpose halves
-    # (dedup_substring_spans, dedup_substring_removal) are BOTH
-    # driver-declared and bit-identity to them is pytest-pinned
-    # (tests/test_substring_combined.py), so the driver already checks
-    # every column this row emits.
-    "dedup_substring_full",
-    # dedup_substring_cross_snapshot (r12): incremental keep-one
-    # removal of a new crawl against a published base snapshot.
-    # LOCAL_ONLY with the gate at cap; by the prefix-monotone rule it
-    # is exactly the declared dedup_substring_removal restricted to
-    # the new ids (the oracle replays that identity), and the
-    # base_counts fast path is pytest-pinned bit-identical
-    # (tests/test_substring_cross_snapshot.py).
-    "dedup_substring_cross_snapshot",
+    # Round-13 gate rotation (r12 verdict item 5): promote the
+    # never-declared r12 flagship rows dedup_substring_full (combined
+    # spans-report + removal off ONE fingerprint exchange) and
+    # dedup_substring_cross_snapshot (incremental keep-one removal
+    # against a published base snapshot) plus curation_funnel_stats
+    # (never-declared curation row; per-source per-rule loss
+    # accounting). The three rows demoted to make room keep their
+    # local oracles + plan pins and are each strictly subsumed by a
+    # promoted/declared sibling:
+    # dedup_substring_spans ⊂ dedup_substring_full (the combined row
+    # computes the same span fold off the same exchange; bit-identity
+    # to the single-purpose halves pinned by
+    # tests/test_substring_combined.py),
+    "dedup_substring_spans",
+    # dedup_substring_removal ⊂ dedup_substring_full (same bit-identity
+    # pin) + dedup_substring_cross_snapshot (declared; by the
+    # prefix-monotone rule the incremental result IS whole-corpus
+    # removal restricted to the new ids — its oracle replays that
+    # identity),
+    "dedup_substring_removal",
+    # curation_filter_pipeline ⊂ curation_funnel_stats (declared r13;
+    # drives the IDENTICAL signal projection and rule chain — token
+    # floor, quality floor, repetition cap, language allowlist, same
+    # thresholds — and audits every rule's doc/token loss; only the
+    # per-doc keep/reason projection stays local, oracle-checked in
+    # tests/test_oracle.py).
+    "curation_filter_pipeline",
 }
 
 DRIVER_QUERY_CAP = 50

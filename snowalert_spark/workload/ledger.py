@@ -56,10 +56,10 @@ LEDGER: dict[str, dict] = {
     "decontaminate_ngram": _e(declared_in="r7"),
     "pii_scrub_events": _e(declared_in="r7"),
     "dedup_cross_snapshot": _e(declared_in="r7"),
-    "curation_filter_pipeline": _e(declared_in="r7"),
+    "curation_filter_pipeline": _e("r7", "r13", subsumed_by="curation_funnel_stats (declared r13; drives the identical signal projection + rule chain — same thresholds — and audits every rule's loss; the per-doc keep/reason projection keeps its local oracle)"),
     "semantic_dedup": _e(declared_in="r8"),
     "dsir_select": _e(declared_in="r8"),
-    "dedup_substring_removal": _e(declared_in="r8"),
+    "dedup_substring_removal": _e("r8", "r13", subsumed_by="dedup_substring_full (declared r13; bit-identity to the union of the single-purpose halves pinned by tests/test_substring_combined.py) + dedup_substring_cross_snapshot (declared r13; prefix-monotone identity replays the same removal)"),
     "unigram_logprob_scores": _e(declared_in="r8"),
     "dedup_image_dhash": _e("r8", "r12", subsumed_by="dedup_image_clusters (declared r12; same decode -> dHash -> multi-block candidate -> popcount-verify pairs feed its rep graph)"),
     "doc_topic_clusters": _e(declared_in="r8"),
@@ -69,7 +69,7 @@ LEDGER: dict[str, dict] = {
     "topic_balanced_sample": _e(declared_in="r9", added_in="r8"),
     "bigram_logprob_scores": _e(declared_in="r10", added_in="r9"),
     "bpe_encode_128": _e(declared_in="r10"),
-    "dedup_substring_spans": _e(declared_in="r11", added_in="r8"),
+    "dedup_substring_spans": _e("r11", "r13", added_in="r8", subsumed_by="dedup_substring_full (declared r13; computes the same span fold off the same exchange — bit-identity pinned by tests/test_substring_combined.py)"),
     "corpus_vocab_topk": _e(declared_in="r11", added_in="r8"),
     "doc_tfidf_topterms": _e(declared_in="r11", added_in="r8"),
     "dedup_video_clusters": _e(declared_in="r11"),
@@ -96,7 +96,7 @@ LEDGER: dict[str, dict] = {
     "doc_chunk_packing": _e(None, None, "r7", "curation_filter_pipeline (same map-only shape)"),
     "corpus_mixture_plan": _e(declared_in="r12", added_in="r7"),
     "corpus_shuffle_shards": _e(None, None, "r7", "local oracle (deterministic shard assignment)"),
-    "curation_funnel_stats": _e(None, None, "r7", "curation_filter_pipeline (declared composite gate)"),
+    "curation_funnel_stats": _e(declared_in="r13", added_in="r7"),
     "dedup_cross_snapshot_minhash": _e(None, None, "r7", "dedup_cross_snapshot (declared; same LeftAnti) + dedup_minhash_lsh"),
     "quality_percentile_filter": _e(None, None, "r7", "percentiles_by_type + text_quality_scores"),
     "embedding_pq_codes": _e(None, None, "r7", "ann_pq_topk/ann_ivfpq_topk (same PQ coding, oracle-checked end to end)"),
@@ -131,8 +131,9 @@ LEDGER: dict[str, dict] = {
     "dedup_image_clusters": _e(declared_in="r12", added_in="r11"),
     "dedup_audio_clusters": _e(declared_in="r12", added_in="r11"),
     "bpe_encode_zipf": _e(None, None, "r11", "full 128-round training-replay oracle on the zipf sidecar (non-sf_dir corpus, so local by construction)"),
-    "dedup_substring_full": _e(None, None, "r12", "dedup_substring_spans + dedup_substring_removal (both declared; bit-identity to their union pinned by tests/test_substring_combined.py)"),
-    "dedup_substring_cross_snapshot": _e(None, None, "r12", "dedup_substring_removal (declared; prefix-monotone identity — the incremental result IS the whole-corpus removal restricted to new ids, replayed by the oracle)"),
+    # --- r13 rotations (r12 verdict item 5) -------------------------------
+    "dedup_substring_full": _e(declared_in="r13", added_in="r12"),
+    "dedup_substring_cross_snapshot": _e(declared_in="r13", added_in="r12"),
 }
 
 
