@@ -141,10 +141,16 @@ def probe_tier(spark, name, n, rows, run, ticks) -> dict:
             run(spark, tmp)
             walls.append(round(time.perf_counter() - t0, 2))
         survivors = spark.read.parquet(f"{tmp}/out").count()
+        # accumulated state size at end of run (the x-axis of the
+        # flat-cost claim) — the substring tier's fingerprint store
+        state_rows = None
+        fp = f"{tmp}/state/seen_fingerprints"
+        if os.path.isdir(fp):
+            state_rows = spark.read.parquet(fp).count()
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
     steady = walls[1:] or walls
-    return {
+    out = {
         "ticks": ticks,
         "rows_per_tick": per,
         "rows_total": n,
@@ -157,28 +163,70 @@ def probe_tier(spark, name, n, rows, run, ticks) -> dict:
         "last_over_first_steady": round(
             walls[-1] / max(steady[0], 1e-9), 2),
     }
+    if state_rows is not None:
+        out["state_rows_final"] = state_rows
+    return out
 
 
 def main(out_path: str, sf_dir: str = "/root/testdata/sf0.1",
-         ticks: int = TICKS) -> None:
+         ticks: str = str(TICKS), only: str = "") -> None:
+    """OUT [SF_DIR] [TICKS_CSV] [TIERS_CSV]
+
+    TICKS_CSV runs the ladder sequentially inside ONE tool invocation
+    (sidecar provenance: note, bases and ratios all come from this
+    run): e.g. ``5,5,1`` = two 5-tick passes (run-to-run noise floor)
+    plus one single-tick pass of the whole table (the bigger-tick
+    flat-cost check). TIERS_CSV subsets tiers (e.g. ``substring``)."""
     spark = get_session()
     spark.sparkContext.setLogLevel("ERROR")
     tiers = _tiers(spark, sf_dir)
+    if only:
+        keep = {s.strip() for s in only.split(",") if s.strip()}
+        tiers = {k: v for k, v in tiers.items() if k in keep}
+    tick_ladder = [int(t) for t in str(ticks).split(",")]
     doc = {
         "note": (
-            "streaming near-dup tier throughput: per-tick wall driving "
-            "each tier's ingest over TICKS equal slices of the real "
+            "streaming dedup tier throughput: per-tick wall driving "
+            "each tier's ingest over equal slices of the real "
             f"{sf_dir} tables (tick 0 = cold stream start incl. "
             "checkpoint init; later ticks = batch-vs-accumulated-state "
             "regime). last_over_first_steady ~1 means cost stays flat "
-            "as state grows."
+            f"as state grows. Tick ladder {tick_ladder} ran "
+            "sequentially in THIS tool invocation (single-run "
+            "provenance); repeated tick counts are independent "
+            "fresh-state runs of the same slicing (run-to-run noise "
+            "floor in *_tick_min_of_runs); a 1-tick rung streams the "
+            "whole table in one micro-batch (the bigger-tick check — "
+            "compare its rows/s to the multi-tick rungs)."
         ),
         "sf_dir": sf_dir,
+        "tick_ladder": tick_ladder,
     }
     for name, spec in tiers.items():
-        doc[name] = probe_tier(spark, name, spec["n"], spec["rows"],
-                               spec["run"], int(ticks))
-        print(json.dumps({name: doc[name]}), flush=True)
+        runs: dict[str, dict] = {}
+        seen_ticks: dict[int, int] = {}
+        for t in tick_ladder:
+            seen_ticks[t] = seen_ticks.get(t, 0) + 1
+            key = f"ticks{t}" + (
+                f"_run{seen_ticks[t]}" if tick_ladder.count(t) > 1 else ""
+            )
+            runs[key] = probe_tier(
+                spark, name, spec["n"], spec["rows"], spec["run"], t
+            )
+            print(json.dumps({name: {key: runs[key]}}), flush=True)
+        for t, n_runs in seen_ticks.items():
+            if n_runs > 1:
+                group = [v for k, v in runs.items()
+                         if k.startswith(f"ticks{t}_run")]
+                mins = [round(min(ws), 2) for ws in zip(
+                    *[g["tick_walls_s"] for g in group])]
+                runs[f"ticks{t}_tick_min_of_runs"] = {
+                    "tick_walls_s": mins,
+                    "last_over_first_steady": round(
+                        mins[-1] / max(mins[1] if len(mins) > 1 else mins[0],
+                                       1e-9), 2),
+                }
+        doc[name] = runs
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print("wrote", out_path)
