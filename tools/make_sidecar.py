@@ -32,12 +32,21 @@ def run_bench(sf_dir: str) -> dict:
         text=True,
         check=True,
     )
-    # bench.py prints exactly one JSON line (stdout may carry Spark
-    # progress noise on other lines)
+    # bench.py prints the FULL document line followed by a compact
+    # tail-safe summary line (r13); the sidecar wants the full one —
+    # identified by its calibration section (the compact line carries
+    # only the floor) — falling back to any JSON line
+    fallback = None
     for line in reversed(proc.stdout.strip().splitlines()):
         line = line.strip()
-        if line.startswith("{"):
-            return json.loads(line)
+        if not line.startswith("{"):
+            continue
+        doc = json.loads(line)
+        if isinstance(doc.get("calibration"), dict):
+            return doc
+        fallback = fallback or doc
+    if fallback is not None:
+        return fallback
     raise RuntimeError(f"no JSON line in bench output for {sf_dir}:\n"
                        f"{proc.stdout[-2000:]}\n{proc.stderr[-2000:]}")
 
