@@ -99,6 +99,50 @@ def quality_score(n_chars: Column, tok: Column) -> Column:
     )
 
 
+# composite curation gate: thresholds + FIXED rule order (the first
+# failing rule names the rejection). Shared by the batch gate
+# (workload.textops curation_filter_pipeline / curation_funnel_stats)
+# and the streaming gate (streaming.curation_stream_ingest) so the
+# two paths cannot drift.
+GATE_LANGS = ("en", "de", "fr", "es")
+GATE_MIN_TOKENS = 12
+GATE_MIN_QUALITY = 0.55
+GATE_MAX_TOP_WORD_FRAC = 0.2
+
+
+def curation_signals(n_chars: Column, tok: Column) -> list[Column]:
+    """The gate's three signal columns (aliased ``n_tokens``,
+    ``quality``, ``top_word_frac``) — pure array expressions over one
+    tokenization, map-only at any scale."""
+    from snowalert_spark.functions.numeric import quantize
+
+    return [
+        F.size(tok).cast("long").alias("n_tokens"),
+        quality_score(n_chars, tok).alias("quality"),
+        quantize(top_fraction(tok), 6).alias("top_word_frac"),
+    ]
+
+
+def curation_outcome(
+    langs: tuple[str, ...] = GATE_LANGS,
+    contaminated: Column | None = None,
+) -> Column:
+    """First-failing-rule rejection reason over the signal columns;
+    NULL means keep. Optional ``contaminated`` predicate appends a
+    final decontamination rule (evaluated only for docs that pass
+    every quality rule, matching a funnel where decontamination is
+    the last, most expensive stage)."""
+    c = (
+        F.when(F.col("n_tokens") < GATE_MIN_TOKENS, "too_short")
+        .when(F.col("quality") < GATE_MIN_QUALITY, "low_quality")
+        .when(F.col("top_word_frac") > GATE_MAX_TOP_WORD_FRAC, "repetitive")
+        .when(~F.col("lang").isin(*langs), "lang_excluded")
+    )
+    if contaminated is not None:
+        c = c.when(contaminated, "contaminated")
+    return c
+
+
 def token_chunks(tok: Column, size: int = 32) -> Column:
     """Fixed token-window chunking: array of (chunk_text, n_tokens)
     structs covering the token array in windows of ``size`` (last

@@ -1196,3 +1196,144 @@ def file_stream_ingest_continuous(
         .trigger(processingTime=processing_interval)
         .start()
     )
+
+
+def curation_stream_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    schema: T.StructType,
+    fmt: str = "json",
+    audit_dir: str | None = None,
+    eval_docs: DataFrame | None = None,
+    k: int = 5,
+    langs: tuple[str, ...] | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+    source_col: str = "source",
+) -> None:
+    """Streaming curation + decontamination gate — the micro-batch
+    form of the batch funnel (workload.textops
+    ``curation_filter_pipeline`` / ``curation_funnel_stats`` +
+    ``functions.dedup.decontaminate_ngram``): every arriving document
+    passes the composite quality gate (token count, composite quality,
+    repetition, language allowlist — the SHARED rule chain in
+    functions.text, so this path cannot drift from the batch oracle)
+    and, when ``eval_docs`` is supplied, an n-gram decontamination
+    rule (any distinct k-token shingle shared with the held-out eval
+    set rejects the doc as ``contaminated`` — GPT-3 appendix C / The
+    Pile collision rule, same shingling as the batch operator).
+
+    Survivors land in ``batch_id={b}`` partitions of ``dst_path``
+    carrying their gate signals; when ``audit_dir`` is set, each tick
+    also writes its funnel accounting (source x outcome -> docs,
+    tokens) so per-source loss rates are live per tick, not a
+    day-later batch job.
+
+    This tier is STATELESS by design: the gate rules are pure
+    per-document expressions and the eval shingle set is fixed for
+    the life of the stream (an eval suite is MBs against a growing
+    corpus), loaded once and broadcast into every tick's probe. Tick
+    cost is therefore O(tick) with NO dependence on how much corpus
+    has passed — the flat-cost property the stateful dedup tiers have
+    to earn with bucketed state comes free here. Chain this gate's
+    output dir into a dedup tier's ``src_path`` for the full
+    streaming corpus-ingestion pipeline (gate -> exact/near-dup ->
+    substring), each stage picking up the previous stage's partitions
+    exactly once via its own checkpoint.
+
+    Crash safety matches the other tiers: one ``batch_id={b}``
+    output (and audit) partition per micro-batch, written with
+    per-directory OVERWRITE, so an at-least-once foreachBatch replay
+    rewrites exactly its own directories. With no cross-batch state
+    there is no self-match hazard at all.
+    """
+    from snowalert_spark.functions import text as X
+    from snowalert_spark.functions.dedup import doc_shingles
+
+    langs = tuple(langs) if langs else X.GATE_LANGS
+    bench = None
+    if eval_docs is not None:
+        # fixed eval shingle set: hash once, keep hot for every tick
+        bench = (
+            doc_shingles(
+                eval_docs.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                ),
+                k,
+            )
+            .select(F.xxhash64("s").alias("h"))
+            .distinct()
+            .cache()
+        )
+        bench.count()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        has_src = source_col in batch.columns
+        src = (
+            F.col(source_col) if has_src else F.lit("default")
+        ).alias("source")
+        sig = batch.select(
+            F.col(id_col).alias("doc_id"),
+            F.col(text_col).alias("text"),
+            F.col(lang_col).alias("lang"),
+            src,
+            *X.curation_signals(F.length(text_col), X.tokens(text_col)),
+        )
+        contaminated = None
+        if bench is not None:
+            hits = (
+                doc_shingles(batch.select(
+                    F.col(id_col).alias("doc_id"),
+                    F.col(text_col).alias("text"),
+                ), k)
+                .select("doc_id", F.xxhash64("s").alias("h"))
+                .join(F.broadcast(bench), "h", "left_semi")
+                .select("doc_id")
+                .distinct()
+                .withColumn("chit", F.lit(True))
+            )
+            sig = sig.join(hits, "doc_id", "left")
+            contaminated = F.coalesce(F.col("chit"), F.lit(False))
+        out = sig.select(
+            "doc_id",
+            "text",
+            "lang",
+            "source",
+            "n_tokens",
+            "quality",
+            "top_word_frac",
+            F.coalesce(
+                X.curation_outcome(langs, contaminated), F.lit("kept")
+            ).alias("outcome"),
+        ).cache()
+        try:
+            out.filter(F.col("outcome") == "kept").drop("outcome").write.mode(
+                "overwrite"
+            ).parquet(_batch_dir(dst_path, batch_id))
+            if audit_dir is not None:
+                (
+                    out.groupBy("source", "outcome")
+                    .agg(
+                        F.count(F.lit(1)).alias("n_docs"),
+                        F.sum("n_tokens").alias("n_tokens"),
+                    )
+                    .write.mode("overwrite")
+                    .parquet(_batch_dir(audit_dir, batch_id))
+                )
+        finally:
+            out.unpersist()
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(src_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

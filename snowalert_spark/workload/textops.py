@@ -1475,8 +1475,10 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # composite curation gate thresholds + fixed rule order (first failing
-# rule names the rejection)
-_GATE_LANGS = ("en", "de", "fr", "es")
+# rule names the rejection) — constants and Column builders live in
+# functions.text so the streaming gate (curation_stream_ingest) shares
+# them and cannot drift from the batch oracle here
+_GATE_LANGS = X.GATE_LANGS
 
 
 @_q(
@@ -1524,20 +1526,12 @@ def curation_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     follow-up aggregation.
     """
     d = table(spark, sf_dir, "documents")
-    tok = X.tokens("text")
     sig = d.select(
         "doc_id",
         "lang",
-        F.size(tok).cast("long").alias("n_tokens"),
-        X.quality_score(F.col("n_chars"), tok).alias("quality"),
-        quantize(_topfrac(tok), 6).alias("top_word_frac"),
+        *X.curation_signals(F.col("n_chars"), X.tokens("text")),
     )
-    reason = (
-        F.when(F.col("n_tokens") < 12, "too_short")
-        .when(F.col("quality") < 0.55, "low_quality")
-        .when(F.col("top_word_frac") > 0.2, "repetitive")
-        .when(~F.col("lang").isin(*_GATE_LANGS), "lang_excluded")
-    )
+    reason = X.curation_outcome()
     return sig.select(
         "doc_id",
         "n_tokens",
@@ -1590,21 +1584,12 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     #sources × #rules partial rows regardless of corpus size.
     """
     d = table(spark, sf_dir, "documents")
-    tok = X.tokens("text")
     sig = d.select(
         "source",
         "lang",
-        F.size(tok).cast("long").alias("n_tokens"),
-        X.quality_score(F.col("n_chars"), tok).alias("quality"),
-        quantize(_topfrac(tok), 6).alias("top_word_frac"),
+        *X.curation_signals(F.col("n_chars"), X.tokens("text")),
     )
-    outcome = F.coalesce(
-        F.when(F.col("n_tokens") < 12, "too_short")
-        .when(F.col("quality") < 0.55, "low_quality")
-        .when(F.col("top_word_frac") > 0.2, "repetitive")
-        .when(~F.col("lang").isin(*_GATE_LANGS), "lang_excluded"),
-        F.lit("kept"),
-    )
+    outcome = F.coalesce(X.curation_outcome(), F.lit("kept"))
     return (
         sig.select("source", outcome.alias("outcome"), "n_tokens")
         .groupBy("source", "outcome")

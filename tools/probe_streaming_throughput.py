@@ -46,6 +46,12 @@ def _tiers(spark, sf_dir):
         T.StructField("vec_id", T.LongType()),
         T.StructField("embedding", T.ArrayType(T.FloatType())),
     ])
+    cur_schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+    ])
     media_schema = T.StructType([
         T.StructField("media_id", T.LongType()),
         T.StructField("text", T.StringType()),
@@ -69,6 +75,11 @@ def _tiers(spark, sf_dir):
     def _doc_rows():
         for r in docs.select("doc_id", "text").toLocalIterator():
             yield {"doc_id": r["doc_id"], "text": r["text"]}
+
+    def _cur_rows():
+        cols = ("doc_id", "text", "lang", "source")
+        for r in docs.select(*cols).toLocalIterator():
+            yield {c: r[c] for c in cols}
 
     def _vec_rows():
         for r in vecs.select("vec_id", "embedding").toLocalIterator():
@@ -97,6 +108,20 @@ def _tiers(spark, sf_dir):
                 spark, src_path=f"{tmp}/src", dst_path=f"{tmp}/out",
                 checkpoint=f"{tmp}/ckpt", state_dir=f"{tmp}/state",
                 schema=doc_schema),
+        },
+        "curation": {
+            # stateless gate tier (r13): the flat-cost claim is free
+            # by construction, but the rows/s number sizes the full
+            # streaming ingestion chain (gate -> dedup tiers). The
+            # eval set for the decontamination rule is the first 1000
+            # docs (an eval suite is small and fixed).
+            "n": n_docs,
+            "rows": _cur_rows,
+            "run": lambda spark, tmp: S.curation_stream_ingest(
+                spark, src_path=f"{tmp}/src", dst_path=f"{tmp}/out",
+                checkpoint=f"{tmp}/ckpt", schema=cur_schema,
+                audit_dir=f"{tmp}/audit",
+                eval_docs=docs.select("doc_id", "text").limit(1000)),
         },
         "embedding": {
             "n": n_vecs,
