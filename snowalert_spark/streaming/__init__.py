@@ -944,6 +944,7 @@ def substring_stream_ingest(
     fmt: str = "json",
     window: int = 40,
     retention_batches: int | None = None,
+    retention_refresh: bool = False,
     id_col: str = "doc_id",
     text_col: str = "text",
     state_buckets: int = 64,
@@ -999,7 +1000,16 @@ def substring_stream_ingest(
     occurrence is reintroduced per expiry cycle before its hash
     re-registers. That is the intended trade (state stays at distinct
     hashes per horizon, the minimum); use an unbounded store when
-    recurrence must never slip through.
+    recurrence must never slip through, or set
+    ``retention_refresh=True`` for a true LAST-SEEN recency watermark:
+    every tick re-appends all of its distinct hashes (not just the
+    new-to-state ones) under its own batch_id, so a hash recurring
+    within the horizon keeps sliding forward and never expires while
+    it stays hot. The cost is state rows = sum over the horizon's
+    ticks of each tick's distinct hashes (duplicates across
+    partitions are harmless to the semi-join membership probe and are
+    dropped whole with their partition at expiry) instead of the
+    distinct-per-horizon minimum.
 
     100 TB shape (r12 verdict item 1): state is ONE catalog table of
     16-byte hash pairs, ``CLUSTERED BY (ha, hb) INTO state_buckets``
@@ -1019,6 +1029,11 @@ def substring_stream_ingest(
         _window_fingerprints,
     )
 
+    if retention_refresh and retention_batches is None:
+        raise ValueError(
+            "retention_refresh only applies with retention_batches set "
+            "(an unbounded store already never forgets)"
+        )
     L = int(window)
     state = _BucketedFingerprintState(
         spark, os.path.join(state_dir, "seen_fingerprints"), state_buckets
@@ -1111,9 +1126,16 @@ def substring_stream_ingest(
         # the store — this keeps it at distinct-hashes-EVER, the
         # minimum. Deterministic under replay: the state read excludes
         # the current batch id, so a replayed batch computes the same
-        # result and overwrites its own partition.
+        # result and overwrites its own partition. With
+        # retention_refresh, EVERY tick hash re-registers under this
+        # batch_id so recurring content's horizon slides forward
+        # (last-seen watermark) instead of anchoring at first-kept.
         state.overwrite_batch(
-            totals.select("ha", "hb").join(seen, ["ha", "hb"], "left_anti"),
+            totals.select("ha", "hb")
+            if retention_refresh
+            else totals.select("ha", "hb").join(
+                seen, ["ha", "hb"], "left_anti"
+            ),
             batch_id,
         )
         if retention_batches is not None:

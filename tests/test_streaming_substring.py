@@ -49,7 +49,7 @@ def _write(src, name, rows):
             f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
 
 
-def _run(spark, tmp, retention=None):
+def _run(spark, tmp, retention=None, refresh=False):
     substring_stream_ingest(
         spark,
         src_path=f"{tmp}/src",
@@ -59,6 +59,7 @@ def _run(spark, tmp, retention=None):
         schema=SCHEMA,
         window=L,
         retention_batches=retention,
+        retention_refresh=refresh,
     )
 
 
@@ -176,6 +177,37 @@ def test_retention_horizon_forgets(spark, tmp_path):
     fp = f"{tmp}/state/seen_fingerprints"
     parts = sorted(n for n in os.listdir(fp) if n.startswith("batch_id="))
     assert parts == ["batch_id=1"]
+
+
+def test_retention_refresh_is_last_seen_watermark(spark, tmp_path):
+    """r13: with retention_refresh, content recurring every tick keeps
+    sliding its horizon forward and NEVER slips through — vs the
+    default first-kept-age horizon, where one duplicate occurrence is
+    reintroduced per expiry cycle (pinned side by side)."""
+    import random
+
+    rng = random.Random(23)
+    shared = _rand_text(rng, L)
+
+    for refresh, expect_t2 in ((False, (shared, 0, 0)), (True, ("", L, 1))):
+        tmp = str(tmp_path / f"refresh_{refresh}")
+        for t in range(4):
+            _write(f"{tmp}/src", f"t{t}.json", [(t + 1, shared)])
+            _run(spark, tmp, retention=2, refresh=refresh)
+        got = _out_rows(spark, tmp)
+        assert got[1] == (shared, 0, 0)  # first occurrence always kept
+        assert got[2] == ("", L, 1)  # within horizon either way
+        # tick 2: default horizon expired the first-kept registration
+        # (duplicate reintroduced); refresh slid it forward (excised)
+        assert got[3] == expect_t2, refresh
+        # tick 3: both modes excise (re-registered resp. still hot)
+        assert got[4] == ("", L, 1)
+
+    # refresh without retention is loud
+    import pytest
+
+    with pytest.raises(ValueError, match="retention_refresh"):
+        _run(spark, str(tmp_path / "bad"), retention=None, refresh=True)
 
 
 def test_state_stores_only_new_hashes(spark, tmp_path):
