@@ -1371,16 +1371,42 @@ SUBSTR_PREFILTER_PROBE_DOCS = 512
 #: unpersists the oldest beyond that; unpersisting is always safe
 #: (a still-live plan just recomputes). Call
 #: :func:`release_substring_caches` to drain it eagerly.
+#:
+#: Entries are ``(analyzed_plan, df)`` and insertion dedups by
+#: ``LogicalPlan.sameResult``: Spark's CacheManager keys cache entries
+#: by CANONICALIZED plan, so two calls over the same corpus share ONE
+#: underlying cache entry — naively appending a second handle and
+#: later evicting the first would unpersist that shared entry out
+#: from under the newer query, forcing every consumer back onto the
+#: raw winnow scan (measured: 5 s -> 16 s per call the moment the
+#: pool first overflowed). A same-plan call instead reuses the live
+#: handle and refreshes its slot. The usual ``.persist()`` staleness
+#: contract applies: if the underlying files change, drain the pool.
 SUBSTR_HIT_CACHE_SLOTS = 2
 _HIT_ID_CACHE_POOL: list = []
 
 
 def _pool_persist(df: DataFrame) -> DataFrame:
+    plan = df._jdf.queryExecution().analyzed()
+    for i, (p, cached) in enumerate(_HIT_ID_CACHE_POOL):
+        if p.sameResult(plan):
+            _HIT_ID_CACHE_POOL.append(_HIT_ID_CACHE_POOL.pop(i))
+            return cached
     df = df.persist()
-    _HIT_ID_CACHE_POOL.append(df)
+    _HIT_ID_CACHE_POOL.append((plan, df))
     while len(_HIT_ID_CACHE_POOL) > SUBSTR_HIT_CACHE_SLOTS:
-        _HIT_ID_CACHE_POOL.pop(0).unpersist()
+        _HIT_ID_CACHE_POOL.pop(0)[1].unpersist()
     return df
+
+
+def _pool_discard(df: DataFrame) -> None:
+    """Drop ``df``'s pool slot (identity match) and unpersist it —
+    the dense fall-through path decided not to use the table."""
+    for i, (_, cached) in enumerate(_HIT_ID_CACHE_POOL):
+        if cached is df:
+            _HIT_ID_CACHE_POOL.pop(i)
+            break
+    df.unpersist()
 
 
 def release_substring_caches() -> int:
@@ -1391,7 +1417,7 @@ def release_substring_caches() -> int:
     of reading the cache (bit-identical output, slower)."""
     n = len(_HIT_ID_CACHE_POOL)
     while _HIT_ID_CACHE_POOL:
-        _HIT_ID_CACHE_POOL.pop().unpersist()
+        _HIT_ID_CACHE_POOL.pop()[1].unpersist()
     return n
 
 
@@ -1468,8 +1494,7 @@ def _resolve_substring_scan(
         frac = hit_ids.count() / n
         if frac > SUBSTR_RESTRICT_MAX_HIT_FRAC:
             # restriction would skip almost nothing; don't add the join
-            _HIT_ID_CACHE_POOL.remove(hit_ids)
-            hit_ids.unpersist()
+            _pool_discard(hit_ids)
             return docs, False, frac
         return docs.join(hit_ids, id_col, "left_semi"), True, frac
     hit_ids = _pool_persist(

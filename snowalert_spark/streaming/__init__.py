@@ -1359,3 +1359,82 @@ def curation_stream_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def semantic_decontam_stream_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    schema: T.StructType,
+    eval_vecs: DataFrame,
+    threshold: float = 0.9,
+    fmt: str = "json",
+    audit_dir: str | None = None,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Streaming SEMANTIC decontamination — the embedding-space
+    companion to :func:`curation_stream_ingest`'s n-gram rule
+    (n-gram overlap misses paraphrased or template-rewritten eval
+    leakage; embedding similarity catches it; production pipelines
+    run both). Each arriving vector is scored by
+    :func:`~snowalert_spark.functions.similarity.decontaminate_semantic`
+    against a FIXED eval-set (max cosine to any eval vector);
+    vectors reaching ``threshold`` are dropped, survivors land in
+    ``batch_id={b}`` partitions, and ``audit_dir`` (when set) records
+    every tick row's (nearest_eval_id, max_sim, contaminated) — the
+    per-doc score table that makes threshold sweeps free.
+
+    STATELESS like the curation gate: the eval suite is MBs and fixed
+    for the stream's life (cached once here, broadcast into every
+    tick's scoring join), so tick cost is O(tick × eval) with no
+    dependence on corpus history. Chain after an embedding near-dup
+    tier (``neardup_embedding_stream_ingest``) for the full streaming
+    vector-ingestion pipeline.
+
+    Crash safety: one ``batch_id={b}`` output (and audit) partition
+    per micro-batch with per-directory OVERWRITE; no cross-batch
+    state, so no self-match hazard.
+    """
+    from snowalert_spark.functions.similarity import decontaminate_semantic
+
+    ev = eval_vecs.select(
+        F.col(id_col).cast("long").alias(id_col), vec_col
+    ).cache()
+    ev.count()
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        cached = [batch.cache()]
+        batch = cached[0]
+        scores = decontaminate_semantic(
+            batch, ev, threshold, id_col=id_col, vec_col=vec_col
+        ).cache()
+        cached.append(scores)
+        try:
+            if audit_dir is not None:
+                scores.write.mode("overwrite").parquet(
+                    _batch_dir(audit_dir, batch_id)
+                )
+            keeps = batch.join(
+                scores.filter("contaminated").select(id_col),
+                id_col,
+                "left_anti",
+            )
+            keeps.write.mode("overwrite").parquet(
+                _batch_dir(dst_path, batch_id)
+            )
+        finally:
+            for df in cached:
+                df.unpersist()
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(src_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

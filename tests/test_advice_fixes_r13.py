@@ -46,11 +46,35 @@ def test_hit_id_cache_pool_is_bounded(spark):
     assert len(DD._HIT_ID_CACHE_POOL) == DD.SUBSTR_HIT_CACHE_SLOTS
     # the overflow handles were actually unpersisted, the pool's kept
     # handles are still cached
-    for df in DD._HIT_ID_CACHE_POOL:
+    for _, df in DD._HIT_ID_CACHE_POOL:
         assert df.storageLevel.useMemory or df.storageLevel.useDisk
     released = DD.release_substring_caches()
     assert released == DD.SUBSTR_HIT_CACHE_SLOTS
     assert DD._HIT_ID_CACHE_POOL == []
+
+
+def test_pool_reuses_shared_plan_entry(spark):
+    """r13 regression pin: Spark's CacheManager keys cache entries by
+    CANONICALIZED plan, so repeated calls over the SAME corpus share
+    one cache entry. The pool must dedup those calls onto one slot —
+    the naive append-and-evict unpersisted the shared entry out from
+    under the newest query the moment the pool first overflowed
+    (benched at 5 s -> 16 s per call), and a same-plan call must
+    never consume a second slot."""
+    _drain_pool()
+    docs = _mkdocs(spark, _corpus(3))
+    other = _mkdocs(spark, _corpus(5))
+    for _ in range(4):  # > SUBSTR_HIT_CACHE_SLOTS calls, same corpus
+        DD.repeated_substring_spans(docs, window=L, prefilter=True).count()
+    assert len(DD._HIT_ID_CACHE_POOL) == 1  # one slot, refreshed
+    plan0, df0 = DD._HIT_ID_CACHE_POOL[0]
+    assert df0.storageLevel.useMemory or df0.storageLevel.useDisk
+    # a different corpus takes its own slot; the shared one survives
+    DD.repeated_substring_spans(other, window=L, prefilter=True).count()
+    assert len(DD._HIT_ID_CACHE_POOL) == 2
+    assert DD._HIT_ID_CACHE_POOL[1][1] is not df0
+    assert df0.storageLevel.useMemory or df0.storageLevel.useDisk
+    _drain_pool()
 
 
 def test_auto_fallthrough_leaves_no_stale_slot(spark):
