@@ -79,6 +79,11 @@ LOCAL_ONLY = {
     "dedup_cross_snapshot_minhash",
     "quality_percentile_filter",
     "embedding_pq_codes",
+    # Round-13 addition beyond the gate cap: the full gate rule chain
+    # (quality funnel + n-gram decontamination as the final rule) —
+    # the batch form of streaming.curation_stream_ingest with an eval
+    # set, oracle-backed like every other row.
+    "curation_gate_decontam",
     # Round-7 gate rotation: dedup_clusters, decontaminate_ngram,
     # pii_scrub_events, dedup_cross_snapshot and
     # curation_filter_pipeline are promoted into the declared gate so

@@ -100,6 +100,7 @@ LEDGER: dict[str, dict] = {
     "dedup_cross_snapshot_minhash": _e(None, None, "r7", "dedup_cross_snapshot (declared; same LeftAnti) + dedup_minhash_lsh"),
     "quality_percentile_filter": _e(None, None, "r7", "percentiles_by_type + text_quality_scores"),
     "embedding_pq_codes": _e(None, None, "r7", "ann_pq_topk/ann_ivfpq_topk (same PQ coding, oracle-checked end to end)"),
+    "curation_gate_decontam": _e(None, None, "r13", "curation_funnel_stats (declared; same signal projection + rule chain) + decontaminate_ngram (declared; same eval split + shingle overlap) — this row pins their COMPOSITION, the streaming gate tier's full rule chain, under its own oracle"),
     # --- r8 rotations ----------------------------------------------------
     "union_dedupe_nationkeys": _e("r1", "r8", subsumed_by="dedup_exact collapse semantics + pack corpus UNION ALL verbatim"),
     "image_dhash": _e(None, None, "r8", "dedup_image_clusters (declared r12; computes the same hashes before the band join)"),

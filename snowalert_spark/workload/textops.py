@@ -49,6 +49,12 @@ sh AS (SELECT DISTINCT doc_id,
 """
 SIZES_CTE = "sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY doc_id)"
 
+# composite curation gate thresholds + fixed rule order (first failing
+# rule names the rejection) — constants and Column builders live in
+# functions.text so the streaming gate (curation_stream_ingest) shares
+# them and cannot drift from the batch oracles here
+_GATE_LANGS = X.GATE_LANGS
+
 
 @_q(
     "dedup_exact",
@@ -1309,6 +1315,86 @@ def decontaminate_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @_q(
+    "curation_gate_decontam",
+    f"""
+    WITH {TOK_CTE}, {SH5_CTE},
+    bench AS (SELECT DISTINCT s FROM sh5 WHERE doc_id % 17 = 0),
+    hits AS (SELECT DISTINCT c.doc_id FROM sh5 c
+             JOIN bench USING (s) WHERE c.doc_id % 17 <> 0),
+    sig AS (
+        SELECT doc_id, lang,
+               CAST(len(w) AS BIGINT) AS n_tokens,
+               {quantize_sql(
+                   f'CAST(0.4 AS DOUBLE) * least(CAST(1.0 AS DOUBLE),'
+                   f' n_chars / CAST(500.0 AS DOUBLE))'
+                   f' + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE)'
+                   f' - len(list_filter(w, t -> t IN {X.STOPWORDS})) / len(w))'
+                   f' + CAST(0.3 AS DOUBLE) * (len(list_distinct(w)) / len(w))',
+                   4,
+               )} AS quality,
+               {quantize_sql(_topfrac_sql('w'), 6)} AS top_word_frac
+        FROM tok WHERE doc_id % 17 <> 0
+    )
+    SELECT sig.doc_id AS doc_id, n_tokens, quality, top_word_frac,
+           COALESCE(CASE WHEN n_tokens < 12 THEN 'too_short'
+                WHEN quality < 0.55 THEN 'low_quality'
+                WHEN top_word_frac > 0.2 THEN 'repetitive'
+                WHEN lang NOT IN {_GATE_LANGS} THEN 'lang_excluded'
+                WHEN h.doc_id IS NOT NULL THEN 'contaminated'
+                END, 'kept') AS outcome,
+           CASE WHEN n_tokens < 12 THEN FALSE
+                WHEN quality < 0.55 THEN FALSE
+                WHEN top_word_frac > 0.2 THEN FALSE
+                WHEN lang NOT IN {_GATE_LANGS} THEN FALSE
+                WHEN h.doc_id IS NOT NULL THEN FALSE
+                ELSE TRUE END AS keep
+    FROM sig LEFT JOIN hits h ON sig.doc_id = h.doc_id
+    """,
+)
+def curation_gate_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL gate rule chain — quality funnel plus n-gram
+    decontamination as the final rule (r13): the batch form of
+    ``streaming.curation_stream_ingest`` with an eval set, pinned
+    cross-engine. Held-out eval docs = ``doc_id % 17 == 0`` (the same
+    split as ``decontaminate_ngram``); every other doc runs the
+    composite gate and, if it passes every quality rule, is rejected
+    ``contaminated`` when it shares any distinct 5-token shingle with
+    the eval set. Scale shape: the funnel signals are map-only array
+    expressions, the eval shingle set broadcasts, and the only
+    exchanges are the per-doc hit count and the flag join — the
+    corpus text never shuffles.
+    """
+    d = table(spark, sf_dir, "documents")
+    eval_pred = (F.col("doc_id") % 17) == 0
+    flags = D.decontaminate_ngram(d, eval_pred, k=5).select(
+        "doc_id", "contaminated"
+    )
+    sig = (
+        d.filter(~eval_pred)
+        .select(
+            "doc_id",
+            "lang",
+            *X.curation_signals(F.col("n_chars"), X.tokens("text")),
+        )
+        .join(flags, "doc_id", "left")
+    )
+    outcome = F.coalesce(
+        X.curation_outcome(
+            contaminated=F.coalesce(F.col("contaminated"), F.lit(False))
+        ),
+        F.lit("kept"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_tokens",
+        "quality",
+        "top_word_frac",
+        outcome.alias("outcome"),
+        (outcome == F.lit("kept")).alias("keep"),
+    )
+
+
+@_q(
     "pii_scrub_events",
     r"""
     WITH s1 AS (
@@ -1472,13 +1558,6 @@ def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = F.md5(F.array_join(F.slice(X.tokens("text"), 1, 6), " "))
     in_base = F.col("source").isin(*_BASE_SOURCES)
     return D.cross_snapshot_dedup(d.where(~in_base), d.where(in_base), key=key)
-
-
-# composite curation gate thresholds + fixed rule order (first failing
-# rule names the rejection) — constants and Column builders live in
-# functions.text so the streaming gate (curation_stream_ingest) shares
-# them and cannot drift from the batch oracle here
-_GATE_LANGS = X.GATE_LANGS
 
 
 @_q(
