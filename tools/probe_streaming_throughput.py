@@ -123,6 +123,17 @@ def _tiers(spark, sf_dir):
                 audit_dir=f"{tmp}/audit",
                 eval_docs=docs.select("doc_id", "text").limit(1000)),
         },
+        "semdecon": {
+            # stateless semantic decontamination (r13): fixed
+            # 1000-vector eval set, broadcast scoring join per tick
+            "n": n_vecs,
+            "rows": _vec_rows,
+            "run": lambda spark, tmp: S.semantic_decontam_stream_ingest(
+                spark, src_path=f"{tmp}/src", dst_path=f"{tmp}/out",
+                checkpoint=f"{tmp}/ckpt", schema=vec_schema,
+                eval_vecs=vecs.select("vec_id", "embedding").limit(1000),
+                threshold=0.35, audit_dir=f"{tmp}/audit"),
+        },
         "embedding": {
             "n": n_vecs,
             "rows": _vec_rows,
