@@ -1438,3 +1438,56 @@ def semantic_decontam_stream_ingest(
         .start()
     )
     q.awaitTermination()
+
+
+def bpe_encode_stream_ingest(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    checkpoint: str,
+    schema: T.StructType,
+    merges: list,
+    fmt: str = "json",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Streaming BPE tokenization — the last stage of the streaming
+    corpus-ingestion pipeline (gate -> near-dup -> substring ->
+    TOKENIZE): every arriving document is encoded with a FIXED,
+    previously-trained merge table (``functions.bpe`` trainer output)
+    via the production vocab-join path
+    (:func:`~snowalert_spark.functions.bpe.encode_docs_via_vocab`),
+    landing ``(id, n_words, toks)`` in ``batch_id={b}`` partitions
+    ready for shard packing.
+
+    STATELESS like the gate tiers: the merge table is training-time
+    state, fixed for the stream's life — a tokenizer must not drift
+    mid-corpus — so tick cost is O(tick distinct words) segmentation
+    plus one tick-sized encode exchange, independent of corpus
+    history. Per-doc encoding is a pure function of (text, merges),
+    so the streamed output over any tick split equals the batch
+    encode of the whole corpus (pinned by the e2e test).
+
+    Crash safety: one ``batch_id={b}`` output partition per
+    micro-batch with per-directory OVERWRITE; no cross-batch state.
+    """
+    from snowalert_spark.functions.bpe import encode_docs_via_vocab
+
+    merges = list(merges)
+
+    def process(batch: DataFrame, batch_id: int) -> None:
+        out = encode_docs_via_vocab(
+            batch, merges, id_col=id_col, text_col=text_col
+        )
+        out.write.mode("overwrite").parquet(_batch_dir(dst_path, batch_id))
+
+    q = (
+        spark.readStream.format(fmt)
+        .schema(schema)
+        .load(src_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
