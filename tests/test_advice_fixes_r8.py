@@ -23,16 +23,18 @@ def test_registry_stats_single_source_of_truth():
     stats = workload.registry_stats()
     # the numbers quoted in README.md and PARITY.md (r11: +3 cluster-
     # form media rows + the zipf tokenizer-depth row; r12: +the combined
-    # substring spans+removal row and its cross-snapshot sibling)
+    # substring spans+removal row and its cross-snapshot sibling;
+    # r13: +curation_gate_decontam, the full gate rule chain with
+    # n-gram decontamination as the final rule)
     assert stats == {
-        "total": 102,
+        "total": 103,
         "driver_declared": 50,
-        "local_only": 52,
+        "local_only": 53,
         # oracle-complete since r10: every registry row has a
         # cross-engine DuckDB oracle (the cluster rows close theirs
         # with recursive-CTE connected components; bpe_encode_zipf's
         # is the 128-round training replay on the zipf sidecar)
-        "with_oracle": 102,
+        "with_oracle": 103,
     }
     assert stats["driver_declared"] <= workload.DRIVER_QUERY_CAP
     assert stats["local_only"] == len(workload.LOCAL_ONLY)
