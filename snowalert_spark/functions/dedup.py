@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from snowalert_spark.functions.numeric import quantize
+from snowalert_spark.tables import spread
 from snowalert_spark.functions.text import (
     MINHASH_P,
     base_hash32,
@@ -1131,11 +1132,18 @@ def connected_components_star(
 
 
 # --- substring-level dedup (Lee et al. arXiv:2107.06499) --------------
-
-#: salt buckets for the fingerprint exchange: a pathological hot
-#: fingerprint (a boilerplate string repeated 10^8 times) spreads over
-#: this many reduce partitions instead of landing on one straggler
-SUBSTR_SALT_BUCKETS = 64
+#
+# Hot-fingerprint skew note (r13): the r10-r12 implementations carried
+# an explicit (h, salt)-bucketed repartition of the expanded
+# fingerprint stream. Measurement showed both of its consumers are
+# partitioning-indifferent — the per-hash totals PARTIAL-aggregate
+# map-side (a boilerplate hash collapses to one row per input
+# partition before any shuffle) and the position probe joins the tiny
+# repeated-hash table back by AQE broadcast — so the explicit exchange
+# only moved the whole stream twice. Skew protection is now adaptive:
+# map-side combine for the count, AQE skew-join splitting for the
+# sort-merge fallback when a pathological corpus makes the repeated
+# table too big to broadcast.
 
 #: winnowing window (grams per selection window) for the stride
 #: prefilter: selected density ~2/(w+1), i.e. ~8x less fingerprint
@@ -1169,7 +1177,15 @@ def _window_fingerprints(
     hashed twice in the outer one — inlining the substring into both
     hash calls measured ~20% slower than md5-hex. Only
     equality/grouping ever touch ``h``, so the format is free to be
-    whatever is cheapest."""
+    whatever is cheapest.
+
+    The doc input is ``spread`` by id first (r13): the expansion is
+    the dominant compute of every consumer and a narrow input (the
+    driver's single-row-group parquet) would serialize it onto one
+    core; at cluster scale the guard makes this a no-op. Partitioning
+    by the id also lets the consumers' per-doc merge aggregate reuse
+    the layout instead of adding its own exchange."""
+    docs = spread(docs, id_col)
     return docs.select(
         F.col(id_col).alias("doc_id"),
         F.explode(
@@ -1192,52 +1208,38 @@ def _window_fingerprints(
     ).select("doc_id", F.col("w.pos").alias("pos"), F.col("w.h").alias("h"))
 
 
-def _salted_exchange(wins: DataFrame) -> DataFrame:
-    """The corpus-sized exchange of the fingerprint stream,
-    partitioned by (h, salt): the r10 advice found ``W.partitionBy(h)``
-    sends every occurrence of one fingerprint to one partition — a
-    boilerplate string repeated 10^8 times is a straggler. Salting
-    bounds any key's partition share to ~1/SUBSTR_SALT_BUCKETS
-    (pinned by test_substring_prefilter's 50%-hot-key property test).
-
-    Honest cost note: the two consumers (per-hash totals, position
-    probe) each materialize this exchange — Catalyst's exchange reuse
-    does not fire across the self-join's de-aliasing (measured), so
-    the stream is scanned and shuffled twice. Measured +6-8% wall over
-    the old single skewed window at sf0.1-sf1; persisting the exchange
-    instead (localCheckpoint) was 60-70% slower in local mode. On a
-    real cluster a persisted fingerprint table amortizes the second
-    exchange — that's the documented 100 TB variant — while the skew
-    cap is what keeps EITHER variant off a single straggler."""
-    return wins.withColumn(
-        "salt",
-        F.pmod(F.xxhash64("doc_id", "pos"), F.lit(SUBSTR_SALT_BUCKETS)),
-    ).repartition("h", "salt")
-
-
 def _repeated_positions(
     wins: DataFrame, min_count: int, exclude_first: bool = False
 ) -> DataFrame:
     """``(doc_id, pos)`` of windows whose fingerprint occurs >=
-    ``min_count`` times corpus-wide — two-level counting over the
-    salted exchange: per-hash totals come from a partial-combined
-    groupBy (map-side combine keeps the hot key to one row per
-    partition, so the count itself can't skew), restricted to hashes
-    at the threshold (tiny in the mostly-unique common case — AQE
-    broadcasts it back over the exchange, adding no second
-    corpus-sized shuffle). ``exclude_first`` drops the globally-first
-    occurrence per fingerprint (min (doc_id, pos) — identical to the
-    previous rank-1 exclusion), the removal operator's keep-one rule."""
-    ex = _salted_exchange(wins)
+    ``min_count`` times corpus-wide. Per-hash totals come straight off
+    the fingerprint stream via a partial-combined groupBy — map-side
+    combine collapses a hot boilerplate fingerprint to one row per
+    input partition before anything shuffles, so the count cannot
+    skew and the stream itself is never repartitioned for it. The
+    totals relation is restricted to hashes at the threshold (tiny in
+    the mostly-unique common case), so the position probe joins it
+    back as an AQE broadcast — no corpus-sized exchange on either
+    side. If a pathologically duplicated corpus ever pushes the
+    repeated-hash table past the broadcast threshold, the planner
+    falls back to a sort-merge join whose skewed probe partitions AQE
+    splits at runtime (skewJoin.enabled) — the adaptive form of the
+    static (h, salt) salting this replaces (r13: the explicit salted
+    repartition shuffled the whole expanded stream TWICE — once per
+    consumer — only to feed a broadcast join and a
+    partitioning-indifferent aggregate; removing it cut two
+    full-stream exchanges from every substring operator).
+    ``exclude_first`` drops the globally-first occurrence per
+    fingerprint (min (doc_id, pos) — identical to the previous rank-1
+    exclusion), the removal operator's keep-one rule; the min-struct
+    aggregate is only computed when that rule needs it."""
+    aggs = [F.count(F.lit(1)).alias("n_occ")]
+    if exclude_first:
+        aggs.append(F.min(F.struct("doc_id", "pos")).alias("first"))
     totals = (
-        ex.groupBy("h")
-        .agg(
-            F.count(F.lit(1)).alias("n_occ"),
-            F.min(F.struct("doc_id", "pos")).alias("first"),
-        )
-        .filter(F.col("n_occ") >= min_count)
+        wins.groupBy("h").agg(*aggs).filter(F.col("n_occ") >= min_count)
     )
-    hit = ex.join(totals, "h")
+    hit = wins.join(totals, "h")
     if exclude_first:
         hit = hit.filter(F.struct("doc_id", "pos") != F.col("first"))
     return hit.select("doc_id", "pos")
@@ -1309,7 +1311,8 @@ def winnow_hit_docs(
         f"ELSE CAST(array() AS array<int>) END"
     )
     grams = (
-        docs.select(
+        spread(docs, id_col)
+        .select(
             F.col(id_col).alias("doc_id"),
             F.when(F.length(text_col) >= window, F.expr(hl))
             .otherwise(F.expr("CAST(array() AS array<bigint>)"))
@@ -1318,13 +1321,14 @@ def winnow_hit_docs(
         .select("doc_id", "hl", F.explode(F.expr(sel)).alias("p"))
         .select("doc_id", "p", F.expr("hl[p - 1]").alias("hv"))
     )
-    ex = grams.withColumn(
-        "salt", F.pmod(F.xxhash64("doc_id", "p"), F.lit(SUBSTR_SALT_BUCKETS))
-    ).repartition("hv", "salt")
-    rep = ex.groupBy("hv").agg(F.count(F.lit(1)).alias("c")).filter(
+    # repeated-gram totals partial-combine map-side (hot grams collapse
+    # per partition before the shuffle) and the tiny repeated set joins
+    # back as an AQE broadcast — the selected-gram stream itself never
+    # repartitions (r13; same rationale as _repeated_positions)
+    rep = grams.groupBy("hv").agg(F.count(F.lit(1)).alias("c")).filter(
         F.col("c") >= 2
     )
-    return ex.join(rep, "hv").select("doc_id").distinct()
+    return grams.join(rep, "hv").select("doc_id").distinct()
 
 
 #: auto-mode ceiling on the SAMPLED phase-1 hit fraction: a sample
@@ -1339,7 +1343,7 @@ SUBSTR_PREFILTER_MAX_HIT_FRAC = 0.2
 #: once the FULL phase 1 has already run, its cost is sunk and
 #: restricting phase 2 to hit docs is bit-identical and strictly
 #: cheaper than the plain path — each skipped doc is skipped in BOTH
-#: materializations of the salted exchange. The only regime where
+#: materializations of the fingerprint stream. The only regime where
 #: restriction loses is hit_frac ~ 1, where it saves nothing and adds
 #: a semi-join; above this ceiling the plain path runs instead. (The
 #: r12 session measured the old always-fall-through rule paying full
@@ -1360,8 +1364,9 @@ SUBSTR_PREFILTER_PROBE_DOCS = 512
 
 #: Bounded pool of the hit-id tables persisted by
 #: :func:`_resolve_substring_scan`. The persist is needed because the
-#: returned plan materializes the winnow scan twice (the documented
-#: _salted_exchange reuse limitation) and the consuming action is the
+#: returned plan materializes the winnow scan twice (the fingerprint
+#: stream feeds two consumers — totals and probe — and Catalyst only
+#: dedups exchanges, not arbitrary subtrees) and the consuming action is the
 #: CALLER's (the operators return lazy DataFrames), so the operator
 #: cannot unpersist before returning. Without a bound, every
 #: substring-operator call in a long-lived session would accumulate a
@@ -1386,12 +1391,25 @@ SUBSTR_HIT_CACHE_SLOTS = 2
 _HIT_ID_CACHE_POOL: list = []
 
 
-def _pool_persist(df: DataFrame) -> DataFrame:
+def _pool_lookup(df: DataFrame) -> DataFrame | None:
+    """Return the pooled handle whose plan ``sameResult``s ``df``'s
+    (refreshing its LRU slot), or None. Lets the auto path skip the
+    sampled density probe when the full hit-id table for this
+    (corpus, window) is already live — the probe exists only to avoid
+    paying the full phase-1 scan, which a pool hit has already paid."""
     plan = df._jdf.queryExecution().analyzed()
     for i, (p, cached) in enumerate(_HIT_ID_CACHE_POOL):
         if p.sameResult(plan):
             _HIT_ID_CACHE_POOL.append(_HIT_ID_CACHE_POOL.pop(i))
             return cached
+    return None
+
+
+def _pool_persist(df: DataFrame) -> DataFrame:
+    cached = _pool_lookup(df)
+    if cached is not None:
+        return cached
+    plan = df._jdf.queryExecution().analyzed()
     df = df.persist()
     _HIT_ID_CACHE_POOL.append((plan, df))
     while len(_HIT_ID_CACHE_POOL) > SUBSTR_HIT_CACHE_SLOTS:
@@ -1442,7 +1460,7 @@ def _resolve_substring_scan(
       cost is then SUNK, phase 2 restricts to hit docs whenever that
       saves anything at all (exact hit_frac at most
       :data:`SUBSTR_RESTRICT_MAX_HIT_FRAC`): each skipped doc is
-      skipped in BOTH materializations of the salted exchange, so
+      skipped in BOTH materializations of the fingerprint stream, so
       restriction strictly beats falling through to the plain path
       (the r12 fix — the old rule paid full phase 1 AND full phase 2
       on sample-underestimated dense corpora). All counts are bounded
@@ -1452,8 +1470,9 @@ def _resolve_substring_scan(
 
     The hit-id table (doc ids only — orders of magnitude smaller than
     the corpus) is persisted at MEMORY_AND_DISK before use, because
-    the downstream salted exchange materializes its input subtree
-    twice (the documented _salted_exchange reuse limitation): without
+    the downstream fingerprint stream materializes its input subtree
+    twice (totals + position probe — Catalyst dedups exchanges, not
+    arbitrary subtrees): without
     the persist the whole winnow scan would run once per consumer —
     measured at 2x phase-1 wall in BENCH_r11_substring_prefilter's
     removal rows. The handle lives in the bounded
@@ -1471,26 +1490,32 @@ def _resolve_substring_scan(
         n = docs.count()
         if n == 0:
             return docs, False, 0.0
-        if n > SUBSTR_PREFILTER_PROBE_DOCS:
-            sample = docs.sample(
-                fraction=min(1.0, SUBSTR_PREFILTER_PROBE_DOCS / n),
-                seed=20107,
-            )
-            s_n = sample.count()
-            if s_n > 0:
-                s_frac = (
-                    winnow_hit_docs(
-                        sample, L, id_col=id_col, text_col=text_col
-                    ).count()
-                    / s_n
+        full_plan = winnow_hit_docs(
+            docs, L, id_col=id_col, text_col=text_col
+        ).withColumnRenamed("doc_id", id_col)
+        # pool-first: a live hit-id table for this (corpus, window)
+        # means the full phase-1 scan is already paid — the sampled
+        # density probe exists only to avoid paying it, so skip the
+        # probe's three jobs and decide from the exact fraction
+        hit_ids = _pool_lookup(full_plan)
+        if hit_ids is None:
+            if n > SUBSTR_PREFILTER_PROBE_DOCS:
+                sample = docs.sample(
+                    fraction=min(1.0, SUBSTR_PREFILTER_PROBE_DOCS / n),
+                    seed=20107,
                 )
-                if s_frac > SUBSTR_PREFILTER_MAX_HIT_FRAC:
-                    # certainly dense (sampling never overestimates)
-                    return docs, False, s_frac
-        hit_ids = _pool_persist(
-            winnow_hit_docs(docs, L, id_col=id_col, text_col=text_col)
-            .withColumnRenamed("doc_id", id_col)
-        )
+                s_n = sample.count()
+                if s_n > 0:
+                    s_frac = (
+                        winnow_hit_docs(
+                            sample, L, id_col=id_col, text_col=text_col
+                        ).count()
+                        / s_n
+                    )
+                    if s_frac > SUBSTR_PREFILTER_MAX_HIT_FRAC:
+                        # certainly dense (sampling never overestimates)
+                        return docs, False, s_frac
+            hit_ids = _pool_persist(full_plan)
         frac = hit_ids.count() / n
         if frac > SUBSTR_RESTRICT_MAX_HIT_FRAC:
             # restriction would skip almost nothing; don't add the join
@@ -1585,16 +1610,20 @@ def repeated_substring_spans(
     no window function). Returns one row per input doc:
     (doc_id, n_dup_windows, n_spans, dup_chars, dup_frac).
 
-    Scale shape: ONE salted exchange of the O(corpus chars)
-    fingerprint stream keyed on (hash, salt) — both the per-hash
-    total aggregate and the position probe read it via ReusedExchange
-    (computed and shuffled exactly once, r8 invariant), and a hot
-    boilerplate fingerprint spreads over SUBSTR_SALT_BUCKETS
-    partitions instead of one straggler (r10 advice). The per-doc
-    merge is one hash exchange on doc_id. That is the same order of
-    work as the published suffix-array build, and the dominant cost
-    by design. The fold-based interval merge is O(positions per doc),
-    not O(n^2).
+    Scale shape (r13): the O(corpus chars) fingerprint stream is
+    NEVER repartitioned — per-hash totals partial-aggregate map-side
+    straight off the expansion (a hot boilerplate fingerprint
+    collapses to one row per input partition before the only
+    corpus-sized shuffle, the totals aggregate exchange), and the
+    position probe joins the tiny repeated-hash table back by AQE
+    broadcast (skew-split sort-merge fallback if a pathological
+    corpus outgrows the broadcast threshold). The doc input is spread
+    by id (:func:`~snowalert_spark.tables.spread`) so the expansion
+    parallelizes even off a single-split scan, and the per-doc merge
+    reuses that id partitioning instead of exchanging again. That is
+    the same order of work as the published suffix-array build, and
+    the dominant cost by design. The fold-based interval merge is
+    O(positions per doc), not O(n^2).
 
     ``prefilter=True`` inserts the winnowing phase
     (:func:`winnow_hit_docs`): only docs provably able to hold a
@@ -1666,13 +1695,13 @@ def remove_repeated_substrings(
     Returns one row per input doc:
     (doc_id, clean_text, removed_chars, n_removed_windows).
 
-    Scale shape: one SALTED corpus-chars exchange keyed on
-    (fingerprint, salt) — the per-hash count and first-occurrence
+    Scale shape (r13): the per-hash count and first-occurrence
     (min (doc_id, pos), identical to the previous rank-1 rule) come
-    from a partial-combined aggregate over it, the position probe
-    re-reads the same exchange (ReusedExchange), and a hot
-    boilerplate fingerprint spreads over SUBSTR_SALT_BUCKETS
-    partitions (r10 advice). The flagged subset joins back on doc_id
+    from a partial-combined aggregate straight off the fingerprint
+    stream — no stream repartition; hot fingerprints collapse
+    map-side and the position probe joins the repeated-hash table
+    back by AQE broadcast (see :func:`_repeated_positions` for the
+    skew story). The flagged subset joins back on doc_id
     and the excision is a per-doc fold — no O(n^2) step. Identical
     work profile to the detection operator, including the optional
     winnowing ``prefilter`` (bit-identical output; kept-one windows
@@ -1818,9 +1847,8 @@ def cross_snapshot_substring_removal(
     else:
         base_counts = _validate_base_counts(base_counts, L)
     wins = _window_fingerprints(new_docs, L, id_col, text_col)
-    ex = _salted_exchange(wins)
     totals = (
-        ex.groupBy("h")
+        wins.groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("n_new"),
             F.min(F.struct("doc_id", "pos")).alias("first_new"),
@@ -1834,8 +1862,19 @@ def cross_snapshot_substring_removal(
         )
         .filter(F.col("n_new") + F.col("n_base") >= min_count)
     )
+    # totals is materialized (localCheckpoint) before the position
+    # probe joins it: post-Generate size estimates are garbage (an
+    # explode inherits its child's stats), and the static planner was
+    # measured choosing the EXPANDED new-docs stream as the broadcast
+    # side of this join — ~40% row wall at sf0.1, and nonsense at any
+    # scale. With real stats the planner broadcasts totals when it is
+    # genuinely small (the sparse-duplication recrawl regime) and
+    # falls back to a sort-merge join when it is not — the
+    # scale-adaptive choice a forced broadcast hint could not make.
+    # The checkpoint executes at construction time; its relation (the
+    # flagged-hash table) is consumed in full by the join anyway.
     flagged = (
-        ex.join(totals, "h")
+        wins.join(totals.localCheckpoint(), "h")
         .filter(
             ~(
                 (F.col("n_base") == 0)
@@ -1889,15 +1928,15 @@ def dedupe_substrings(
     pipeline almost always wants both (the report drives the
     drop-vs-clean decision, the clean text is what ships); running the
     two single-purpose operators back-to-back pays the corpus-chars
-    fingerprint expansion, the salted (h, salt) exchange, the per-hash
-    totals aggregate, and the docs join TWICE. This operator shares
-    all of them: one scan decision (:func:`_resolve_substring_scan`'s
-    auto prefilter probe runs once), one fingerprint stream, one
-    salted exchange whose totals aggregate computes the occurrence
-    count AND the globally-first occurrence together, and ONE per-doc
-    groupBy producing both the span stats and the sorted cut
-    positions. At 100 TB that halves the dominant shuffle of the
-    substring family.
+    fingerprint expansion, the per-hash totals aggregate, and the
+    docs join TWICE. This operator shares all of them: one scan
+    decision (:func:`_resolve_substring_scan`'s auto prefilter probe
+    runs once), one fingerprint stream whose totals aggregate
+    computes the occurrence count AND the globally-first occurrence
+    together (map-side combined, never a stream repartition — see
+    :func:`_repeated_positions`), and ONE per-doc groupBy producing
+    both the span stats and the sorted cut positions. At 100 TB that
+    halves the dominant shuffle of the substring family.
 
     Returns one row per input doc with the union of both operators'
     columns, bit-identical to running them separately (pinned by
@@ -1908,16 +1947,15 @@ def dedupe_substrings(
     L = int(window)
     scan, _, _ = _resolve_substring_scan(docs, L, id_col, text_col, prefilter)
     wins = _window_fingerprints(scan, L, id_col, text_col)
-    ex = _salted_exchange(wins)
     totals = (
-        ex.groupBy("h")
+        wins.groupBy("h")
         .agg(
             F.count(F.lit(1)).alias("n_occ"),
             F.min(F.struct("doc_id", "pos")).alias("first"),
         )
         .filter(F.col("n_occ") >= min_count)
     )
-    hit = ex.join(totals, "h").select(
+    hit = wins.join(totals, "h").select(
         "doc_id",
         "pos",
         (F.struct("doc_id", "pos") == F.col("first")).alias("is_first"),

@@ -97,6 +97,47 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Scale-adaptive parallelism recovery for heavy per-row operators.
+
+    The driver's testdata is one single-row-group parquet file per
+    table — unsplittable below ONE scan task no matter what
+    ``maxPartitionBytes`` says — so any expensive per-row expansion
+    (window fingerprints, shingle explodes, codebook argmax) that runs
+    straight off the scan is serialized onto one core. This helper
+    repartitions the input up to the session's default parallelism
+    ONLY when the incoming plan is narrower than that; at cluster
+    scale a 100 TB table arrives in thousands of splits and the guard
+    makes this a no-op (no gratuitous corpus shuffle). The exchanged
+    bytes in the narrow case are the RAW rows — orders of magnitude
+    cheaper than exchanging any downstream expansion of them.
+
+    ``key_cols`` (when given) hash-partition by those columns so a
+    downstream per-key aggregate can reuse the partitioning instead of
+    adding its own exchange; the explicit partition count pins the
+    fan-out (AQE's coalescer would otherwise fold a few-MB exchange
+    back to one partition, recreating the serial scan).
+
+    The narrowness test reads ``df.inputFiles()`` — pure driver-side
+    file metadata, no Spark jobs (``df.rdd.getNumPartitions()`` would
+    EXECUTE every upstream AQE query stage just to count partitions —
+    measured as a per-call re-materialization of the whole prefilter
+    subtree). Fewer source files than cores ⇒ the scan cannot reach
+    core-count parallelism (a parquet file with one row group is one
+    task no matter what); a non-file source (in-memory batch) counts
+    as narrow, which is the right call for the small streaming tick
+    frames that hit this path."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    try:
+        if len(df.inputFiles()) >= target:
+            return df
+    except Exception:
+        return df
+    return df.repartition(target, *[F.col(c) for c in key_cols]) if key_cols \
+        else df.repartition(target)
+
+
 def register(spark: SparkSession, sf_dir: str, *names: str) -> None:
     """Register the named tables (default: all) as temp views so both
     the DataFrame API and ``spark.sql`` can reach them."""

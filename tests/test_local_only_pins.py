@@ -171,28 +171,32 @@ def test_corpus_vocab_topk_is_take_ordered(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_substring_spans_salted_fingerprint_exchange(spark):
-    """r11: the occurrence count comes from a SALTED fingerprint
-    exchange (hot boilerplate keys spread over SUBSTR_SALT_BUCKETS —
-    the r10 hot-key advice) with a partial-combined per-hash total,
-    never the old Window-over-h (whole hot key on one partition);
-    no product join anywhere."""
+def test_substring_spans_mapside_combined_totals(spark):
+    """r13: the occurrence count comes from a partial-combined
+    aggregate straight off the fingerprint stream — hot boilerplate
+    keys collapse map-side before the only shuffle (the adaptive
+    replacement for the r10-r12 static (h, salt) repartition, which
+    moved the whole expanded stream twice); never the old
+    Window-over-h (whole hot key on one partition); no stream
+    repartition, no product join anywhere."""
     plan = _plan(spark, "dedup_substring_spans")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "salt" in plan
+    assert "partial_count" in plan  # map-side combine of totals
+    assert "salt" not in plan  # the static salting is gone
     assert "Window" not in plan  # the skewed count window is gone
     assert "HashAggregate" in plan
 
 
-def test_substring_removal_salted_fingerprint_exchange(spark):
+def test_substring_removal_mapside_combined_totals(spark):
     """The removal form's count and globally-first occurrence come
-    from the same salted exchange + partial-combined aggregate (the
+    from the same partial-combined aggregate off the raw stream (the
     rank-1 window over the raw hot key is gone); no product join."""
     plan = _plan(spark, "dedup_substring_removal")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert "salt" in plan
+    assert "partial_count" in plan
+    assert "salt" not in plan
     assert "Window" not in plan
     assert "HashAggregate" in plan
 

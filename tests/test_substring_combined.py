@@ -92,12 +92,11 @@ def test_no_repeat_docs_pass_through(spark):
 
 def test_half_the_fingerprint_expansions_in_plan(spark):
     """The whole point: half the corpus-chars expansions. Each
-    operator's salted exchange has two consumers (per-hash totals +
-    position probe) and Catalyst's exchange reuse does not fire across
-    the self-join's de-aliasing (the documented _salted_exchange cost
-    note), so one operator plans 2 Generate(explode) of the
+    operator's fingerprint stream has two consumers (per-hash totals +
+    position probe) and Catalyst dedups exchanges, not arbitrary
+    subtrees, so one operator plans 2 Generate(explode) of the
     fingerprint stream and running both halves plans 4. The combined
-    operator must plan exactly 2 — the shared-exchange saving this row
+    operator must plan exactly 2 — the shared-stream saving this row
     exists for (prefilter=False so only the stride-1 stream
     generates)."""
     d = _mkdocs(spark, _corpus(2))

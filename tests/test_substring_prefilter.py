@@ -4,10 +4,12 @@
    with ``prefilter=True`` is bit-identical on planted-repeat corpora,
    including repeats at MISALIGNED offsets and at exactly the window
    length (the case a position-strided sample provably misses);
-2. hot-key cap: the fingerprint exchange is salted — with ONE
-   fingerprint covering ~50% of the corpus, no reduce partition holds
-   more than ~2x the mean (previously every occurrence landed on one
-   partition) — and outputs equal a brute-force python reference;
+2. hot-key cap (r13 adaptive form): with ONE fingerprint covering
+   ~50% of the corpus, the per-hash totals partial-aggregate map-side
+   off the un-repartitioned stream (the hot key collapses to one row
+   per input partition before any shuffle; the old static (h, salt)
+   repartition is gone) — and outputs equal a brute-force python
+   reference;
 3. the two-level count + first-occurrence rule is semantics-preserving
    (removal keeps exactly the globally-first occurrence).
 """
@@ -16,8 +18,6 @@ from __future__ import annotations
 
 import hashlib
 import random
-
-import pyspark.sql.functions as F
 
 from snowalert_spark.functions import dedup as DD
 
@@ -134,26 +134,23 @@ def test_winnow_hits_cover_exact_window_repeats(spark):
     assert {1, 2} <= hits
 
 
-def test_salted_exchange_bounds_hot_key(spark):
-    """One fingerprint = ~50% of the corpus: the salted exchange must
-    spread it (max partition <= ~2x mean), and the span output must
-    still match the brute-force reference."""
+def test_hot_key_counts_collapse_mapside(spark):
+    """One fingerprint = ~50% of the corpus: the per-hash totals must
+    PARTIAL-aggregate map-side straight off the fingerprint stream —
+    the r13 adaptive replacement for the old static (h, salt)
+    repartition (which shuffled the whole expanded stream twice only
+    to feed a broadcast join and a partitioning-indifferent
+    aggregate). The hot key collapses to one row per input partition
+    before the only shuffle, and the span output must still match the
+    brute-force reference."""
     rng = random.Random(7)
     boiler = _rand_text(rng, L)  # the hot window, repeated everywhere
     rows = [(i, boiler + _rand_text(rng, L)) for i in range(300)]
     d = _mkdocs(spark, rows)
-    wins = DD._window_fingerprints(d, L, "doc_id", "text")
-    ex = DD._salted_exchange(wins)
-    sizes = [
-        r["count"]
-        for r in ex.groupBy(F.spark_partition_id().alias("p"))
-        .count()
-        .collect()
-    ]
-    mean = sum(sizes) / len(sizes)
-    assert max(sizes) <= 2.5 * mean, (
-        f"hot fingerprint not spread: max={max(sizes)} mean={mean:.0f}"
-    )
+    df = DD.repeated_substring_spans(d, prefilter=False)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "partial_count" in plan, "totals must map-side combine"
+    assert "salt" not in plan, "static salting must stay gone"
     want = _brute_spans(rows)
     got = {
         r["doc_id"]: (r["n_dup_windows"], r["n_spans"], r["dup_chars"])
@@ -264,8 +261,11 @@ def test_auto_mode_empty_corpus(spark):
 def test_auto_mode_sampled_dense_fast_path(spark, monkeypatch):
     """Corpora bigger than the probe size get a sampled winnow first;
     a dense sample verdict (sound: sampling never overestimates the
-    hit fraction) must skip the full phase-1 scan — exactly one
-    winnow job (the sample), not two."""
+    hit fraction) must skip the full phase-1 scan. Since r13 the full
+    winnow PLAN is constructed up front for the pool-first lookup
+    (construction is lazy and free), so the pin is on execution: the
+    dense verdict must return without persisting a hit-id table (the
+    persist's eager count is where the full scan is paid)."""
     rng = random.Random(23)
     boiler = _rand_text(rng, L)
     rows = [(i, boiler + _rand_text(rng, 60)) for i in range(60)]
@@ -279,12 +279,18 @@ def test_auto_mode_sampled_dense_fast_path(spark, monkeypatch):
         return real(*a, **k)
 
     monkeypatch.setattr(DD, "winnow_hit_docs", counting)
+    pool_before = len(DD._HIT_ID_CACHE_POOL)
     scan, used, frac = DD._resolve_substring_scan(
         d, L, "doc_id", "text", "auto"
     )
     assert used is False and scan is d
     assert frac is not None and frac > DD.SUBSTR_PREFILTER_MAX_HIT_FRAC
-    assert len(calls) == 1, "dense sample verdict must skip full phase 1"
+    # at most the sample winnow + the lazy lookup plan — and no pool
+    # persist, i.e. the full phase-1 scan never ran
+    assert len(calls) <= 2, "dense sample verdict must skip full phase 1"
+    assert len(DD._HIT_ID_CACHE_POOL) == pool_before, (
+        "dense sample verdict must not persist a full hit-id table"
+    )
 
 
 def test_auto_mode_sampled_sparse_falls_to_exact(spark, monkeypatch):

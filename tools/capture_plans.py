@@ -14,6 +14,8 @@ from __future__ import annotations
 import os
 import sys
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 from snowalert_spark import workload
 from snowalert_spark.session import get_session
 

@@ -1,13 +1,11 @@
-"""A/B probe: substring-family exchange strategies at a given SF.
+"""Probe: substring-family wall clock + auto-prefilter overhead.
 
-Times (noop sink, warm-up + N runs, min reported) the current operators
-and, via a monkeypatched `_salted_exchange`, a variant that feeds the
-per-hash totals aggregate and the position probe directly from the
-fingerprint stream (no explicit full-stream repartition) — the totals
-skew is absorbed by map-side partial aggregation, the probe join by
-AQE (broadcast when totals is small, skew-split SMJ otherwise).
-
-Also times the auto-prefilter probe overhead in isolation.
+Times (noop sink, warm-up + N runs) the three whole-corpus substring
+operators on the plain path plus the `_resolve_substring_scan` auto
+probe in isolation. Used for the r13 before/after evidence: the
+"before" tree carried an explicit (h, salt) repartition of the
+expanded fingerprint stream and no input spread (single-split scans
+serialized the expansion); see OPTIMIZATION_r13.md.
 
 Usage: python tools/probe_substring_exchange.py [sf_dir] [runs]
 """
@@ -15,10 +13,11 @@ Usage: python tools/probe_substring_exchange.py [sf_dir] [runs]
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
-from pyspark.sql import functions as F
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from snowalert_spark.functions import dedup as DD
 from snowalert_spark.session import get_session
@@ -54,32 +53,16 @@ def main() -> None:
     res["auto_used_prefilter"] = used
     res["auto_hit_frac"] = frac
 
-    orig = DD._salted_exchange
-
-    def passthrough(wins):
-        return wins
-
-    for mode, fn in (("salted", orig), ("direct", passthrough)):
-        DD._salted_exchange = fn
-        for name, build in (
-            ("spans", lambda: DD.repeated_substring_spans(d, prefilter=False)),
-            ("removal", lambda: DD.remove_repeated_substrings(d, prefilter=False)),
-            ("full", lambda: DD.dedupe_substrings(d, prefilter=False)),
-        ):
-            sc.setJobDescription(f"substring {name} [{mode}]")
-            res[f"{name}_{mode}"] = t_noop(build(), runs)
-    DD._salted_exchange = orig
-
-    # bit-identity check of the direct variant (full op, hardest output)
-    DD._salted_exchange = passthrough
-    direct_rows = {
-        r["doc_id"]: tuple(r) for r in DD.dedupe_substrings(d, prefilter=False).collect()
-    }
-    DD._salted_exchange = orig
-    salted_rows = {
-        r["doc_id"]: tuple(r) for r in DD.dedupe_substrings(d, prefilter=False).collect()
-    }
-    res["bit_identical"] = direct_rows == salted_rows
+    for name, build in (
+        ("spans", lambda: DD.repeated_substring_spans(d, prefilter=False)),
+        ("removal", lambda: DD.remove_repeated_substrings(d, prefilter=False)),
+        ("full", lambda: DD.dedupe_substrings(d, prefilter=False)),
+        ("spans_auto", lambda: DD.repeated_substring_spans(d)),
+        ("removal_auto", lambda: DD.remove_repeated_substrings(d)),
+        ("full_auto", lambda: DD.dedupe_substrings(d)),
+    ):
+        sc.setJobDescription(f"substring {name}")
+        res[name] = t_noop(build(), runs)
 
     print(json.dumps(res, indent=1))
 
