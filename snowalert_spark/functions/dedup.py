@@ -86,8 +86,11 @@ def cross_snapshot_dedup(
 
 
 def doc_shingles(docs: DataFrame, k: int = 3) -> DataFrame:
-    """(doc_id, shingle) distinct pairs — the inverted-index input."""
-    return docs.select(
+    """(doc_id, shingle) distinct pairs — the inverted-index input.
+    The doc input is spread by id (tables.spread, r13) so the
+    tokenize+shingle expansion parallelizes off a narrow scan; no-op
+    at cluster scale."""
+    return spread(docs, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(shingles(tokens("text"), k))).alias("s")
     )
 

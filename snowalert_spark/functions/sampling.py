@@ -112,10 +112,11 @@ def mixture_plan(
 
 def dsir_logweights(
     docs: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None = None,
     n_buckets: int = 4096,
     id_col: str = "doc_id",
     text_col: str = "text",
+    target_pred: Column | None = None,
 ) -> DataFrame:
     """Data Selection with Importance Resampling (Xie et al.,
     arXiv:2302.03169) — the hashed n-gram importance weights: build
@@ -131,17 +132,33 @@ def dsir_logweights(
     6dp before the per-doc sum runs through exact DECIMAL accumulation
     (order-independent across engines and partitionings).
 
-    100 TB shape: two partial-aggregated bucket-count exchanges (raw +
-    target) collapse to ≤ ``n_buckets`` rows each; the log-ratio table
-    is bucket-bounded and BROADCASTS to the per-doc scoring scan, so
-    the corpus-sized feature stream shuffles exactly once — the
-    groupBy(doc_id) sum."""
+    100 TB shape: the bucket-count model collapses to ≤ ``n_buckets``
+    rows per side via partial-aggregated exchanges; the log-ratio
+    table is bucket-bounded and BROADCASTS to the per-doc scoring
+    scan, so the corpus-sized feature stream shuffles exactly once —
+    the groupBy(doc_id) sum. The feature totals (``tr``/``tt``) are
+    derived from the bucket counts (exact — they are sums of the same
+    longs), never from extra passes over the stream (r13: the old
+    standalone totals were two more full tokenize+hash scans).
+
+    Pass ``target_pred`` (a boolean Column over ``docs``) instead of
+    ``target`` when the target domain is a subset of the raw corpus:
+    the raw and target bucket counts then come from ONE pass over the
+    feature stream (count + conditional count per bucket) — exactly
+    the counts the two-frame path computes, in half the scans. The
+    scoring pass is the second and last scan either way."""
     from snowalert_spark.functions import text as X
+    from snowalert_spark.tables import spread
+
+    if (target is None) == (target_pred is None):
+        raise ValueError("pass exactly one of target / target_pred")
+
+    tok = X.tokens(text_col)
 
     def feats(df: DataFrame) -> DataFrame:
-        tok = X.tokens(text_col)
         return (
-            df.select(
+            spread(df, id_col)
+            .select(
                 F.col(id_col).alias("doc_id"),
                 F.explode(F.concat(tok, X.shingles(tok, 2))).alias("f"),
             )
@@ -149,29 +166,50 @@ def dsir_logweights(
             .select("doc_id", hash_bucket(F.col("f"), n_buckets).alias("b"))
         )
 
-    fr = feats(docs)
-    ft = feats(target)
-    raw = fr.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
-    tgt = ft.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
-    tr = fr.agg(F.count(F.lit(1)).alias("tr"))
-    tt = ft.agg(F.count(F.lit(1)).alias("tt"))
-    lr = (
-        raw.join(tgt, "b", "full")
-        .crossJoin(F.broadcast(tr))
-        .crossJoin(F.broadcast(tt))
-        .select(
-            "b",
-            quantize(
-                F.log(
-                    ((F.coalesce("ct", F.lit(0)) + 1.0) / (F.col("tt") + n_buckets))
-                    / ((F.coalesce("cr", F.lit(0)) + 1.0) / (F.col("tr") + n_buckets))
-                ),
-                6,
-            ).alias("lr"),
+    if target_pred is not None:
+        fr = (
+            spread(docs, id_col)
+            .select(
+                F.col(id_col).alias("doc_id"),
+                target_pred.alias("is_t"),
+                F.explode(F.concat(tok, X.shingles(tok, 2))).alias("f"),
+            )
+            .filter(F.col("f") != "")
+            .select("doc_id", "is_t", hash_bucket(F.col("f"), n_buckets).alias("b"))
         )
+        counts = fr.groupBy("b").agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.count_if(F.col("is_t")).alias("ct"),
+        )
+        totals = counts.agg(
+            F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+        )
+        lr_src = counts.crossJoin(F.broadcast(totals))
+    else:
+        fr = feats(docs)
+        ft = feats(target)
+        raw = fr.groupBy("b").agg(F.count(F.lit(1)).alias("cr"))
+        tgt = ft.groupBy("b").agg(F.count(F.lit(1)).alias("ct"))
+        tr = raw.agg(F.sum("cr").alias("tr"))
+        tt = tgt.agg(F.sum("ct").alias("tt"))
+        lr_src = (
+            raw.join(tgt, "b", "full")
+            .crossJoin(F.broadcast(tr))
+            .crossJoin(F.broadcast(tt))
+        )
+    lr = lr_src.select(
+        "b",
+        quantize(
+            F.log(
+                ((F.coalesce("ct", F.lit(0)) + 1.0) / (F.col("tt") + n_buckets))
+                / ((F.coalesce("cr", F.lit(0)) + 1.0) / (F.col("tr") + n_buckets))
+            ),
+            6,
+        ).alias("lr"),
     )
     perdoc = (
-        fr.join(F.broadcast(lr), "b")
+        fr.select("doc_id", "b")
+        .join(F.broadcast(lr), "b")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_feats"),

@@ -19,10 +19,24 @@ from snowalert_spark.functions import dedup as D
 from snowalert_spark.functions import sampling as SMP
 from snowalert_spark.functions import text as X
 from snowalert_spark.functions.numeric import quantize, quantize_sql
-from snowalert_spark.tables import table
+from snowalert_spark.tables import spread, table
 
 QUERIES = {}
 ORACLES = {}
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, spread by doc_id (tables.spread): the
+    token/char-level expansions these operators run straight off the
+    scan would otherwise serialize onto one core on the driver's
+    single-row-group parquet. No-op at cluster scale. Used only by
+    the heavy stream queries — operators whose functions spread
+    internally (substring family, shingle family) take the plain
+    table to avoid a second repartition, and so do the measured
+    losers: the BPE family (iterative trainer pays the repartition
+    per round) and doc_chunks (expansion too cheap to amortize it)."""
+    return spread(table(spark, sf_dir, "documents"), "doc_id")
+
 
 
 def _q(name: str, oracle: str | None = None):
@@ -191,7 +205,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     count and the distinct-doc count share it), then a
     TakeOrderedAndProject top-k — per-partition heads merged on the
     driver, never a global sort of the vocabulary."""
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     words = d.select(
         "doc_id", F.explode(X.tokens("text")).alias("token")
     ).filter(F.col("token") != "")
@@ -216,7 +230,7 @@ def corpus_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     w = X.tokens("text")
     return d.select(
         "doc_id",
@@ -250,7 +264,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     w = X.tokens("text")
     return d.select(
         "doc_id",
@@ -281,7 +295,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     w = X.tokens("text")
     def _in(markers):
         return lambda t: t.isin(*markers)
@@ -331,7 +345,7 @@ def doc_fingerprint_rolling(spark: SparkSession, sf_dir: str) -> DataFrame:
     over per-window position ranges) — no position explode, no shuffle
     at all: each doc's fingerprint set is computed where the row lives.
     """
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     # positions 1..L-7 (min 1), windows of 16 positions
     fps = F.expr(
         """
@@ -695,7 +709,7 @@ def doc_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     partial agg; the corpus size joins in as a broadcast scalar; the
     final top-k is a per-doc window over the doc's own (bounded)
     vocabulary — no global sort anywhere."""
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     words = d.select("doc_id", F.explode(X.tokens("text")).alias("token")).filter(
         F.col("token") != ""
     )
@@ -768,7 +782,7 @@ def unigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     total broadcast to the scoring scan; per-token log-probs quantize
     to 6dp BEFORE the per-doc mean so the exact-decimal sum is
     order-independent across engines and partitionings."""
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     words = d.select("doc_id", F.explode(X.tokens("text")).alias("token")).filter(
         F.col("token") != ""
     )
@@ -863,7 +877,7 @@ def bigram_logprob_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     they broadcast to the scoring scan at any corpus size; per-pair
     log-probs quantize to 6dp before the exact-decimal per-doc sum so
     the mean is order-independent across engines/partitionings."""
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     # adjacent in-doc pairs: zip the token array with its own tail
     # (the array is bound to a lambda variable so tokenization runs
     # once, not once per slice)
@@ -997,7 +1011,13 @@ def dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream shuffles once (the per-doc sum); selection is a
     TakeOrderedAndProject top-k, never a global sort."""
     d = table(spark, sf_dir, "documents")
-    lw = SMP.dsir_logweights(d, d.filter(F.col("lang") == "en"), n_buckets=DSIR_B)
+    # target = the English subset of the corpus itself, expressed as a
+    # predicate so the model trains in ONE pass over the feature
+    # stream (raw + target bucket counts together — r13; the
+    # two-frame form paid five tokenize+hash scans of the stream)
+    lw = SMP.dsir_logweights(
+        d, n_buckets=DSIR_B, target_pred=F.col("lang") == "en"
+    )
     return (
         lw.withColumn(
             "gkey",
@@ -1108,6 +1128,9 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     pure array expressions in a map-only stage and row-expanded with a
     single posexplode — no shuffle anywhere in the plan.
     """
+    # plain table, no spread: the chunk expansion is cheap enough that
+    # the repartition dominates (A/B at sf0.1: 0.25 -> 0.50 s with the
+    # spread); the zero-Exchange map-only plan pin stays exact
     d = table(spark, sf_dir, "documents")
     ch = d.select(
         "doc_id",
@@ -1196,7 +1219,7 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     with zero shuffle, so at 100 TB it pipelines into whatever filter
     consumes the scores.
     """
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tok = X.tokens("text")
     bg = X.shingles(tok, 2)
     fg = X.shingles(tok, 5)
@@ -1252,7 +1275,7 @@ def doc_chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a per-partition running sum, never a global single-partition
     window (the scale killer a naive ORDER BY () cumsum would be).
     """
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     ch = d.select(
         "source",
         "doc_id",
@@ -1364,7 +1387,7 @@ def curation_gate_decontam(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges are the per-doc hit count and the flag join — the
     corpus text never shuffles.
     """
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     eval_pred = (F.col("doc_id") % 17) == 0
     flags = D.decontaminate_ngram(d, eval_pred, k=5).select(
         "doc_id", "contaminated"
@@ -1604,7 +1627,7 @@ def curation_filter_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the reason column makes per-rule loss rates a trivial
     follow-up aggregation.
     """
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sig = d.select(
         "doc_id",
         "lang",
@@ -1662,7 +1685,7 @@ def curation_funnel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection: the whole funnel is a single shuffle of
     #sources × #rules partial rows regardless of corpus size.
     """
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     sig = d.select(
         "source",
         "lang",
@@ -1768,7 +1791,7 @@ def quality_percentile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx-quantile threshold (computed once, broadcast) instead of
     an exact rank.
     """
-    d = table(spark, sf_dir, "documents")
+    d = _docs(spark, sf_dir)
     tok = X.tokens("text")
     sig = d.select(
         "doc_id",
@@ -1909,6 +1932,11 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus size after the first scan."""
     from snowalert_spark.functions import bpe as B
 
+    # plain table, no spread (whole BPE family): the trainer's
+    # iterative rounds re-derive from the doc scan, so the spread
+    # repartition is paid once PER ROUND, not once — A/B at sf0.1:
+    # merges 0.29 -> 0.47 s, encode_docs 1.11 -> 2.77 s,
+    # encode_128 0.98 -> 1.55 s, encode_1k 1.03 -> 1.78 s
     d = table(spark, sf_dir, "documents")
     merges = B.trained_merges(spark, sf_dir, d, BPE_MERGES)
     return spark.createDataFrame(
@@ -1938,7 +1966,7 @@ def bpe_encode_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity end to end."""
     from snowalert_spark.functions import bpe as B
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents")  # no spread — see bpe_merges
     merges = B.trained_merges(spark, sf_dir, d, BPE_MERGES)
     return _bpe_apply(d, merges)
 
@@ -2014,7 +2042,7 @@ def bpe_encode_128(spark: SparkSession, sf_dir: str) -> DataFrame:
     bpe_encode_docs oracles as its first six rounds."""
     from snowalert_spark.functions import bpe as B
 
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents")  # no spread — see bpe_merges
     merges = B.trained_merges(spark, sf_dir, d, BPE_MERGES_128)
     if len(merges) <= B.BPE_FOLD_MAX:  # must exercise the vocab path
         raise ValueError(
@@ -2081,7 +2109,7 @@ def bpe_encode_1k(spark: SparkSession, sf_dir: str) -> DataFrame:
     any drift at the driver SF surfaces as a loud hash mismatch at
     the gate rather than a designed ValueError (the r11 guard-raise
     this replaces, which erred on every sf1+ sidecar run)."""
-    d = table(spark, sf_dir, "documents")
+    d = table(spark, sf_dir, "documents")  # no spread — see bpe_merges
     return bpe_encode_budget(spark, sf_dir, d, BPE_BUDGET_1K)
 
 

@@ -12,7 +12,7 @@ from pyspark.sql import functions as F
 
 from snowalert_spark.functions import similarity as S
 from snowalert_spark.functions.numeric import quantize, quantize_sql
-from snowalert_spark.tables import table
+from snowalert_spark.tables import spread, table
 
 QUERIES = {}
 ORACLES = {}
@@ -26,6 +26,15 @@ def _q(name: str, oracle: str | None = None):
         return fn
 
     return deco
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, spread by vec_id (tables.spread): every
+    operator here runs heavy per-row array arithmetic (codebook
+    argmax, cosine folds, PQ coding) straight off the scan, and the
+    driver's single-row-group parquet would serialize all of it onto
+    one core. No-op at cluster scale (many-split scans)."""
+    return spread(table(spark, sf_dir, "embeddings"), "vec_id")
 
 
 def _dot_sql(a: str, b: str) -> str:
@@ -142,7 +151,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     where bare array<double> cells raised ``unhashable type: 'list'``
     (CORRECTNESS_r07). Bit-exactness per value is preserved — two
     centroids agree iff every micro-unit integer agrees."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     cents = S.kmeans_fit(
         emb.filter(F.col("vec_id") < TRAIN_N), k=N_CENTROIDS, iters=KMEANS_ITERS
     )
@@ -174,7 +183,7 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def cosine_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return S.brute_force_topk(
         emb, emb.filter(F.col("vec_id") < N_QUERIES), k=5
     )
@@ -217,7 +226,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     once per corpus version (S.trained_centroids) and the query itself
     is assign + equi-join on cell — the production split. The oracle
     still replays the full trainer so correctness covers it."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     cents = _centroids(spark, sf_dir, emb)
     return S.ivf_topk(
         emb,
@@ -247,7 +256,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     *verification baseline* for dedup_embedding_ivf (recall is
     measured against this in tests/test_oracle_vectors.py); the scale
     path is the IVF-pruned variant below."""
-    return S.cosine_pairs(table(spark, sf_dir, "embeddings"), SIM_THRESHOLD)
+    return S.cosine_pairs(_emb(spark, sf_dir), SIM_THRESHOLD)
 
 
 @_q(
@@ -279,7 +288,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification. No all-pairs product anywhere in the plan (pinned by
     tests/test_plans.py); the same candidate/verify split as
     MinHash-LSH."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     cents = _centroids(spark, sf_dir, emb)
     return S.cosine_pairs_ivf(
         emb,
@@ -305,7 +314,7 @@ def dedup_embedding_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def embedding_label_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     norm = F.sqrt(S.dot("embedding", "embedding"))
     return emb.groupBy("label").agg(
         F.count("*").alias("n"),
@@ -402,6 +411,12 @@ def dedup_embedding_rplsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n <= 2^16) the schedule returns exactly (RP_PLANES, RP_BANDS),
     the shape the static oracle SQL replays bit-for-bit; the count()
     that sizes the corpus is a parquet-metadata aggregate."""
+    # plain table, no spread: this operator's wall is the EAGER
+    # connected-components phase (driver union-find over the verified
+    # pair graph) — dozens of small jobs where 32-way repartition of a
+    # few thousand rows only adds task overhead (measured 2.6 -> 7.4 s
+    # at sf0.1 with the spread; the per-row signature arithmetic is
+    # not the bottleneck here)
     emb = table(spark, sf_dir, "embeddings")
     n_planes, bands = S.rplsh_params_for_corpus(emb.count())
     return S.cosine_pairs_rplsh(
@@ -522,6 +537,9 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from snowalert_spark.functions import dedup as DD
 
+    # plain table, no spread: like dedup_embedding_rplsh, the wall
+    # here is the eager CC phase's many small jobs, and spreading the
+    # gate-scale embedding table was measured 4.4 -> 7.1 s at sf0.1
     emb = table(spark, sf_dir, "embeddings")
     k, train_n = semantic_kmeans_params(emb.count())
     cents_rows = S.trained_centroid_rows(
@@ -680,7 +698,7 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side-combining struct aggregate — the only exchange is n
     result rows (plan-pinned in test_plans.py). Gate SFs (0.001-0.1)
     have every vec_id under the cap, so driver rows are unchanged."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     is_eval = (F.col("vec_id") % 17 == 0) & (
         F.col("vec_id") < SEMDECON_EVAL_CAP
     )
@@ -795,7 +813,7 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     the plan as literal arrays (no join, no broadcast; pinned in
     tests/test_plans.py). The oracle replays all four trainers and the
     quantized-cosine assignment bit-for-bit."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     codes = S.pq_codes(
         spark,
         sf_dir,
@@ -823,6 +841,10 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query top-k — and the exact math only ever touches
     shortlist x queries vectors. The oracle replays trainer, coding,
     LUT, lookup-sum and both rank stages bit-for-bit."""
+    # plain table, no spread: unlike the bare coder (embedding_pq_codes,
+    # where the spread wins 0.61 -> 0.39 s), the full ADC query chain
+    # re-exchanges on pid for the shortlist window anyway, so the extra
+    # leading repartition only adds a stage (A/B sf0.1: 1.46 -> 2.08 s)
     emb = table(spark, sf_dir, "embeddings")
     return S.pq_topk(
         spark,
@@ -916,7 +938,7 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     anywhere in the plan (pinned). The oracle replays coarse trainer,
     PQ trainers, both assignments, LUTs, ADC and both rank stages
     bit-for-bit."""
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     return S.ivfpq_topk(
         spark,
         sf_dir,
@@ -970,7 +992,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantize() — and the left-fold sums match DuckDB's list_reduce
     order so the oracle is bit-exact.
     """
-    emb = table(spark, sf_dir, "embeddings")
+    emb = _emb(spark, sf_dir)
     dot = (
         lambda a, b: f"aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
         "0.0D, (acc, z) -> acc + z)"

@@ -60,21 +60,35 @@ def test_embedding_ivf_dedup_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def _assert_map_only(plan, name):
+    """Map-only contract, r13 form: no ORGANIC shuffle (an Exchange
+    the operators themselves require, origin ENSURE_REQUIREMENTS) and
+    no product join. The one allowed Exchange kind is the explicit
+    scan-spread repartition (origin REPARTITION_BY_NUM) that
+    tables.spread adds when the driver's single-row-group parquet
+    would serialize the per-row expansion onto one core — a no-op at
+    cluster scale (guarded on input file count), so the 100 TB plan
+    this pin protects is still shuffle-free."""
+    assert "ENSURE_REQUIREMENTS" not in plan, name
+    assert plan.count("Exchange") == plan.count("REPARTITION_BY_NUM"), name
+    assert "CartesianProduct" not in plan, name
+    assert "NestedLoop" not in plan, name
+
+
 def test_curation_ops_are_map_only(spark):
     """The round-7 curation operators claim zero-shuffle map-only
     plans: chunking, stratified sampling, repetition stats, and int8
     quantization must compile to scan → project/filter with no
-    Exchange and no product join."""
-    for name in (
-        "doc_chunks",
-        "stratified_sample_docs",
-        "text_repetition_stats",
-        "embedding_quantize_int8",
-    ):
+    organic Exchange and no product join; doc_chunks and
+    stratified_sample_docs additionally take no scan-spread (measured
+    losers), so their plans stay literally Exchange-free."""
+    for name in ("doc_chunks", "stratified_sample_docs"):
         plan = _plan(spark, name)
         assert "Exchange" not in plan, name
         assert "CartesianProduct" not in plan, name
         assert "NestedLoop" not in plan, name
+    for name in ("text_repetition_stats", "embedding_quantize_int8"):
+        _assert_map_only(_plan(spark, name), name)
 
 
 def test_decontaminate_broadcasts_benchmark_shingles(spark):
@@ -127,12 +141,14 @@ def test_cross_snapshot_dedup_is_anti_join_on_hash(spark):
 
 
 def test_curation_filter_pipeline_map_only(spark):
-    """The composite gate is one scan → projection: no Exchange, no
-    join. (The signal projection uses higher-order array functions,
-    which Spark never whole-stage-codegens — so pin the stage shape,
-    not a codegen marker.)"""
+    """The composite gate is one scan → projection: no organic
+    Exchange (the scan-spread repartition is allowed — see
+    _assert_map_only), no join. (The signal projection uses
+    higher-order array functions, which Spark never
+    whole-stage-codegens — so pin the stage shape, not a codegen
+    marker.)"""
     plan = _plan(spark, "curation_filter_pipeline")
-    assert "Exchange" not in plan
+    _assert_map_only(plan, "curation_filter_pipeline")
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
 
@@ -159,7 +175,7 @@ def test_pq_coding_is_map_only(spark):
     coder must be scan → project with no join, no Exchange (training
     happens once per corpus version at plan-construction time)."""
     plan = _plan(spark, "embedding_pq_codes")
-    assert "Exchange" not in plan
+    _assert_map_only(plan, "embedding_pq_codes")
     assert "Join" not in plan
     assert plan.count("FileScan") == 1
 
@@ -183,8 +199,19 @@ def test_decontaminate_semantic_shape(spark):
     assert "BroadcastNestedLoopJoin" in plan
     assert "CartesianProduct" not in plan
     assert "SortMergeJoin" not in plan
-    # exactly one exchange: the hash partition feeding the final max agg
-    assert plan.count("Exchange hashpartitioning") == 1
+    # no ORGANIC exchange at all in the test plan: the scan-spread
+    # repartition (REPARTITION_BY_NUM, keyed on vec_id) is REUSED by
+    # the final per-vec max aggregate, so the agg's own exchange
+    # vanishes (keyed-spread reuse, guide §2.4). At cluster scale the
+    # spread no-ops and the single agg exchange reappears — either
+    # way the corpus vectors shuffle at most once, as ids+score.
+    organic = [
+        ln
+        for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and "REPARTITION_BY_NUM" not in ln
+    ]
+    assert len(organic) == 0, plan
+    assert "REPARTITION_BY_NUM" in plan  # the keyed spread is present
 
 
 def test_dedup_image_dhash_no_cartesian(spark):
