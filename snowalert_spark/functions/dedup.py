@@ -908,8 +908,12 @@ CC_DRIVER_MAX_EDGES = 1_000_000
 
 
 def _cc_driver_union_find(spark, sym: DataFrame) -> DataFrame:
-    """Driver-side union-find over a bounded symmetrized edge list.
-    Returns the identical (node, cluster_id = min node id in
+    """Driver-side union-find over a bounded edge list. The input may
+    be raw directed pairs with duplicates — union(a, b) is symmetric
+    and idempotent, so neither symmetrization nor dedup changes the
+    parent forest (r13: the driver path used to pay a distinct
+    shuffle over the 2|E| symmetrized rows purely to build this
+    input). Returns the identical (node, cluster_id = min node id in
     component) frame as the distributed propagation."""
     parent: dict[int, int] = {}
 
@@ -921,7 +925,13 @@ def _cc_driver_union_find(spark, sym: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for a, b in sym.select("a", "b").toLocalIterator():
+    # one collect job, not toLocalIterator: the iterator launches one
+    # job PER PARTITION, and the raw (un-distinct'd) pair list keeps
+    # its upstream partitioning (~dozens of partitions = dozens of
+    # scheduler round-trips; measured 26 -> 52 jobs/run on
+    # dedup_clusters when the r13 raw-edge path first landed on the
+    # iterator). The caller's bound guarantees the list fits.
+    for a, b in sym.select("a", "b").collect():
         if a not in parent:
             parent[a] = a
         if b not in parent:
@@ -965,8 +975,11 @@ def connected_components(
     Graph-size-aware schedule: the VERIFIED duplicate edge list is
     orders of magnitude smaller than the corpus that produced it, so
     when it fits comfortably on the driver (≤ ``CC_DRIVER_MAX_EDGES``
-    id pairs, ~32 MB) the components come from a single collect +
-    union-find — one job instead of O(diameter) propagation rounds
+    raw id pairs, ~32 MB) the components come from a single collect +
+    union-find — one job instead of O(diameter) propagation rounds,
+    and on RAW pairs: the symmetrize+distinct exchange exists only
+    for the distributed propagation and is built lazily on the
+    checkpointed pairs when that path is actually taken (r13)
     each costing several scheduler round-trips (measured 9 s → <1 s on
     the sf0.1 semantic-dedup graph). Labels are identical (min node id
     per component). Past the bound — the true 100 TB regime — the
@@ -975,11 +988,18 @@ def connected_components(
     """
     e = edges.select(
         F.col(src).cast("long").alias("a"), F.col(dst).cast("long").alias("b")
+    ).localCheckpoint()
+    if e.count() <= driver_max_edges:
+        # union-find neither needs symmetrized nor deduped edges
+        # (union is symmetric and idempotent), so the driver path
+        # skips the 2|E|-row distinct exchange entirely: materialize
+        # the raw verified pairs once, stream them to the driver
+        return _cc_driver_union_find(edges.sparkSession, e)
+    sym = (
+        e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint()
     )
-    sym = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    sym = sym.localCheckpoint()
-    if sym.count() <= driver_max_edges:
-        return _cc_driver_union_find(edges.sparkSession, sym)
     labels = (
         sym.select(F.col("a").alias("node"))
         .distinct()

@@ -194,3 +194,15 @@ def test_driver_and_distributed_paths_agree(spark):
     fast = _cc(spark, edges)
     dist = _cc(spark, edges, driver_max_edges=0)
     assert fast == dist
+
+
+def test_driver_path_on_raw_edges_matches_distributed(spark):
+    """r13: the driver union-find path consumes the RAW pair list —
+    directed, with duplicates, never symmetrized or deduped (union is
+    symmetric and idempotent, so the distinct exchange the distributed
+    path needs is pure overhead here). Same labels either way."""
+    # duplicates both ways + self-contradicting directions
+    pairs = [(5, 2), (2, 5), (5, 2), (2, 9), (9, 2), (30, 31), (31, 30)]
+    via_driver = _cc(spark, pairs)  # default bound -> driver path
+    via_dist = _cc(spark, pairs, driver_max_edges=0)  # forced distributed
+    assert via_driver == via_dist == {2: 2, 5: 2, 9: 2, 30: 30, 31: 30}
