@@ -690,6 +690,39 @@ def pixel_grid(pixels: list[float], rows: int = DHASH_ROWS, cols: int = DHASH_CO
     return out
 
 
+def _pooled_byte_means(raw: bytes, k: int):
+    """Vectorized ``pixel_grid`` for the synthetic (byte-payload)
+    decode path: k cell means over the raw bytes as a float64 array.
+    Bit-identical to ``pixel_grid([float(x) for x in raw], ...)``:
+    every slice sum is an exact integer in float64 (bytes are <= 255
+    and payloads are far below 2**53), so summation order cannot
+    change the value, and the final division sees the same numerator
+    and denominator. An empty slice contributes 0.0, like the scalar
+    path."""
+    import numpy as np
+
+    arr = np.frombuffer(raw, dtype=np.uint8)
+    n = arr.size
+    bounds = (np.arange(k + 1, dtype=np.int64) * n) // k
+    cum = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(arr, dtype=np.int64, out=cum[1:])
+    sums = cum[bounds[1:]] - cum[bounds[:-1]]
+    counts = np.maximum(bounds[1:] - bounds[:-1], 1)
+    return sums / counts
+
+
+def _gradient_bands(cells, rows: int, cols: int) -> list[int]:
+    """Vectorized ``dhash_bands`` over a cell-mean array: bit c of
+    band r set iff cells[r*cols + c + 1] > cells[r*cols + c]
+    (MSB-first) — the identical float64 comparisons, batched."""
+    import numpy as np
+
+    g = np.asarray(cells, dtype=np.float64).reshape(rows, cols)
+    bits = (g[:, 1:] > g[:, :-1]).astype(np.int64)
+    weights = 1 << (7 - np.arange(cols - 1, dtype=np.int64))
+    return [int(v) for v in bits @ weights]
+
+
 def image_dhash(media: DataFrame, decode: str = "fake") -> DataFrame:
     """Per-image dHash via the Arrow-batched decode path: ``real``
     resolves registry decoders (meta.format) and pools their pixel
@@ -718,9 +751,17 @@ def image_dhash(media: DataFrame, decode: str = "fake") -> DataFrame:
                             f"no pixel decoder registered for format {fmt!r}"
                         )
                     pixels = decoders[fmt](raw)
+                    bands = dhash_bands(
+                        pixel_grid([float(x) for x in pixels])
+                    )
                 else:
-                    pixels = list(raw)
-                bands = dhash_bands(pixel_grid([float(x) for x in pixels]))
+                    # vectorized synthetic path (guide: batch native
+                    # compute, not per-byte Python) — bit-identical
+                    bands = _gradient_bands(
+                        _pooled_byte_means(raw, DHASH_ROWS * DHASH_COLS),
+                        DHASH_ROWS,
+                        DHASH_COLS,
+                    )
                 rows.append(
                     (int(mid), "".join(f"{b:02x}" for b in bands), *bands)
                 )
@@ -728,7 +769,11 @@ def image_dhash(media: DataFrame, decode: str = "fake") -> DataFrame:
                 rows, columns=["media_id", "dhash"] + [f"band_{r}" for r in range(DHASH_ROWS)]
             )
 
-    return media.mapInPandas(batches, schema)
+    # ship only the columns the stage reads (guide §4: opaque stages
+    # defeat column pruning — select explicitly before the boundary)
+    return media.select("media_id", "meta", "data").mapInPandas(
+        batches, schema
+    )
 
 
 # --------------------------------------------------------------------------
@@ -788,6 +833,20 @@ def wav_samples(data: bytes) -> list[float]:
     ]
 
 
+def _afp_bands_from_bytes(raw: bytes) -> list[int]:
+    """Vectorized ``afp_bands`` for the synthetic byte-payload path:
+    pooled window means via ``_pooled_byte_means`` (exact), adjacent
+    deltas via elementwise float64 subtraction (the same operation the
+    scalar path performs), identical comparisons."""
+    import numpy as np
+
+    e = _pooled_byte_means(raw, AFP_WINDOWS)
+    d = np.diff(e)
+    bits = (d[1:] > d[:-1]).astype(np.int64).reshape(8, 8)
+    weights = 1 << (7 - np.arange(8, dtype=np.int64))
+    return [int(v) for v in bits @ weights]
+
+
 def afp_bands(samples: list[float]) -> list[int]:
     """8 fingerprint bytes from the energy envelope: pool the sample
     sequence into AFP_WINDOWS window means (the pixel_grid slicing),
@@ -834,10 +893,10 @@ def audio_fingerprint(media: DataFrame, decode: str = "fake") -> DataFrame:
                         raise NotImplementedError(
                             f"no sample decoder registered for format {fmt!r}"
                         )
-                    samples = decoders[fmt](raw)
+                    bands = afp_bands(decoders[fmt](raw))
                 else:
-                    samples = [float(x) for x in raw]
-                bands = afp_bands(samples)
+                    # vectorized synthetic path — bit-identical
+                    bands = _afp_bands_from_bytes(raw)
                 rows.append(
                     (int(mid), "".join(f"{b:02x}" for b in bands), *bands)
                 )
@@ -1181,22 +1240,29 @@ def video_framehash(media: DataFrame, decode: str = "fake") -> DataFrame:
                         raise NotImplementedError(
                             f"no frame decoder registered for format {fmt!r}"
                         )
-                    frames = decoders[fmt](raw, VIDEO_FRAMES)
+                    banded = [
+                        dhash_bands(pixel_grid(px))
+                        for px in decoders[fmt](raw, VIDEO_FRAMES)
+                    ]
                 else:
+                    # vectorized synthetic path — bit-identical
                     n = len(raw)
-                    frames = [
-                        [
-                            float(x)
-                            for x in raw[
-                                f * n // VIDEO_FRAMES : (f + 1)
-                                * n
-                                // VIDEO_FRAMES
-                            ]
-                        ]
+                    banded = [
+                        _gradient_bands(
+                            _pooled_byte_means(
+                                raw[
+                                    f * n // VIDEO_FRAMES : (f + 1)
+                                    * n
+                                    // VIDEO_FRAMES
+                                ],
+                                DHASH_ROWS * DHASH_COLS,
+                            ),
+                            DHASH_ROWS,
+                            DHASH_COLS,
+                        )
                         for f in range(VIDEO_FRAMES)
                     ]
-                for f, px in enumerate(frames):
-                    bands = dhash_bands(pixel_grid(px))
+                for f, bands in enumerate(banded):
                     rows.append(
                         (
                             int(mid),
