@@ -26,17 +26,19 @@ def main() -> None:
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
     evdir = tempfile.mkdtemp(prefix="spark_events_")
 
-    from pyspark.sql import SparkSession
+    # the engine's tuned session (same confs as bench.py), plus the
+    # event log — a vanilla session's defaults (200 shuffle partitions,
+    # 1g driver) inflate exactly the job/gap structure this tool measures
+    from snowalert_spark.session import get_session
 
-    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    spark = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .config("spark.eventLog.enabled", "true")
-        .config("spark.eventLog.dir", evdir)
-        .config("spark.eventLog.compress", "false")
-        .config("spark.eventLog.rolling.enabled", "false")
-        .appName("profile_query")
-        .getOrCreate()
+    spark = get_session(
+        app_name="profile_query",
+        extra_conf={
+            "spark.eventLog.enabled": "true",
+            "spark.eventLog.dir": evdir,
+            "spark.eventLog.compress": "false",
+            "spark.eventLog.rolling.enabled": "false",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
