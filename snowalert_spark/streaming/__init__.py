@@ -747,6 +747,36 @@ def neardup_media_stream_ingest(
     q.awaitTermination()
 
 
+#: per-bucket ceiling on the tick membership probe's BUILD side (the
+#: tick's distinct hashes / bucket count). A ShuffledHashJoin build
+#: cannot spill, so past this the probe falls back to a sort-merge
+#: join: the state side is still the bucketed in-place scan (no
+#: Exchange — the flat-cost property), it just gains a spillable Sort,
+#: and the batch side's sort spills too, so any tick size completes.
+#: ~100 B/row in the UnsafeHashedRelation puts the default near 50 MB
+#: of build memory per task — found empirically when a 500k-row sf10
+#: tick (123M hashes over 64 buckets ≈ 1.9M rows/bucket) died with
+#: SparkOutOfMemoryError("not enough memory to build hash map") while
+#: the 100k-row ticks (≈380k rows/bucket) ran flat. Scale knob, not a
+#: local[32] constant: it bounds per-task build memory, which is the
+#: same contract on a cluster executor.
+PROBE_BUILD_ROWS_PER_BUCKET_MAX = 512_000
+
+
+def _probe_join_hint(n_batch_hashes: int | None, buckets: int) -> str:
+    """Join-strategy dispatch for the tick's batch-vs-state membership
+    probe (the PPJoin/BPE-style cost-based choice): ``shuffle_hash``
+    while the per-bucket build fits comfortably in task memory,
+    ``merge`` (sort-merge — spills gracefully, guide §3.1) past it.
+    Pure function so tests pin both branches without running Spark."""
+    if (
+        n_batch_hashes is not None
+        and n_batch_hashes > PROBE_BUILD_ROWS_PER_BUCKET_MAX * buckets
+    ):
+        return "merge"
+    return "shuffle_hash"
+
+
 class _BucketedFingerprintState:
     """Hash-bucketed persistent state for the streaming substring tier
     (r12 verdict item 1): one external Spark-catalog table of 16-byte
@@ -851,20 +881,28 @@ class _BucketedFingerprintState:
         return df.select("ha", "hb")
 
     def seen_in_state(self, batch_hashes: DataFrame, batch_id: int,
-                      retention_batches) -> DataFrame:
+                      retention_batches,
+                      n_batch_hashes: int | None = None) -> DataFrame:
         """The subset of ``batch_hashes`` (distinct (ha, hb) rows)
         already present in state — the tick's ONE state-relation pass.
         Shaped so the state side never exchanges: state is the stream
-        side of a ShuffledHashJoin LeftSemi (bucketed scan satisfies
-        the join's distribution), the batch side shuffles into the
-        bucket count and builds the per-partition hash maps. State
+        side of the LeftSemi join (bucketed scan satisfies the join's
+        distribution), the batch side shuffles into the bucket count.
+        Normal ticks plan as a ShuffledHashJoin building per-partition
+        hash maps over the batch side; when the caller reports a batch
+        hash count past :data:`PROBE_BUILD_ROWS_PER_BUCKET_MAX` per
+        bucket, the probe switches to a sort-merge join
+        (:func:`_probe_join_hint`) — the hash build cannot spill and
+        OOMs on very large ticks, the sorts spill — identical output
+        either way (a hint only picks the physical strategy). State
         holds one row per hash, so the output IS the matched hash set;
         the defensive ``dropDuplicates`` costs only an output-sized
         (tick-bounded) exchange and makes even a mid-fold-crash
         double-row harmless to downstream counts."""
+        hint = _probe_join_hint(n_batch_hashes, self.buckets)
         return (
             self.read_before(batch_id, retention_batches)
-            .join(batch_hashes.hint("shuffle_hash"), ["ha", "hb"], "left_semi")
+            .join(batch_hashes.hint(hint), ["ha", "hb"], "left_semi")
             .dropDuplicates(["ha", "hb"])
         )
 
@@ -1020,9 +1058,14 @@ def substring_stream_ingest(
     so per-tick cost is O(state scan) I/O plus O(tick) shuffle instead
     of an O(state) exchange every tick (the r12 curve doubled by
     ~104M accumulated fingerprints; the plan is pinned by
-    tests/test_streaming_substring.py). ``compact_every`` folds
-    committed partitions into one (Exchange-free bucketed rewrite)
-    so file count stays bounded on unbounded streams.
+    tests/test_streaming_substring.py). Giant ticks (batch hashes past
+    :data:`PROBE_BUILD_ROWS_PER_BUCKET_MAX` per bucket — the hash
+    build cannot spill and a 500k-row sf10 tick OOM'd it) dispatch the
+    probe to a sort-merge join instead: the state side stays an
+    Exchange-free bucketed scan, it just gains a spillable Sort, so
+    any tick size completes (r13). ``compact_every`` folds committed
+    partitions into one (Exchange-free bucketed rewrite) so file count
+    stays bounded on unbounded streams.
     """
     from snowalert_spark.functions.dedup import (
         _excise_expr,
@@ -1070,9 +1113,15 @@ def substring_stream_ingest(
         cached.append(totals)
         # hashes already in state: every batch occurrence is cut. ONE
         # state pass per tick (cached; the state-append anti-join below
-        # runs against this tick-sized set, not the state again)
+        # runs against this tick-sized set, not the state again). The
+        # count materializes the cached totals (work every consumer
+        # below needs anyway) and sizes the probe's join strategy —
+        # giant ticks must sort-merge, not hash-build (see
+        # _probe_join_hint; a 500k-row sf10 tick OOM'd the build).
+        n_hashes = totals.count()
         seen = state.seen_in_state(
-            totals.select("ha", "hb"), batch_id, retention_batches
+            totals.select("ha", "hb"), batch_id, retention_batches,
+            n_batch_hashes=n_hashes,
         ).cache()
         cached.append(seen)
         flagged = (

@@ -400,3 +400,95 @@ def test_stream_compaction_folds_state(spark, tmp_path):
         ).collect()
     }
     assert got == want
+
+
+# ---- r13 opt: giant-tick probe falls back to sort-merge ---------------
+
+
+def test_probe_join_hint_dispatch():
+    """The cost-based strategy choice is a pure function: shuffle_hash
+    while the per-bucket build fits, merge past the ceiling, and an
+    unknown count (None) keeps the default."""
+    from snowalert_spark import streaming as S
+
+    cap = S.PROBE_BUILD_ROWS_PER_BUCKET_MAX
+    assert S._probe_join_hint(None, 64) == "shuffle_hash"
+    assert S._probe_join_hint(cap * 64, 64) == "shuffle_hash"  # at the edge
+    assert S._probe_join_hint(cap * 64 + 1, 64) == "merge"
+    assert S._probe_join_hint(cap, 1) == "shuffle_hash"
+    assert S._probe_join_hint(cap + 1, 1) == "merge"
+
+
+def test_giant_tick_probe_sorts_instead_of_hash_build(spark, tmp_path):
+    """Past the per-bucket build ceiling the probe plans as a
+    SortMergeJoin — the state side is STILL the in-place bucketed scan
+    (no Exchange before it; that is the flat-cost property), it only
+    gains a spillable Sort, and the result set is identical to the
+    hash-build plan (a hint picks physical strategy, never semantics).
+    Found the hard way: a 500k-row sf10 tick (1.9M build rows/bucket)
+    died with SparkOutOfMemoryError building the hash map."""
+    st = _mk_state(spark, tmp_path)
+    for b in range(3):  # multiple partitions AND multiple files/bucket
+        st.overwrite_batch(_hashes(spark, b * 1000, (b + 1) * 1000), b)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        batch = _hashes(spark, 500, 1500)
+        small = st.seen_in_state(batch, 3, None, n_batch_hashes=1000)
+        giant = st.seen_in_state(
+            batch, 3, None,
+            n_batch_hashes=st.buckets * 512_000 + 1,
+        )
+        plan = giant._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "ShuffledHashJoin" not in plan
+        # state side of the SMJ: scanned in place — bucketed, no
+        # Exchange anywhere above the FileScan (a Sort is expected and
+        # allowed: it spills, the hash build does not)
+        assert "Bucketed: true" in plan
+        join_part = plan.split("SortMergeJoin", 1)[1]
+        state_side = join_part.split("Exchange", 1)[0]
+        assert "FileScan" in state_side
+        assert plan.count("Exchange") == 1, plan
+        got_g = sorted((r["ha"], r["hb"]) for r in giant.collect())
+        got_s = sorted((r["ha"], r["hb"]) for r in small.collect())
+        assert got_g == got_s and len(got_g) == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+
+
+def test_giant_tick_stream_output_unchanged(spark, tmp_path, monkeypatch):
+    """End-to-end: forcing every tick onto the sort-merge path (ceiling
+    patched to 0) reproduces the batch operator bit-for-bit — the
+    strategy dispatch cannot change what a tick computes."""
+    from snowalert_spark import streaming as S
+
+    monkeypatch.setattr(S, "PROBE_BUILD_ROWS_PER_BUCKET_MAX", 0)
+    rows = sorted(_corpus(43))
+    tmp = str(tmp_path / "gt")
+    os.makedirs(f"{tmp}/src")
+    half = len(rows) // 2
+    for t, chunk in enumerate((rows[:half], rows[half:])):
+        with open(f"{tmp}/src/tick{t}.json", "w") as f:
+            for doc_id, text in chunk:
+                f.write(json.dumps({"doc_id": doc_id, "text": text}) + "\n")
+        substring_stream_ingest(
+            spark,
+            src_path=f"{tmp}/src",
+            dst_path=f"{tmp}/out",
+            checkpoint=f"{tmp}/ckpt",
+            state_dir=f"{tmp}/state",
+            schema=SCHEMA,
+            window=L,
+        )
+    got = _out_rows(spark, tmp)
+    want = {
+        r["doc_id"]: (
+            r["clean_text"],
+            r["removed_chars"],
+            r["n_removed_windows"],
+        )
+        for r in DD.remove_repeated_substrings(
+            _mkdocs(spark, rows), window=L
+        ).collect()
+    }
+    assert got == want
