@@ -594,7 +594,7 @@ def main() -> None:
     print(_compact_summary_line(out))
 
 
-def _compact_summary_line(out: dict, budget: int = 1900) -> str:
+def _compact_summary_line(out: dict, budget: int = 1950) -> str:
     summary = {
         "metric": out["metric"],
         "value": out["value"],
@@ -614,7 +614,7 @@ def _compact_summary_line(out: dict, budget: int = 1900) -> str:
     )
     keep = dict(ranked)
     while keep and len(line) > budget:
-        keep = dict(ranked[: max(0, len(keep) - 8)])
+        keep = dict(ranked[: max(0, len(keep) - 1)])
         summary["queries"] = keep
         summary["queries_omitted"] = len(ranked) - len(keep)
         line = json.dumps(summary, separators=(",", ":"))

@@ -418,40 +418,49 @@ def encode_docs_via_vocab(
     rows); encoding is then ONE corpus-sized exchange — words join
     the vocab on the word key (AQE broadcasts a small vocab) and
     reassemble per doc via an ordered collect keyed on word position.
-    Same output as the literal fold by induction on the per-round
-    fold parity (pinned by test_bpe's path-equality tests)."""
+    Zero-word docs ride the same scan: ``posexplode_outer`` emits one
+    null-word row for an empty token array and the left vocab join
+    keeps it, so the per-doc aggregate covers every doc without the
+    old third corpus scan (the ``docs.select(id).join(..., "left")``
+    spine). Every real token is in the vocab by construction (both
+    sides tokenize with the engine-wide lower+``\\s+`` convention and
+    the vocab holds ALL distinct words), so left-vs-inner cannot
+    change a matched row. Same output as the literal fold by
+    induction on the per-round fold parity (pinned by test_bpe's
+    path-equality tests)."""
     vocab = segmentation_vocab(docs, merges, text_col, batch)
     words = docs.select(
         id_col,
-        F.posexplode(
+        F.posexplode_outer(
             F.filter(
                 F.split(F.lower(F.col(text_col)), r"\s+"),
                 lambda w: w != F.lit(""),
             )
         ).alias("j", "word"),
     )
-    agg = (
-        words.join(vocab, "word")
+    return (
+        words.join(vocab, "word", "left")
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_words"),
+            F.count("word").alias("n_words"),
             F.flatten(
                 F.transform(
-                    F.array_sort(F.collect_list(F.struct("j", "syms"))),
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("word").isNotNull(),
+                                F.struct("j", "syms"),
+                            )
+                        )
+                    ),
                     lambda s: s["syms"],
                 )
             ).alias("toks"),
         )
-    )
-    return (
-        docs.select(id_col)
-        .join(agg, id_col, "left")
         .select(
             id_col,
-            F.coalesce("n_words", F.lit(0).cast("long")).alias("n_words"),
-            F.coalesce(
-                "toks", F.expr("CAST(array() AS array<string>)")
-            ).alias("toks"),
+            F.col("n_words").cast("long").alias("n_words"),
+            "toks",
         )
     )
 

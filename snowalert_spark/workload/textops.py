@@ -1937,9 +1937,10 @@ def bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # plain table, no spread (whole BPE family): training runs once
     # per process (trained_merges' per-corpus-version cache) so a
     # spread of the training scan cannot amortize, and the encode
-    # rows consume the docs table three times per run (the vocab
-    # probe's word_freqs, the posexplode side, the zero-word
-    # left-join spine) — each pays the repartition while the heavy
+    # rows consume the docs table twice per run (the vocab probe's
+    # word_freqs and the posexplode_outer encode side — the old third
+    # scan, the zero-word left-join spine, was folded into the encode
+    # scan this round) — each pays the repartition while the heavy
     # explode+join work is already wide after its own exchange.
     # A/B at sf0.1: merges 0.29 -> 0.47 s, encode_docs 1.11 -> 2.77 s,
     # encode_128 0.98 -> 1.55 s, encode_1k 1.03 -> 1.78 s

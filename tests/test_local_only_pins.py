@@ -261,7 +261,10 @@ def test_bpe_encode_apply_is_vocab_join_shape(spark):
     key, never a product join, and no per-row Python anywhere. The
     merge folds must run on the VOCAB relation only (the corpus side
     carries no fold lambdas — that is the 5.7x win over the literal
-    path)."""
+    path). Since the r13 optimization round the encode job reads the
+    corpus ONCE: zero-word docs ride the posexplode_outer + left
+    vocab join instead of a second documents scan (the old
+    ``docs.select(id).join(..., "left")`` spine)."""
     for name in ("bpe_encode_docs", "bpe_encode_128"):
         plan = _plan(spark, name)
         assert "Join" in plan
@@ -271,6 +274,11 @@ def test_bpe_encode_apply_is_vocab_join_shape(spark):
             "BatchEvalPython",
         ):
             assert op not in plan, f"{op} leaked into the {name} plan"
+        n_scans = plan.count("documents.parquet")
+        assert n_scans == 1, (
+            f"{name} encode plan should scan the corpus exactly once "
+            f"(zero-word spine folded into the encode scan), got {n_scans}"
+        )
 
 
 def test_bpe_literal_strategy_is_zero_shuffle(spark):
