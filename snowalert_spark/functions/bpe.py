@@ -411,7 +411,11 @@ def encode_docs_via_vocab(
     fold per merge into the plan (``encode_word``, which cannot grow
     past ~:data:`BPE_FOLD_MAX` merges — expression depth). Returns
     ``(id_col, n_words bigint, toks array<string>)``, one row per
-    input doc (zero-word docs keep an empty array).
+    DISTINCT ``id_col`` value (zero-word docs keep an empty array).
+    Every corpus table keys docs by a unique ``doc_id``, so this is
+    one row per input doc there; callers feeding duplicate ids would
+    get one combined row per id (r13 advice: the pre-r13 left-join
+    spine emitted one row per INPUT row instead).
 
     Scale shape: the segmentation vocab is built on the word-freq
     table (corpus touched once, merge folds on O(distinct words)
@@ -460,7 +464,25 @@ def encode_docs_via_vocab(
         .select(
             id_col,
             F.col("n_words").cast("long").alias("n_words"),
-            "toks",
+            # loud coverage guard (r13 advice): a corpus word absent
+            # from segmentation_vocab leaves syms NULL for that word,
+            # which nulls the whole doc's flatten — fail the job with
+            # the reason instead of emitting silent NULL toks /
+            # size(toks) = -1 downstream. One branch per OUTPUT doc
+            # row; identical values whenever the invariant holds.
+            F.when(
+                (F.col("n_words") > 0) & F.col("toks").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "encode_docs_via_vocab: corpus word missing "
+                        "from segmentation_vocab (vocab-coverage "
+                        "invariant broken — both sides must tokenize "
+                        "with the engine-wide lower+whitespace split)"
+                    )
+                ).cast("array<string>"),
+            )
+            .otherwise(F.col("toks"))
+            .alias("toks"),
         )
     )
 

@@ -510,6 +510,62 @@ def kmeans_fit(
     return cent
 
 
+def kmeans_fit_multi(train: DataFrame, k: int = 8, iters: int = 2) -> DataFrame:
+    """:func:`kmeans_fit` for SEVERAL independent codebooks in ONE
+    lazy plan — ``train`` is ``(g int, vec_id, v array)`` and every
+    step of the single trainer runs keyed by the group column, so one
+    action trains all groups (r13 verdict item 3: the 4 PQ sub-space
+    trainers each scanned the train sample in their own eager job;
+    fused, the whole PQ codebook — and the coarse IVF codebook when
+    it shares (k, iters) — is one job chain instead of five).
+
+    Bit-parity with per-group :func:`kmeans_fit` holds step by step:
+    the init filter, the quantized-cosine assignment with the
+    (sim DESC, cell ASC) pick, and the DECIMAL(25,12)-exact per-dim
+    means are all computed per ``g`` with identical arithmetic — the
+    extra grouping key changes partitioning, never values (decimal
+    summation is order-independent). Pinned by
+    tests/test_vectors.py::test_kmeans_fit_multi_matches_single."""
+    cent = train.filter(F.col("vec_id") < k).select(
+        "g",
+        F.col("vec_id").cast("int").alias("cell"),
+        F.expr("transform(v, x -> CAST(x AS DOUBLE))").alias("cent"),
+    )
+    for _ in range(iters):
+        scored = train.join(F.broadcast(cent), "g").select(
+            "g", "vec_id", "cell",
+            quantize(cosine("v", "cent"), 6).alias("sim"),
+        )
+        w = W.partitionBy("g", "vec_id").orderBy(F.desc("sim"), F.asc("cell"))
+        assign = (
+            scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("g", "vec_id", "cell")
+        )
+        ex = (
+            train.join(assign, ["g", "vec_id"])
+            .select("g", "cell", F.posexplode("v").alias("dim", "x"))
+        )
+        means = ex.groupBy("g", "cell", "dim").agg(
+            (
+                F.sum(F.col("x").cast("double").cast("decimal(25,12)")).cast(
+                    "double"
+                )
+                / F.count("*")
+            ).alias("m")
+        )
+        newc = means.groupBy("g", "cell").agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim, m))), s -> s.m)"
+            ).alias("cent_new")
+        )
+        cent = (
+            cent.join(newc, ["g", "cell"], "left")
+            .select("g", "cell", F.coalesce("cent_new", "cent").alias("cent"))
+        )
+    return cent
+
+
 # Trained-centroid cache: k-means training runs once per (corpus
 # version, k, iters) — the production shape the round-2 review asked
 # for ("training-per-query is the wrong production shape"). Centroids
@@ -574,34 +630,96 @@ def trained_centroid_rows(
     if store is None:
         store = _default_model_store(spark)
     if key not in _CENTROID_CACHE and store is not None:
-        mk = _model_key(corpus_version, k, iters)
-        persisted = [
-            (int(r["cell"]), [float(x) for x in r["cent"]])
-            for r in store.read("trained_centroids")
-            .filter(F.col("model_key") == mk)
-            .collect()
-        ]
-        if persisted:
-            _CENTROID_CACHE[key] = persisted
+        _store_read_codebook(store, key)
     if key not in _CENTROID_CACHE:
         rows = kmeans_fit(train, k=k, iters=iters, id_col=id_col, vec_col=vec_col).collect()
         _CENTROID_CACHE[key] = [(int(r["cell"]), [float(x) for x in r["cent"]]) for r in rows]
         if store is not None:
-            mk = _model_key(corpus_version, k, iters)
-            new = spark.createDataFrame(
-                [(mk, c, v) for c, v in _CENTROID_CACHE[key]],
-                "model_key string, cell int, cent array<double>",
-            )
-            from snowalert_spark.store import ConcurrentWriteError
-
-            try:
-                store.upsert("trained_centroids", new, on=["model_key", "cell"])
-            except ConcurrentWriteError:
-                # another trainer published first; its codebook is
-                # deterministic-identical (same corpus version, same
-                # seeded init), so losing the race is harmless
-                pass
+            _store_publish_codebook(spark, store, key)
     return _CENTROID_CACHE[key]
+
+
+def _store_read_codebook(store, key: tuple) -> None:
+    """Read-through from the versioned sidecar into the process cache."""
+    mk = _model_key(*key)
+    persisted = [
+        (int(r["cell"]), [float(x) for x in r["cent"]])
+        for r in store.read("trained_centroids")
+        .filter(F.col("model_key") == mk)
+        .collect()
+    ]
+    if persisted:
+        _CENTROID_CACHE[key] = persisted
+
+
+def _store_publish_codebook(spark, store, key: tuple) -> None:
+    """Write-through the cached codebook; losing a publish race is
+    harmless (deterministic training — the winner wrote identical
+    rows)."""
+    mk = _model_key(*key)
+    new = spark.createDataFrame(
+        [(mk, c, v) for c, v in _CENTROID_CACHE[key]],
+        "model_key string, cell int, cent array<double>",
+    )
+    from snowalert_spark.store import ConcurrentWriteError
+
+    try:
+        store.upsert("trained_centroids", new, on=["model_key", "cell"])
+    except ConcurrentWriteError:
+        pass
+
+
+def trained_centroid_rows_multi(
+    spark,
+    entries: list[tuple[str, DataFrame]],
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    store=None,
+) -> list[list[tuple[int, list[float]]]]:
+    """Codebooks for SEVERAL corpus versions sharing (k, iters), each
+    ``(corpus_version, train_frame_or_thunk)`` (a zero-arg callable is
+    invoked only on a cache miss — warm calls build no plans at all),
+    trained in ONE fused job via
+    :func:`kmeans_fit_multi` — cache misses union into a single
+    (g, vec_id, v) frame and collect once (r13 verdict item 3: one
+    trainer action instead of one per codebook). Per-key cache/store
+    read-through and write-through semantics are identical to
+    :func:`trained_centroid_rows`; returns the codebooks in entry
+    order."""
+    if store is None:
+        store = _default_model_store(spark)
+    missing: list[tuple[int, tuple]] = []
+    for gi, (cv, _) in enumerate(entries):
+        key = (validate_corpus_version(cv), k, iters)
+        if key not in _CENTROID_CACHE and store is not None:
+            _store_read_codebook(store, key)
+        if key not in _CENTROID_CACHE:
+            missing.append((gi, key))
+    if missing:
+        unioned = None
+        for gi, _ in missing:
+            train = entries[gi][1]
+            if callable(train):  # lazy spec: built only on cache miss
+                train = train()
+            t = train.select(
+                F.lit(gi).alias("g"),
+                F.col(id_col).alias("vec_id"),
+                F.col(vec_col).alias("v"),
+            )
+            unioned = t if unioned is None else unioned.unionByName(t)
+        rows = kmeans_fit_multi(unioned, k=k, iters=iters).collect()
+        by_g: dict[int, list[tuple[int, list[float]]]] = {}
+        for r in rows:
+            by_g.setdefault(int(r["g"]), []).append(
+                (int(r["cell"]), [float(x) for x in r["cent"]])
+            )
+        for gi, key in missing:
+            _CENTROID_CACHE[key] = sorted(by_g.get(gi, []))
+            if store is not None:
+                _store_publish_codebook(spark, store, key)
+    return [_CENTROID_CACHE[(cv, k, iters)] for cv, _ in entries]
 
 
 #: model sidecar tables sharing the ``{corpus_version}|...`` key form
@@ -670,43 +788,69 @@ def trained_centroids(
 _Q6 = "floor(({x}) * 1000000.0D + 0.5D) / 1000000.0D"
 
 
-def _lit_cos_sql(cent_vals: list[float], sub: str) -> str:
-    """Quantize-ready cosine SQL between the runtime expression ``sub``
-    and a centroid embedded as a literal array. The centroid norm is
-    hoisted to a Python-computed literal: the left-to-right double fold
-    matches the engines' aggregate/list_reduce order exactly, so the
-    oracle (which computes sqrt(dot(cent,cent)) engine-side) still
-    matches bit-for-bit — and the plan stops recomputing a constant per
-    row."""
-    cvals = [float(x) for x in cent_vals]
-    # `0.123D` double-literal syntax, not CAST(.. AS DOUBLE): same
-    # value, ~2.5x less SQL text — these codebook expressions dominate
-    # plan size, and parse/analysis time scales with it
-    lit = "array(" + ",".join(f"{x!r}D" for x in cvals) + ")"
-    acc = 0.0
-    for x in cvals:
-        acc += x * x
-    nl = math.sqrt(acc)
-    return (
-        f"{DOT.format(a=sub, b=lit)} / "
-        f"(sqrt({DOT.format(a=sub, b=sub)}) * {nl!r}D)"
-    )
-
-
-def _cell_structs_sql(cents_rows, sub: str) -> str:
-    """``struct(-sim AS nsim, cell AS cell)`` literal-codebook terms in
-    cell order: ``array_sort`` over them ranks by (sim DESC, cell ASC)
-    — the exact ivf_assign/kmeans_fit assignment order. Rows are
-    ``(cell, cent)`` — pyspark Rows and plain tuples both index
-    positionally."""
-    structs = []
+def _codebook_lit_sql(cents_rows) -> str:
+    """The codebook as ONE literal ``array<struct<cell, cent, nl>>``
+    in cell order. Centroid norms are precomputed as Python-literal
+    doubles using the same left-to-right fold the engines run
+    (``acc += x*x`` then sqrt), so an oracle that computes
+    sqrt(dot(cent,cent)) engine-side replays bit-for-bit — and the
+    plan stops recomputing a constant per row. ``0.123D``
+    double-literal syntax, not CAST(..): same value, ~2.5x less SQL
+    text, and parse time scales with text size."""
+    terms = []
     for r in sorted(cents_rows, key=lambda r: int(r[0])):
-        cos = _lit_cos_sql(list(r[1]), sub)
-        structs.append(
-            f"struct(-({_Q6.format(x=cos)}) AS nsim, "
-            f"{int(r[0])} AS cell)"
+        cvals = [float(x) for x in r[1]]
+        lit = "array(" + ",".join(f"{x!r}D" for x in cvals) + ")"
+        acc = 0.0
+        for x in cvals:
+            acc += x * x
+        nl = math.sqrt(acc)
+        terms.append(
+            f"struct({int(r[0])} AS cell, {lit} AS cent, {nl!r}D AS nl)"
         )
-    return ", ".join(structs)
+    return "array(" + ", ".join(terms) + ")"
+
+
+#: one-element-transform "let" binding: evaluates ``{bind}`` ONCE per
+#: row into the lambda variable ``nrm0``, visible inside ``{body}``.
+_BIND1 = "element_at(transform(array({bind}), nrm0 -> {body}), 1)"
+
+
+def _cell_nsim_arr_sql(cents_rows, sub: str) -> str:
+    """``array<struct<nsim, cell>>`` in cell order over the runtime
+    expression ``sub`` — ``array_sort`` over it ranks by
+    (sim DESC, cell ASC), the exact ivf_assign/kmeans_fit assignment
+    order. Rows are ``(cell, cent)`` (pyspark Rows and plain tuples
+    both index positionally).
+
+    r14 shape: ONE ``transform`` lambda over the literal codebook
+    instead of k copies of the cosine tree (the pre-r14
+    ``array(struct(...), ...)`` form), and the row's self-norm is
+    bound once per row via a one-element transform instead of being
+    re-folded per cell. Values are bit-identical — per element the
+    arithmetic is the exact pre-r14 term: dot(sub, cent) /
+    (sqrt(dot(sub, sub)) * nl) with the same literal norms and the
+    same quantize — but the parsed expression tree shrinks ~k× (plan
+    construction was the measured wall for the PQ/IVF-PQ rows) and
+    each row pays ONE self-norm fold instead of k."""
+    cb = _codebook_lit_sql(cents_rows)
+    cos = f"{DOT.format(a=sub, b='c.cent')} / (nrm0 * c.nl)"
+    body = (
+        f"transform({cb}, c -> "
+        f"struct(-({_Q6.format(x=cos)}) AS nsim, c.cell AS cell))"
+    )
+    return _BIND1.format(bind=f"sqrt({DOT.format(a=sub, b=sub)})", body=body)
+
+
+def _lut_arr_sql(cents_rows, sub: str) -> str:
+    """``array<double>`` of quantized cosines of ``sub`` against every
+    codebook cell, in cell order — the per-query ADC LUT as ONE
+    transform over the literal codebook (same value-identity argument
+    as :func:`_cell_nsim_arr_sql`)."""
+    cb = _codebook_lit_sql(cents_rows)
+    cos = f"{DOT.format(a=sub, b='c.cent')} / (nrm0 * c.nl)"
+    body = f"transform({cb}, c -> {_Q6.format(x=cos)})"
+    return _BIND1.format(bind=f"sqrt({DOT.format(a=sub, b=sub)})", body=body)
 
 
 def _pq_code_cols(
@@ -727,21 +871,47 @@ def _pq_code_cols(
     d = dim // m
     if d * m != dim:
         raise ValueError(f"dim {dim} not divisible by m {m}")
+    all_cents = trained_centroid_rows_multi(
+        spark,
+        _pq_subspace_entries(corpus_version, train, dim, m, k, id_col, vec_col),
+        k=k, iters=iters, store=store,
+    )
     cols = []
-    for s in range(m):
-        sub_train = train.select(
-            id_col, F.slice(F.col(vec_col), s * d + 1, d).alias("embedding")
-        )
-        cents = trained_centroid_rows(
-            spark, f"{corpus_version}#pq{s}/{m}x{k}", sub_train, k=k,
-            iters=iters, store=store,
-        )
+    for s, cents in enumerate(all_cents):
         sub = f"slice({vec_col}, {s * d + 1}, {d})"
         code = F.expr(
-            f"element_at(array_sort(array({_cell_structs_sql(cents, sub)})), 1).cell"
+            f"element_at(array_sort({_cell_nsim_arr_sql(cents, sub)}), 1).cell"
         )
         cols.append(code.alias(f"code_{s}"))
     return cols
+
+
+def _pq_subspace_entries(
+    corpus_version: str,
+    train: DataFrame,
+    dim: int,
+    m: int,
+    k: int,
+    id_col: str,
+    vec_col: str,
+) -> list[tuple[str, DataFrame]]:
+    """The m per-subspace (corpus_version, train-slice) trainer specs —
+    the shared key scheme of the PQ coder, LUT builder and IVF-PQ. The
+    train frame is a LAZY thunk: on a warm codebook cache the multi
+    trainer never builds the slice projections at all (each costs py4j
+    plan-building roundtrips — measured as a visible share of the
+    ANN rows' construction wall)."""
+    d = dim // m
+
+    def _slice(s: int):
+        return lambda: train.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(F.col(vec_col), s * d + 1, d).alias("embedding"),
+        )
+
+    return [
+        (f"{corpus_version}#pq{s}/{m}x{k}", _slice(s)) for s in range(m)
+    ]
 
 
 def _pq_query_lut_cols(
@@ -760,24 +930,15 @@ def _pq_query_lut_cols(
     cosine of the query's subspace-s slice against codebook cell —
     built as literal-codebook expressions on the (tiny) query frame."""
     d = dim // m
+    all_cents = trained_centroid_rows_multi(
+        spark,
+        _pq_subspace_entries(corpus_version, train, dim, m, k, id_col, vec_col),
+        k=k, iters=iters, store=store,
+    )
     cols = []
-    for s in range(m):
-        cents = trained_centroid_rows(
-            spark,
-            f"{corpus_version}#pq{s}/{m}x{k}",
-            train.select(
-                id_col, F.slice(F.col(vec_col), s * d + 1, d).alias("embedding")
-            ),
-            k=k,
-            iters=iters,
-            store=store,
-        )
+    for s, cents in enumerate(all_cents):
         sub = f"slice({vec_col}, {s * d + 1}, {d})"
-        sims = [
-            _Q6.format(x=_lit_cos_sql(list(r[1]), sub))
-            for r in sorted(cents, key=lambda r: int(r[0]))
-        ]
-        cols.append(F.expr(f"array({', '.join(sims)})").alias(f"lut_{s}"))
+        cols.append(F.expr(_lut_arr_sql(cents, sub)).alias(f"lut_{s}"))
     return cols
 
 
@@ -966,11 +1127,31 @@ def ivfpq_topk(
     the same quantized-cosine/tiebreak arithmetic as
     :func:`ivf_assign`; PQ coding/LUT replay as in :func:`pq_topk`
     (workload/vector.py::ann_ivfpq_topk)."""
-    coarse = trained_centroid_rows(
-        spark, corpus_version, train, k=coarse_k, iters=iters,
-        id_col=id_col, vec_col=vec_col, store=store,
-    )
-    cell_structs = _cell_structs_sql(coarse, vec_col)
+    if coarse_k == k:
+        # one fused trainer job for the coarse codebook AND the m PQ
+        # sub-space codebooks (r13 verdict item 3: was 5 eager trainer
+        # actions per cold run). Same cache keys, same arithmetic per
+        # group — _pq_code_cols below hits the warm cache.
+        coarse = trained_centroid_rows_multi(
+            spark,
+            [(
+                corpus_version,
+                lambda: train.select(
+                    F.col(id_col).alias("vec_id"),
+                    F.col(vec_col).alias("embedding"),
+                ),
+            )]
+            + _pq_subspace_entries(
+                corpus_version, train, dim, m, k, id_col, vec_col
+            ),
+            k=k, iters=iters, store=store,
+        )[0]
+    else:
+        coarse = trained_centroid_rows(
+            spark, corpus_version, train, k=coarse_k, iters=iters,
+            id_col=id_col, vec_col=vec_col, store=store,
+        )
+    cell_arr = _cell_nsim_arr_sql(coarse, vec_col)
     code_cols = _pq_code_cols(
         spark, corpus_version, train, dim, m, k, iters, id_col, vec_col,
         store=store,
@@ -978,7 +1159,7 @@ def ivfpq_topk(
     codes = corpus.select(
         F.col(id_col).alias("vec_id"),
         F.expr(
-            f"element_at(array_sort(array({cell_structs})), 1).cell"
+            f"element_at(array_sort({cell_arr}), 1).cell"
         ).alias("cell"),
         *code_cols,
     )
@@ -991,7 +1172,7 @@ def ivfpq_topk(
         F.col(id_col).alias("query_id"),
         *lut_cols,
         F.explode(
-            F.expr(f"slice(array_sort(array({cell_structs})), 1, {nprobe})")
+            F.expr(f"slice(array_sort({cell_arr}), 1, {nprobe})")
         ).alias("pr"),
     ).select(
         "query_id",

@@ -9,11 +9,14 @@ scale the same loader points at partitioned table roots instead.
 
 from __future__ import annotations
 
+import logging
 from functools import lru_cache
 
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_log = logging.getLogger(__name__)
 
 TABLES = (
     "region",
@@ -126,16 +129,48 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     core-count parallelism (a parquet file with one row group is one
     task no matter what); a non-file source (in-memory batch) counts
     as narrow, which is the right call for the small streaming tick
-    frames that hit this path."""
+    frames that hit this path.
+
+    Each narrow→repartition / wide→no-op decision is debug-logged once
+    per source (r13 verdict item 6: the bare except silently degraded
+    to the serial scan on a cluster misconfig — now the degradation is
+    visible at DEBUG without spamming per-call)."""
     sc = df.sparkSession.sparkContext
     target = sc.defaultParallelism
     try:
-        if len(df.inputFiles()) >= target:
-            return df
-    except Exception:
+        files = df.inputFiles()
+    except Exception as exc:  # noqa: BLE001 — any source w/o file info
+        _spread_log_once(
+            ("inputFiles-error", type(exc).__name__),
+            "spread: inputFiles() failed (%s: %s) — leaving the plan "
+            "unspread (serial scan possible)", type(exc).__name__, exc,
+        )
         return df
+    src = files[0] if files else "<non-file source>"
+    if len(files) >= target:
+        _spread_log_once(
+            (src, "no-op"),
+            "spread: %d input files >= %d cores for %s — no-op",
+            len(files), target, src,
+        )
+        return df
+    _spread_log_once(
+        (src, "repartition"),
+        "spread: %d input files < %d cores for %s — repartitioning%s",
+        len(files), target, src,
+        f" by {key_cols}" if key_cols else "",
+    )
     return df.repartition(target, *[F.col(c) for c in key_cols]) if key_cols \
         else df.repartition(target)
+
+
+_SPREAD_LOGGED: set[tuple] = set()
+
+
+def _spread_log_once(key: tuple, msg: str, *args) -> None:
+    if key not in _SPREAD_LOGGED:
+        _SPREAD_LOGGED.add(key)
+        _log.debug(msg, *args)
 
 
 def register(spark: SparkSession, sf_dir: str, *names: str) -> None:

@@ -7,6 +7,8 @@ replicate the same double-precision left-fold arithmetic in DuckDB
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -537,9 +539,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from snowalert_spark.functions import dedup as DD
 
-    # plain table, no spread: like dedup_embedding_rplsh, the wall
-    # here is the eager CC phase's many small jobs, and spreading the
-    # gate-scale embedding table was measured 4.4 -> 7.1 s at sf0.1
+    # plain table here; the scheduled assignment branch below applies
+    # keyed spread itself (r13 measured whole-query spread harmful at
+    # 4.4 -> 7.1 s, but that predated the CC driver path — r14
+    # re-measured the assignment-only spread as a ~2x win on that job)
     emb = table(spark, sf_dir, "embeddings")
     k, train_n = semantic_kmeans_params(emb.count())
     cents_rows = S.trained_centroid_rows(
@@ -548,10 +551,10 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     if k <= SEM_LITERAL_K_MAX:
         # gate shape: literal-codebook argmax — zero-shuffle projection
-        structs = S._cell_structs_sql(cents_rows, "embedding")
+        arr = S._cell_nsim_arr_sql(cents_rows, "embedding")
         asim = emb.select(
             "vec_id",
-            F.expr(f"element_at(array_sort(array({structs})), 1)").alias("best"),
+            F.expr(f"element_at(array_sort({arr}), 1)").alias("best"),
         ).select(
             "vec_id",
             F.col("best.cell").alias("cell"),
@@ -561,14 +564,43 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # scheduled shape: k too large for plan literals — broadcast
         # the codebook and take the per-vector min struct with a
         # map-side-combining aggregate (same (sim DESC, cell ASC)
-        # order; one n-row exchange, never n×k)
+        # order; one n-row exchange, never n×k). Norms are hoisted
+        # out of the n×k fold (r14): the centroid norm ships on the
+        # broadcast row (Python-side left fold — bit-identical to the
+        # engine's sqrt(dot(cent,cent)), same argument as
+        # S._codebook_lit_sql) and the vector's self-norm is computed
+        # once per row instead of once per (row, cell) — 3 folds/pair
+        # → 1, values unchanged (same doubles, same (nrm * nl)
+        # denominator order as S.cosine).
+        def _nl(vals) -> float:
+            acc = 0.0
+            for x in vals:
+                acc += float(x) * float(x)
+            return math.sqrt(acc)
+
         cent_df = spark.createDataFrame(
-            cents_rows, "cell int, cent array<double>"
+            [(c, [float(x) for x in v], _nl(v)) for c, v in cents_rows],
+            "cell int, cent array<double>, nl double",
         )
-        scored = emb.crossJoin(F.broadcast(cent_df)).select(
+        # spread the n×k assignment scan (r14 re-measure: with the CC
+        # driver path + hoisted norms the r13 "spread hurts here"
+        # verdict no longer holds — the fold was serialized on the
+        # single-file scan task; keyed spread halved the assignment
+        # job at sf0.1 AND sf1, and is a no-op on many-split scans)
+        scored = spread(emb, "vec_id").select(
+            "vec_id",
+            "embedding",
+            F.sqrt(S.dot("embedding", "embedding")).alias("nrm"),
+        ).crossJoin(F.broadcast(cent_df)).select(
             "vec_id",
             F.struct(
-                (-quantize(S.cosine("embedding", "cent"), 6)).alias("nsim"),
+                (
+                    -quantize(
+                        S.dot("embedding", "cent")
+                        / (F.col("nrm") * F.col("nl")),
+                        6,
+                    )
+                ).alias("nsim"),
                 F.col("cell").alias("cell"),
             ).alias("sc"),
         )
@@ -1072,8 +1104,8 @@ def topic_assign_col(cent_rows, sub: str = "v") -> "F.Column":
     feature-vector expression ``sub`` — the PQ-coder trick, map-only
     and stream-compatible (the trained centroids are plan literals,
     so a streaming micro-batch classifies with zero state)."""
-    structs = S._cell_structs_sql(cent_rows, sub)
-    return F.expr(f"element_at(array_sort(array({structs})), 1).cell")
+    arr = S._cell_nsim_arr_sql(cent_rows, sub)
+    return F.expr(f"element_at(array_sort({arr}), 1).cell")
 
 
 def topic_centroid_rows(spark: SparkSession, sf_dir: str):

@@ -277,7 +277,13 @@ def test_bpe_encode_apply_is_vocab_join_shape(spark):
         n_scans = plan.count("documents.parquet")
         assert n_scans == 1, (
             f"{name} encode plan should scan the corpus exactly once "
-            f"(zero-word spine folded into the encode scan), got {n_scans}"
+            f"(zero-word spine folded into the encode scan), got {n_scans}. "
+            "NOTE (r13 advice): the count==1 pin assumes the vocab side "
+            "takes the LOCAL eager-collect dispatch at this SF "
+            "(segmentation_vocab under LOCAL_VOCAB_MAX_WORDS); if the "
+            "test corpus or that threshold changes so the batched vocab "
+            "path runs, the vocab side adds its own corpus scan and this "
+            "count changes for reasons unrelated to the spine fold."
         )
 
 

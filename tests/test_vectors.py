@@ -492,3 +492,76 @@ def test_semantic_dedup_broadcast_branch_matches_literal(spark, monkeypatch):
     assert sched == gate
     keeps = [r for r in gate if r[-1]]
     assert 0 < len(keeps) <= len(gate)
+
+
+def test_kmeans_fit_multi_matches_single(spark):
+    """The fused multi-group trainer (r14: one job for all PQ
+    sub-space codebooks + the coarse one) is bit-identical per group
+    to the single-group kmeans_fit — the extra grouping key changes
+    partitioning, never the quantized-cosine assignment or the
+    DECIMAL(25,12)-exact means."""
+    from pyspark.sql import functions as F
+
+    from snowalert_spark.functions import similarity as S
+    from snowalert_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    train = emb.filter(F.col("vec_id") < 32)
+    d = 16
+    subs = [
+        train.select(
+            "vec_id", F.slice(F.col("embedding"), s * d + 1, d).alias("v")
+        )
+        for s in range(3)
+    ]
+    single = [
+        {
+            int(r["cell"]): [float(x) for x in r["cent"]]
+            for r in S.kmeans_fit(sub, k=4, iters=2, vec_col="v").collect()
+        }
+        for sub in subs
+    ]
+    unioned = None
+    for g, sub in enumerate(subs):
+        t = sub.select(F.lit(g).alias("g"), "vec_id", "v")
+        unioned = t if unioned is None else unioned.unionByName(t)
+    multi_rows = S.kmeans_fit_multi(unioned, k=4, iters=2).collect()
+    multi = [dict() for _ in subs]
+    for r in multi_rows:
+        multi[int(r["g"])][int(r["cell"])] = [float(x) for x in r["cent"]]
+    assert multi == single
+
+
+def test_trained_centroid_rows_multi_cache_and_order(spark):
+    """trained_centroid_rows_multi fills the shared _CENTROID_CACHE
+    under the same per-version keys as the single-path trainer and
+    returns codebooks in entry order; a second call is a pure cache
+    hit (no retraining divergence)."""
+    from pyspark.sql import functions as F
+
+    from snowalert_spark.functions import similarity as S
+    from snowalert_spark.tables import table
+
+    emb = table(spark, SF, "embeddings")
+    train = emb.filter(F.col("vec_id") < 32)
+    entries = [
+        (f"{SF}#r14multi{i}", train.select("vec_id", "embedding"))
+        for i in range(2)
+    ]
+    try:
+        got = S.trained_centroid_rows_multi(spark, entries, k=4, iters=1)
+        assert len(got) == 2
+        for i in range(2):
+            key = (f"{SF}#r14multi{i}", 4, 1)
+            assert S._CENTROID_CACHE[key] == got[i]
+        # single-path trainer on the same version key returns the
+        # cached rows verbatim (shared key scheme)
+        same = S.trained_centroid_rows(
+            spark, f"{SF}#r14multi0", train, k=4, iters=1
+        )
+        assert same == got[0]
+        again = S.trained_centroid_rows_multi(spark, entries, k=4, iters=1)
+        assert again == got
+    finally:
+        for i in range(2):
+            S._CENTROID_CACHE.pop((f"{SF}#r14multi{i}", 4, 1), None)

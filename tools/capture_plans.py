@@ -3,7 +3,7 @@
 Usage:
     python tools/capture_plans.py <tag> [query ...]
 
-Writes plans/r13/<query>_<tag>.txt for each named query (default: the
+Writes plans/$SPARK_GRAFT_PLANS_ROUND (default r14)/<query>_<tag>.txt for each named query (default: the
 optimization-round target list). Plans are captured from the same
 (spark, sf_dir) callables the bench times, at $SPARK_GRAFT_SF_DIR
 (default sf0.1), so the committed artifacts match what the bench runs.
@@ -42,7 +42,7 @@ def main() -> None:
     tag = sys.argv[1] if len(sys.argv) > 1 else "before"
     names = sys.argv[2:] or DEFAULT_QUERIES
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "plans", os.environ.get("SPARK_GRAFT_PLANS_ROUND", "r14"))
     os.makedirs(out_dir, exist_ok=True)
     spark = get_session(app_name="capture_plans")
     qs = workload.queries(include_local=True)
