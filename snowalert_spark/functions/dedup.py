@@ -783,28 +783,42 @@ def hamming_pairs_multiblock(
 
 
 def _clusters_from_rep_graph(
-    rep_pairs: DataFrame, members: DataFrame, id_col: str
+    rep_pairs: DataFrame,
+    members: DataFrame,
+    id_col: str,
+    members_checkpointed: bool = False,
 ) -> DataFrame:
     """(id_col, cluster_id, keep) from the verified representative
-    pair graph + exact-class membership — the scale-safe output form:
-    edges are rep pairs (near-dup distinct hashes) plus one star edge
-    per non-rep member (LINEAR in corpus rows), never the quadratic
-    member-pair expansion. cluster_id = min id in the component
-    (singletons label themselves); keep = the one representative."""
-    members = members.localCheckpoint()
-    star = members.filter(F.col("_member") != F.col("_rep")).select(
-        F.col("_rep").alias("a"), F.col("_member").alias("b")
-    )
-    edges = star.unionByName(
-        rep_pairs.select(F.col(id_col).alias("a"), F.col("dup_of").alias("b"))
-    )
-    labels = connected_components(edges, src="a", dst="b")
-    ids = members.select(F.col("_member").alias(id_col))
+    pair graph + exact-class membership — the scale-safe output form.
+    cluster_id = min id in the near-dup component (singletons label
+    themselves); keep = the one representative.
+
+    r14 shape: connected components run over the REP PAIRS ONLY and
+    members inherit their rep's label afterwards (one equi-join).
+    The pre-r14 form unioned one star edge per non-rep member into
+    the CC input — LINEAR in corpus rows — which (a) shipped the
+    whole corpus's membership through the CC machinery (the bounded
+    driver union-find collected every member id, so any corpus past
+    CC_DRIVER_MAX_EDGES rows forced the distributed path even with a
+    handful of real duplicate pairs) and (b) paid the label join over
+    the star-inflated label table. Label equivalence: every rep is
+    the MIN id of its exact class, so the min node of a (star ∪ rep
+    pairs) component equals the min over its reps — exactly the rep-
+    graph component label; a rep absent from every rep pair labels
+    its class by itself (the coalesce). Pinned by the closure-
+    equality test in tests/test_media_clusters.py.
+
+    ``members_checkpointed`` skips the defensive localCheckpoint when
+    the caller already materialized members (video_framehash_clusters
+    does — the double checkpoint was one wasted job per run)."""
+    if not members_checkpointed:
+        members = members.localCheckpoint()
+    labels = connected_components(rep_pairs, src=id_col, dst="dup_of")
     return (
-        ids.join(labels, ids[id_col] == labels["node"], "left")
+        members.join(labels, members["_rep"] == labels["node"], "left")
         .select(
-            id_col,
-            F.coalesce("cluster_id", F.col(id_col)).alias("cluster_id"),
+            F.col("_member").alias(id_col),
+            F.coalesce("cluster_id", F.col("_rep")).alias("cluster_id"),
         )
         .withColumn("keep", F.col(id_col) == F.col("cluster_id"))
     )
@@ -898,7 +912,9 @@ def video_framehash_clusters(
     reps = members.select(F.col("_rep").alias(id_col)).distinct()
     rep_fh = fh.join(reps, id_col, "left_semi")
     rep_pairs = video_clip_pairs(rep_fh, threshold, frames, min_frames, id_col)
-    return _clusters_from_rep_graph(rep_pairs, members, id_col)
+    return _clusters_from_rep_graph(
+        rep_pairs, members, id_col, members_checkpointed=True
+    )
 
 
 #: Verified-duplicate edge lists at or below this many (symmetrized)
