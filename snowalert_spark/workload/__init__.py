@@ -79,11 +79,9 @@ LOCAL_ONLY = {
     "dedup_cross_snapshot_minhash",
     "quality_percentile_filter",
     "embedding_pq_codes",
-    # Round-13 addition beyond the gate cap: the full gate rule chain
-    # (quality funnel + n-gram decontamination as the final rule) —
-    # the batch form of streaming.curation_stream_ingest with an eval
-    # set, oracle-backed like every other row.
-    "curation_gate_decontam",
+    # (curation_gate_decontam — the r13 addition, the full gate rule
+    # chain — was promoted into the declared gate in the round-14
+    # rotation below.)
     # Round-7 gate rotation: dedup_clusters, decontaminate_ngram,
     # pii_scrub_events, dedup_cross_snapshot and
     # curation_filter_pipeline are promoted into the declared gate so
@@ -333,12 +331,10 @@ LOCAL_ONLY = {
     # to the single-purpose halves pinned by
     # tests/test_substring_combined.py),
     "dedup_substring_spans",
-    # dedup_substring_removal ⊂ dedup_substring_full (same bit-identity
-    # pin) + dedup_substring_cross_snapshot (declared; by the
-    # prefix-monotone rule the incremental result IS whole-corpus
-    # removal restricted to the new ids — its oracle replays that
-    # identity),
-    "dedup_substring_removal",
+    # (dedup_substring_removal — demoted in the r13 rotation — was
+    # re-promoted into the declared gate in the round-14 rotation
+    # below, per the r13 verdict: the driver re-verifies the substring
+    # family the r13 optimizer touched hardest.)
     # curation_filter_pipeline ⊂ curation_funnel_stats (declared r13;
     # drives the IDENTICAL signal projection and rule chain — token
     # floor, quality floor, repetition cap, language allowlist, same
@@ -346,6 +342,27 @@ LOCAL_ONLY = {
     # per-doc keep/reason projection stays local, oracle-checked in
     # tests/test_oracle.py).
     "curation_filter_pipeline",
+    # Round-14 gate rotation (r13 verdict item 10): promote
+    # curation_gate_decontam (the 103rd row, never driver-checked —
+    # the FULL gate rule chain with n-gram decontamination as its
+    # final rule) and re-promote dedup_substring_removal (the r13
+    # optimizer's hardest-touched family gets a direct driver row
+    # again). The two rows demoted to make room keep their local
+    # oracles + plan pins and are each strictly subsumed by a
+    # declared sibling:
+    # decontaminate_ngram ⊂ curation_gate_decontam (declared r14; it
+    # calls decontaminate_ngram(d, eval_pred, k=5) VERBATIM — same
+    # held-out doc_id % 17 == 0 split, same shingle width — and its
+    # oracle replays the hits CTE end to end; only the standalone
+    # per-doc hit-count projection stays local),
+    "decontaminate_ngram",
+    # unigram_logprob_scores ⊂ bigram_logprob_scores (declared r10;
+    # its stupid-backoff tier re-derives the IDENTICAL add-one
+    # unigram model — same LM_VOCAB cap, same corpus total, same
+    # 6dp-quantized log-prob arithmetic — and its oracle replays that
+    # whole chain; the standalone per-doc unigram mean keeps its
+    # local oracle).
+    "unigram_logprob_scores",
 }
 
 DRIVER_QUERY_CAP = 50

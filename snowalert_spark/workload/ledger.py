@@ -53,14 +53,18 @@ LEDGER: dict[str, dict] = {
     "kmeans_centroids": _e(declared_in="r7", added_in="r6"),
     "skew_salted_join": _e(declared_in="r7", added_in="r6"),
     "dedup_clusters": _e(declared_in="r7"),
-    "decontaminate_ngram": _e(declared_in="r7"),
+    "decontaminate_ngram": _e("r7", "r14", subsumed_by="curation_gate_decontam (declared r14; calls decontaminate_ngram(d, eval_pred, k=5) verbatim — same doc_id % 17 == 0 held-out split, same shingle width — and its oracle replays the hits CTE end to end)"),
     "pii_scrub_events": _e(declared_in="r7"),
     "dedup_cross_snapshot": _e(declared_in="r7"),
     "curation_filter_pipeline": _e("r7", "r13", subsumed_by="curation_funnel_stats (declared r13; drives the identical signal projection + rule chain — same thresholds — and audits every rule's loss; the per-doc keep/reason projection keeps its local oracle)"),
     "semantic_dedup": _e(declared_in="r8"),
     "dsir_select": _e(declared_in="r8"),
-    "dedup_substring_removal": _e("r8", "r13", subsumed_by="dedup_substring_full (declared r13; bit-identity to the union of the single-purpose halves pinned by tests/test_substring_combined.py) + dedup_substring_cross_snapshot (declared r13; prefix-monotone identity replays the same removal)"),
-    "unigram_logprob_scores": _e(declared_in="r8"),
+    # demoted r13 (⊂ dedup_substring_full, bit-identity pinned by
+    # tests/test_substring_combined.py), RE-promoted r14 per the r13
+    # verdict (driver re-verifies the r13 optimizer's hardest-touched
+    # family directly)
+    "dedup_substring_removal": _e(declared_in="r14", added_in="r8"),
+    "unigram_logprob_scores": _e("r8", "r14", subsumed_by="bigram_logprob_scores (declared r10; its stupid-backoff tier re-derives the identical add-one unigram model — same LM_VOCAB cap, same corpus total, same 6dp-quantized log-prob — and its oracle replays that chain)"),
     "dedup_image_dhash": _e("r8", "r12", subsumed_by="dedup_image_clusters (declared r12; same decode -> dHash -> multi-block candidate -> popcount-verify pairs feed its rep graph)"),
     "doc_topic_clusters": _e(declared_in="r8"),
     "dedup_audio_fp": _e("r8", "r12", subsumed_by="dedup_audio_clusters (declared r12; same fingerprint pair engine feeds its rep graph)"),
@@ -100,7 +104,10 @@ LEDGER: dict[str, dict] = {
     "dedup_cross_snapshot_minhash": _e(None, None, "r7", "dedup_cross_snapshot (declared; same LeftAnti) + dedup_minhash_lsh"),
     "quality_percentile_filter": _e(None, None, "r7", "percentiles_by_type + text_quality_scores"),
     "embedding_pq_codes": _e(None, None, "r7", "ann_pq_topk/ann_ivfpq_topk (same PQ coding, oracle-checked end to end)"),
-    "curation_gate_decontam": _e(None, None, "r13", "curation_funnel_stats (declared; same signal projection + rule chain) + decontaminate_ngram (declared; same eval split + shingle overlap) — this row pins their COMPOSITION, the streaming gate tier's full rule chain, under its own oracle"),
+    # local-only through r13, promoted r14 (r13 verdict item 10: the
+    # 103rd row, never driver-checked, now pins the gate COMPOSITION
+    # — and subsumes the demoted decontaminate_ngram row it drives)
+    "curation_gate_decontam": _e(declared_in="r14", added_in="r13"),
     # --- r8 rotations ----------------------------------------------------
     "union_dedupe_nationkeys": _e("r1", "r8", subsumed_by="dedup_exact collapse semantics + pack corpus UNION ALL verbatim"),
     "image_dhash": _e(None, None, "r8", "dedup_image_clusters (declared r12; computes the same hashes before the band join)"),
