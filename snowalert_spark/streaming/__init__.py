@@ -1124,11 +1124,29 @@ def substring_stream_ingest(
             n_batch_hashes=n_hashes,
         ).cache()
         cached.append(seen)
-        flagged = (
-            wins.join(totals, ["ha", "hb"])
-            .join(
+        # relevant hashes = repeated-in-batch ∪ already-in-state: only
+        # their windows can be cut, so join the window stream against
+        # THIS table instead of the full per-hash totals (r14, the
+        # same shape r13 gave the batch substring ops): on a giant
+        # tick the totals table is ≈ the window stream (near-unique
+        # hashes), and wins ⋈ totals exchanged BOTH at stream size —
+        # the relevant table is small whenever duplication is sparse,
+        # so AQE broadcasts it and the window stream never exchanges
+        # for this join (worst case it degrades to exactly the old
+        # sort-merge). totals is already hash-partitioned by its own
+        # groupBy, so the rel build adds no exchange either. Windows
+        # of non-relevant hashes (n_occ = 1, unseen) were dropped by
+        # the old filter; the inner join drops them earlier —
+        # identical rows out (pinned by the streaming batch-equality
+        # e2e tests).
+        rel = (
+            totals.join(
                 seen.withColumn("all_cut", F.lit(True)), ["ha", "hb"], "left"
             )
+            .filter((F.col("n_occ") >= 2) | F.col("all_cut").isNotNull())
+        )
+        flagged = (
+            wins.join(rel, ["ha", "hb"])
             .filter(
                 F.coalesce(F.col("all_cut"), F.lit(False))
                 | (
